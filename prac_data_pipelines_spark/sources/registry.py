@@ -1,0 +1,71 @@
+"""Table registry + loaders.
+
+The engine reads from pluggable sources behind one seam (the reference keeps an
+explicit per-table column registry in ``src/data_transformer.py:49-75`` and a
+generic scan in ``src/db_connector.py:154-171``; here the registry is the table
+list and Catalyst does projection pushdown from each query's ``select``).
+
+Parquet is the primary source (columnar scan, predicate pushdown, partition
+pruning). A JDBC loader provides parity with the reference's ERP extraction
+path; it is config-driven and unused by the test harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Tables present in the benchmark/test datasets.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Filters/projections applied by callers are pushed into
+    the parquet scan by Catalyst (verify with ``.explain``: ``PushedFilters``,
+    ``ReadSchema``)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts arrives as nanosecond epoch (read as long via nanosAsLong):
+        # truncate to microseconds, same as engines with micro precision do.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so plans can be written in Spark SQL."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_jdbc_table(spark: SparkSession, url: str, query: str,
+                    properties: dict[str, str] | None = None) -> DataFrame:
+    """JDBC scan (parity with the reference's database extraction,
+    ``src/db_connector.py:113-133``). ``query`` keeps business logic out of the
+    database — flat SELECTs with projection only, same policy as the reference.
+
+    At scale, add ``partitionColumn/lowerBound/upperBound/numPartitions`` options
+    so the read parallelizes across executors instead of a single connection.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -1,0 +1,61 @@
+"""Local correctness harness — a mirror of the driver's CORRECTNESS gate.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from prac_data_pipelines_spark.queries import all_oracles, all_queries  # noqa: E402
+from prac_data_pipelines_spark.session import get_spark  # noqa: E402
+from prac_data_pipelines_spark.testing import compare_frames, duck_connect  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connect(sf_dir)
+    queries, oracles = all_queries(), all_oracles()
+    failures = 0
+    checked = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        checked += 1
+        t0 = time.time()
+        try:
+            spark_pd = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(spark_pd)} rows (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            duck_pd = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        problems = compare_frames(spark_pd, duck_pd)
+        if problems:
+            failures += 1
+            print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            print(f"OK    {name}: {len(spark_pd)} rows [{time.time()-t0:.1f}s]")
+    print(f"\n{checked - failures}/{checked} passing")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
