@@ -1,1 +1,405 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis and deduplication operators over the ``documents`` table —
+the LLM-training-pipeline surface (dedup, fingerprinting, language ID,
+quality scoring, token stats).
+
+Everything is built from JVM-side higher-order functions (``transform``,
+``aggregate``, ``array_min`` …) over tokenized text — zero Python in the row
+path — and every hash is md5-derived so the DuckDB oracle can reproduce it
+bit-for-bit.
+
+Scale design: each doc is processed independently (embarrassingly parallel,
+no shuffle) until the candidate-pair joins, which shuffle on short band keys
+(MinHash-LSH) instead of all-pairs — the O(n²) structure is confined to
+within-bucket comparisons, which is what makes 100 TB dedup feasible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.rounding import r4
+from ..sources import load_table
+from . import register
+
+# --------------------------------------------------------------------------
+# Shared tokenization / hashing (Spark SQL expression + DuckDB twin)
+# --------------------------------------------------------------------------
+
+# words: split on whitespace runs
+WORDS = "split(trim(text), '\\\\s+')"
+SQL_WORDS = "str_split_regex(trim(text), '\\s+')"
+
+# 3-word shingles (guarded for short docs)
+SHINGLES = (
+    f"CASE WHEN size({WORDS}) >= 3 THEN "
+    f"transform(sequence(0, size({WORDS}) - 3), "
+    f"i -> concat_ws(' ', element_at({WORDS}, i+1), element_at({WORDS}, i+2), "
+    f"element_at({WORDS}, i+3))) "
+    f"ELSE array(trim(text)) END"
+)
+SQL_SHINGLES = (
+    f"CASE WHEN len({SQL_WORDS}) >= 3 THEN "
+    f"list_transform(range(0, len({SQL_WORDS}) - 2), "
+    f"i -> concat({SQL_WORDS}[i+1], ' ', {SQL_WORDS}[i+2], ' ', {SQL_WORDS}[i+3])) "
+    f"ELSE [trim(text)] END"
+)
+
+# 28-bit base hash of a string s (identical on both engines)
+def _h(s: str) -> str:
+    return f"cast(conv(substring(md5({s}), 1, 7), 16, 10) as bigint)"
+
+
+def _sql_h(s: str) -> str:
+    return f"('0x' || substr(md5({s}), 1, 7))::BIGINT"
+
+
+# MinHash parameters: k permutations (a*h + b) mod p over the base hash.
+MINHASH_K = 8
+MINHASH_P = 2147483647
+_A = [(2654435761 * (i + 1)) % MINHASH_P for i in range(MINHASH_K)]
+_B = [(40503 * (i + 7) ** 2 + 1) % MINHASH_P for i in range(MINHASH_K)]
+N_BANDS = 4  # bands of 2 rows each
+
+SIGS = (
+    f"transform(sequence(0, {MINHASH_K - 1}), i -> "
+    f"array_min(transform(_hs, h -> "
+    f"(element_at(array({','.join(str(a) + 'L' for a in _A)}), i+1) * h + "
+    f"element_at(array({','.join(str(b) + 'L' for b in _B)}), i+1)) % {MINHASH_P}L)))"
+)
+SQL_SIGS = (
+    f"list_transform(range(0, {MINHASH_K}), i -> "
+    f"list_min(list_transform(hs, h -> "
+    f"(([{','.join(str(a) for a in _A)}])[i+1] * h + "
+    f"([{','.join(str(b) for b in _B)}])[i+1]) % {MINHASH_P})))"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# doc_exact_dedup — exact dedup by content hash. Duplicates are synthesized
+# deterministically (a re-keyed copy of doc_id < 50) so the grouping is
+# demonstrable; at scale this is one hash-shuffle, map-side combined.
+# --------------------------------------------------------------------------
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    copies = (docs.filter(F.col("doc_id") < 50)
+              .withColumn("doc_id", F.col("doc_id") + 1000000))
+    union = docs.unionByName(copies)
+    return (
+        union.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.min("doc_id").cast("long").alias("canonical_doc"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("canonical_doc")
+    )
+
+
+SQL_DOC_EXACT_DEDUP = """
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+)
+SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS canonical_doc
+FROM unioned GROUP BY 1 HAVING count(*) > 1
+ORDER BY canonical_doc
+"""
+
+register("doc_exact_dedup", q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP)
+
+
+# --------------------------------------------------------------------------
+# doc_token_stats — token counting + length stats, all array expressions.
+# --------------------------------------------------------------------------
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.selectExpr(
+        "doc_id",
+        f"cast(size({WORDS}) as bigint) AS n_tokens",
+        f"cast(size(array_distinct({WORDS})) as bigint) AS n_unique",
+        f"floor(aggregate(transform({WORDS}, w -> length(w)), 0L, (acc, x) -> acc + x) "
+        f"/ cast(size({WORDS}) as double) * 10000 + 0.5) / 10000 AS avg_token_len",
+        "cast(length(text) as bigint) AS n_chars",
+    )
+
+
+SQL_DOC_TOKEN_STATS = f"""
+SELECT doc_id,
+       len({SQL_WORDS})::BIGINT AS n_tokens,
+       len(list_distinct({SQL_WORDS}))::BIGINT AS n_unique,
+       floor(list_sum(list_transform({SQL_WORDS}, w -> strlen(w)))
+             / len({SQL_WORDS})::DOUBLE * 10000 + 0.5) / 10000 AS avg_token_len,
+       strlen(text)::BIGINT AS n_chars
+FROM documents
+"""
+
+register("doc_token_stats", q_doc_token_stats, SQL_DOC_TOKEN_STATS)
+
+
+# --------------------------------------------------------------------------
+# doc_quality_score — composite quality heuristic (length, lexical
+# diversity, stopword balance) with a classification ladder.
+# --------------------------------------------------------------------------
+
+_STOPWORDS = "'the','a','of','and','is','el','la','de','los','un'"
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    expr = docs.selectExpr(
+        "doc_id",
+        f"cast(size({WORDS}) as double) AS _n",
+        f"cast(size(array_distinct({WORDS})) as double) AS _u",
+        f"cast(size(filter({WORDS}, w -> w in ({_STOPWORDS}))) as double) AS _s",
+        "cast(length(text) as double) AS _c",
+    )
+    score = (
+        F.least(F.col("_c") / 400, F.lit(1.0)) * 0.4
+        + (F.col("_u") / F.col("_n")) * 0.4
+        + (1 - F.abs(F.col("_s") / F.col("_n") - 0.2)) * 0.2
+    )
+    out = expr.select(
+        "doc_id",
+        r4(score).alias("calidad"),
+        F.when(r4(score) >= 0.75, "ALTA")
+         .when(r4(score) >= 0.55, "MEDIA")
+         .otherwise("BAJA").alias("clase_calidad"),
+    )
+    return out
+
+
+SQL_DOC_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id,
+         len({SQL_WORDS})::DOUBLE AS _n,
+         len(list_distinct({SQL_WORDS}))::DOUBLE AS _u,
+         len(list_filter({SQL_WORDS}, w -> w IN ({_STOPWORDS})))::DOUBLE AS _s,
+         strlen(text)::DOUBLE AS _c
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         floor((least(_c / 400, 1.0) * 0.4 + (_u / _n) * 0.4
+                + (1 - abs(_s / _n - 0.2)) * 0.2) * 10000 + 0.5) / 10000 AS calidad
+  FROM base
+)
+SELECT doc_id, calidad,
+       CASE WHEN calidad >= 0.75 THEN 'ALTA'
+            WHEN calidad >= 0.55 THEN 'MEDIA'
+            ELSE 'BAJA' END AS clase_calidad
+FROM scored
+"""
+
+register("doc_quality", q_doc_quality, SQL_DOC_QUALITY)
+
+
+# --------------------------------------------------------------------------
+# doc_lang_id — n-gram/stopword-vote language heuristic (en/es/other).
+# --------------------------------------------------------------------------
+
+_EN = "'the','and','of','is','to','in'"
+_ES = "'el','la','de','los','un','en'"
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.selectExpr(
+        "doc_id",
+        "lang",
+        f"cast(size(filter({WORDS}, w -> w in ({_EN}))) as bigint) AS votos_en",
+        f"cast(size(filter({WORDS}, w -> w in ({_ES}))) as bigint) AS votos_es",
+        f"CASE WHEN size(filter({WORDS}, w -> w in ({_EN}))) > "
+        f"size(filter({WORDS}, w -> w in ({_ES}))) THEN 'en' "
+        f"WHEN size(filter({WORDS}, w -> w in ({_ES}))) > "
+        f"size(filter({WORDS}, w -> w in ({_EN}))) THEN 'es' "
+        f"ELSE 'unk' END AS lang_pred",
+    )
+
+
+SQL_DOC_LANG_ID = f"""
+SELECT doc_id, lang,
+       len(list_filter({SQL_WORDS}, w -> w IN ({_EN})))::BIGINT AS votos_en,
+       len(list_filter({SQL_WORDS}, w -> w IN ({_ES})))::BIGINT AS votos_es,
+       CASE WHEN len(list_filter({SQL_WORDS}, w -> w IN ({_EN}))) >
+                 len(list_filter({SQL_WORDS}, w -> w IN ({_ES}))) THEN 'en'
+            WHEN len(list_filter({SQL_WORDS}, w -> w IN ({_ES}))) >
+                 len(list_filter({SQL_WORDS}, w -> w IN ({_EN}))) THEN 'es'
+            ELSE 'unk' END AS lang_pred
+FROM documents
+"""
+
+register("doc_lang_id", q_doc_lang_id, SQL_DOC_LANG_ID)
+
+
+# --------------------------------------------------------------------------
+# doc_fingerprint — whole-document fingerprint + winnowing-style minimum
+# shingle hash (rolling-hash flavor of document identity).
+# --------------------------------------------------------------------------
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.selectExpr(
+        "doc_id",
+        f"{_h('text')} AS huella_doc",
+        f"array_min(transform({SHINGLES}, s -> {_h('s')})) AS huella_min_shingle",
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id,
+       {_sql_h('text')} AS huella_doc,
+       list_min(list_transform({SQL_SHINGLES}, s -> {_sql_h('s')})) AS huella_min_shingle
+FROM documents
+"""
+
+register("doc_fingerprint", q_doc_fingerprint, SQL_DOC_FINGERPRINT)
+
+
+# --------------------------------------------------------------------------
+# doc_minhash_pairs — MinHash + LSH banding near-dup candidates with
+# estimated Jaccard. The only shuffle is the short band-key join; signature
+# computation is a per-row map. This is THE scale path for near-dedup.
+# --------------------------------------------------------------------------
+
+def _with_sigs(docs: DataFrame) -> DataFrame:
+    return (
+        docs.selectExpr("doc_id", f"transform({SHINGLES}, s -> {_h('s')}) AS _hs")
+        .selectExpr("doc_id", f"{SIGS} AS sigs")
+    )
+
+
+def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sigs = _with_sigs(docs)
+    bands = sigs.selectExpr(
+        "doc_id", "sigs",
+        f"explode(transform(sequence(0, {N_BANDS - 1}), b -> "
+        f"concat(b, ':', element_at(sigs, 2*b+1), ':', element_at(sigs, 2*b+2)))) AS banda",
+    )
+    left = bands.select(F.col("doc_id").alias("d1"), F.col("sigs").alias("s1"), "banda")
+    right = bands.select(F.col("doc_id").alias("d2"), F.col("sigs").alias("s2"), "banda")
+    pairs = (
+        left.join(right, "banda")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "s1", "s2")
+        .dropDuplicates(["d1", "d2"])
+    )
+    est = F.expr(
+        f"size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v)) / cast({MINHASH_K} as double)"
+    )
+    return (
+        pairs.select("d1", "d2", r4(est).alias("jaccard_est"))
+        .filter(F.col("jaccard_est") >= 0.25)
+        .orderBy("d1", "d2")
+    )
+
+
+SQL_DOC_MINHASH_PAIRS = f"""
+WITH hs AS (
+  SELECT doc_id, list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}) AS hs
+  FROM documents
+), sigs AS (
+  SELECT doc_id, {SQL_SIGS} AS sigs FROM hs
+), bands AS (
+  SELECT doc_id, sigs, concat(b, ':', sigs[2*b+1], ':', sigs[2*b+2]) AS banda
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS b)
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2, l.sigs AS s1, r.sigs AS s2
+  FROM bands l JOIN bands r ON l.banda = r.banda AND l.doc_id < r.doc_id
+)
+SELECT d1, d2,
+       floor(list_sum(list_transform(range(0, {MINHASH_K}),
+                     i -> CASE WHEN s1[i+1] = s2[i+1] THEN 1 ELSE 0 END))
+             / {MINHASH_K}.0 * 10000 + 0.5) / 10000 AS jaccard_est
+FROM pairs
+WHERE floor(list_sum(list_transform(range(0, {MINHASH_K}),
+                     i -> CASE WHEN s1[i+1] = s2[i+1] THEN 1 ELSE 0 END))
+             / {MINHASH_K}.0 * 10000 + 0.5) / 10000 >= 0.25
+ORDER BY d1, d2
+"""
+
+register("doc_minhash_pairs", q_doc_minhash_pairs, SQL_DOC_MINHASH_PAIRS)
+
+
+# --------------------------------------------------------------------------
+# doc_ngram_jaccard — exact n-gram Jaccard on LSH candidates (verify stage
+# of the dedup pipeline: cheap candidates → exact similarity on survivors).
+# --------------------------------------------------------------------------
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = docs.selectExpr("doc_id", f"array_distinct({SHINGLES}) AS sh")
+    sigs = _with_sigs(docs).selectExpr("doc_id", "element_at(sigs, 1) AS sig0")
+    keyed = sh.join(sigs, "doc_id")
+    left = keyed.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"), "sig0")
+    right = keyed.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"), "sig0")
+    inter = F.expr("size(array_intersect(sh1, sh2))").cast("double")
+    union = F.expr("size(sh1) + size(sh2) - size(array_intersect(sh1, sh2))").cast("double")
+    return (
+        left.join(right, "sig0")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", r4(inter / union).alias("jaccard"))
+        .orderBy("d1", "d2")
+    )
+
+
+SQL_DOC_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({SQL_SHINGLES}) AS sh FROM documents
+), hs AS (
+  SELECT doc_id, list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}) AS hs
+  FROM documents
+), sigs AS (
+  SELECT doc_id, ({SQL_SIGS})[1] AS sig0 FROM hs
+), keyed AS (
+  SELECT sh.doc_id, sh.sh, sigs.sig0 FROM sh JOIN sigs ON sh.doc_id = sigs.doc_id
+)
+SELECT l.doc_id AS d1, r.doc_id AS d2,
+       floor(len(list_intersect(l.sh, r.sh))::DOUBLE
+             / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)))::DOUBLE
+             * 10000 + 0.5) / 10000 AS jaccard
+FROM keyed l JOIN keyed r ON l.sig0 = r.sig0 AND l.doc_id < r.doc_id
+ORDER BY d1, d2
+"""
+
+register("doc_ngram_jaccard", q_doc_ngram_jaccard, SQL_DOC_NGRAM_JACCARD)
+
+
+# --------------------------------------------------------------------------
+# doc_simhash — 28-bit SimHash from frequency-weighted token-hash bit votes.
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 28
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.selectExpr(
+        "doc_id",
+        f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}), b -> "
+        f"CASE WHEN aggregate(transform({WORDS}, w -> {_h('w')}), 0L, "
+        f"(acc, h) -> acc + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1L ELSE -1L END) > 0 "
+        f"THEN shiftleft(1L, b) ELSE 0L END), 0L, (acc, x) -> acc + x) AS simhash",
+    )
+
+
+SQL_DOC_SIMHASH = f"""
+WITH hs AS (
+  SELECT doc_id, list_transform({SQL_WORDS}, w -> {_sql_h('w')}) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       list_sum(list_transform(range(0, {SIMHASH_BITS}), b ->
+         CASE WHEN list_sum(list_transform(hs, h ->
+                CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+              THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+FROM hs
+"""
+
+register("doc_simhash", q_doc_simhash, SQL_DOC_SIMHASH)
