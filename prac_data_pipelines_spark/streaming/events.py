@@ -1,0 +1,100 @@
+"""Structured Streaming surface over event streams.
+
+The reference is strictly batch (SURVEY §2.9); this module gives the engine
+the incremental path for the same rollups the batch layer computes, so the
+KPI sinks can be fed continuously at scale:
+
+- ``stream_hourly_rollup`` — watermarked tumbling-window aggregation
+  (micro-batch incremental; late events beyond the watermark dropped
+  deterministically).
+- ``stream_sessionize`` — built-in ``session_window`` (gap-based) stateful
+  aggregation, the streaming twin of the batch gaps-and-islands query.
+
+Both read any file source (parquet dirs in tests; Kafka/Kinesis in
+production via a different ``format`` — the plan is source-agnostic).
+State scales horizontally: both aggregations are keyed, so state shards
+across executors by (window/session, key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# ts arrives as nanosecond epoch (INT64) in the harness feed; normalized to
+# a microsecond timestamp on read, same as the batch source layer.
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+WATERMARK = "2 hours"
+SESSION_GAP = "30 minutes"
+
+
+def read_event_stream(spark: SparkSession, source_dir: str,
+                      fmt: str = "parquet") -> DataFrame:
+    raw = (spark.readStream.format(fmt)
+           .schema(EVENTS_SCHEMA)
+           .option("path", source_dir)
+           .load())
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+
+
+def stream_hourly_rollup(events: DataFrame) -> DataFrame:
+    """Incremental hourly rollup per event type (append-mode capable)."""
+    win = F.window("ts", "1 hour")
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_eventos"),
+            F.sum("value").alias("valor_total"),
+            F.approx_count_distinct("user_id").alias("usuarios_aprox"),
+        )
+        .select(
+            F.col("window.start").alias("hora"),
+            "event_type", "n_eventos", "valor_total", "usuarios_aprox",
+        )
+    )
+
+
+def stream_sessionize(events: DataFrame) -> DataFrame:
+    """Gap-based sessionization via the built-in session_window state store."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eventos"),
+            F.sum("value").alias("valor"),
+        )
+        .select(
+            F.col("session_window.start").alias("inicio"),
+            F.col("session_window.end").alias("fin"),
+            "user_id", "n_eventos", "valor",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, table_name: str,
+                  output_mode: str = "complete") -> None:
+    """Drain all available input into an in-memory sink (test/dev helper)."""
+    q = (stream_df.writeStream.format("memory")
+         .queryName(table_name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

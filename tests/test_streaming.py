@@ -1,0 +1,57 @@
+"""Structured Streaming surface: the incremental rollup must agree with the
+batch query over the same input, and sessionization must produce sane
+sessions through the state store."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def stream_dir(sf_dir):
+    """Copy the events parquet into a directory source."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-0.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_hourly_matches_batch(spark, stream_dir, sf_dir):
+    from prac_data_pipelines_spark.queries.events import q_events_hourly
+    from prac_data_pipelines_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+        stream_hourly_rollup,
+    )
+
+    stream = stream_hourly_rollup(read_event_stream(spark, stream_dir))
+    run_to_memory(stream, "rollup_test", output_mode="complete")
+    got = {
+        (r["hora"].strftime("%Y-%m-%d %H:%M:%S"), r["event_type"]):
+            (r["n_eventos"], round(r["valor_total"], 2))
+        for r in spark.table("rollup_test").collect()
+    }
+    want = {
+        (r["hora"], r["event_type"]): (r["n_eventos"], round(r["valor_total"], 2))
+        for r in q_events_hourly(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_stream_sessionize(spark, stream_dir):
+    from prac_data_pipelines_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+        stream_sessionize,
+    )
+
+    stream = stream_sessionize(read_event_stream(spark, stream_dir))
+    run_to_memory(stream, "sessions_test", output_mode="complete")
+    rows = spark.table("sessions_test").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["fin"] >= r["inicio"]
+        assert r["n_eventos"] >= 1
