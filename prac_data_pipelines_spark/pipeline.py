@@ -1,0 +1,99 @@
+"""End-to-end pipeline orchestration: the reference's six-step flow
+(extract → operating report → audit → analytics → KPIs → export) restated
+as one lazy DataFrame lineage with explicit materialization points.
+
+The view dictionary (SURVEY §2.11) is the product surface: named derived
+views consumed by the report sinks and the dashboard.
+
+Scale notes:
+- The master and the balance-enriched charges frame are each consumed by
+  many downstream views → ``cache()`` them once (the one optimization
+  Catalyst will not infer; reference re-uses one in-memory frame the same
+  way, SURVEY §4).
+- Every view is computed per currency by ONE grouped pass where possible;
+  the per-currency split happens at the cached lineage, not at the scan.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.profile import column_profile
+from .operators.stats import zscore_columns
+from .plans import analytics as pa
+from .plans import kpis as pk
+from .plans import reporte as pr
+from .plans.master import AS_OF_CXC, cxc_master_from_tpch
+from .session import get_spark
+
+CURRENCIES = ("MXN", "USD")
+
+
+def run_pipeline(spark: SparkSession, sf_dir: str,
+                 as_of: str = AS_OF_CXC) -> dict[str, DataFrame]:
+    """Build the full named-view dictionary over the CxC master."""
+    master = cxc_master_from_tpch(spark, sf_dir).cache()
+    charges = pr.with_cycle_metrics(pr.saldo_factura(master), as_of).cache()
+
+    views: dict[str, DataFrame] = {}
+
+    # Operating report family
+    views["reporte_cxc"] = charges
+    views["movimientos_abiertos_cxc"] = charges.filter("SALDO_FACTURA > 0")
+    views["movimientos_cerrados_cxc"] = charges.filter("SALDO_FACTURA <= 0")
+    views["por_acreditar"] = pr.active(master).filter("TIPO_IMPTE = 'A'")
+    views["registros_cancelados_cxc"] = master.subtract(pr.active(master))
+    views["saldos_cliente"] = pr.saldo_cliente(master)
+    views["movimientos_totales_cxc"] = zscore_columns(
+        charges, "IMPORTE", subset=charges["CONCEPTO"].contains("VENTA"),
+        z_col="Z_IMPORTE", flag_col="ES_ATIPICO_IMPORTE")
+
+    # Analytics family (per currency)
+    for m in CURRENCIES:
+        suf = m.lower()
+        views[f"antiguedad_cartera_{suf}"] = pa.antiguedad_cartera(master, as_of, m)
+        views[f"cartera_vencida_vs_vigente_{suf}"] = \
+            pa.cartera_vencida_vs_vigente(master, as_of, m)
+        views[f"resumen_concepto_cxc_{suf}"] = pa.resumen_por_concepto(master, m)
+        views[f"resumen_cancelados_cxc_{suf}"] = pa.resumen_cancelados(master, m)
+        views[f"resumen_ajustes_cxc_{suf}"] = pa.resumen_ajustes(master, m)
+
+    # KPI family
+    views["kpis_resumen"] = pk.kpi_rows(master, as_of)
+    for m in CURRENCIES:
+        suf = m.lower()
+        views[f"kpis_concentracion_{suf}"] = pk.concentracion_abc(master, m)
+        views[f"kpis_limite_credito_{suf}"] = pk.limite_credito(master, m)
+        views[f"kpis_morosidad_cliente_{suf}"] = pk.morosidad_por_cliente(master, as_of, m)
+
+    # Audit family
+    views["auditoria_nulos"] = pa.auditoria_nulos(master)
+    views["calidad_datos"] = column_profile(master)
+
+    return views
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="Run the CxC analytics pipeline")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default="output")
+    ap.add_argument("--as-of", default=AS_OF_CXC)
+    ap.add_argument("--skip-export", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark("cxc-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    views = run_pipeline(spark, args.sf_dir, args.as_of)
+    for name, df in views.items():
+        print(f"{name}: {df.count()} rows")
+    if not args.skip_export:
+        from .sinks.report import export_views
+        written = export_views(views, args.out)
+        print(f"wrote {len(written)} artifacts to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

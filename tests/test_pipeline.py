@@ -1,0 +1,49 @@
+"""End-to-end pipeline: the full view dictionary materializes with sane
+shapes, and the export sink writes an artifact per view."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+EXPECTED_VIEWS = {
+    "reporte_cxc", "movimientos_abiertos_cxc", "movimientos_cerrados_cxc",
+    "por_acreditar", "registros_cancelados_cxc", "saldos_cliente",
+    "movimientos_totales_cxc",
+    "antiguedad_cartera_mxn", "antiguedad_cartera_usd",
+    "cartera_vencida_vs_vigente_mxn", "cartera_vencida_vs_vigente_usd",
+    "resumen_concepto_cxc_mxn", "resumen_concepto_cxc_usd",
+    "resumen_cancelados_cxc_mxn", "resumen_cancelados_cxc_usd",
+    "resumen_ajustes_cxc_mxn", "resumen_ajustes_cxc_usd",
+    "kpis_resumen", "kpis_concentracion_mxn", "kpis_concentracion_usd",
+    "kpis_limite_credito_mxn", "kpis_limite_credito_usd",
+    "kpis_morosidad_cliente_mxn", "kpis_morosidad_cliente_usd",
+    "auditoria_nulos", "calidad_datos",
+}
+
+
+def test_pipeline_views(spark, sf_dir):
+    from prac_data_pipelines_spark.pipeline import run_pipeline
+
+    views = run_pipeline(spark, sf_dir)
+    assert set(views) == EXPECTED_VIEWS
+    counts = {name: df.count() for name, df in views.items()}
+    assert all(n > 0 for n in counts.values()), {k: v for k, v in counts.items() if v == 0}
+    # balance identity: open + closed = all charges
+    assert (counts["movimientos_abiertos_cxc"] + counts["movimientos_cerrados_cxc"]
+            == counts["reporte_cxc"])
+    # KPI summary: 3 KPIs × 2 currencies
+    assert counts["kpis_resumen"] == 6
+
+
+def test_pipeline_export(spark, sf_dir):
+    from prac_data_pipelines_spark.pipeline import run_pipeline
+    from prac_data_pipelines_spark.sinks.report import export_views
+
+    views = run_pipeline(spark, sf_dir)
+    subset = {k: views[k] for k in ("antiguedad_cartera_mxn", "kpis_resumen")}
+    with tempfile.TemporaryDirectory() as d:
+        written = export_views(subset, d)
+        assert len(written) == 2
+        for p in written:
+            assert os.path.exists(p) and os.path.getsize(p) > 0
