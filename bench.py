@@ -35,6 +35,13 @@ HEADLINE = [
     "events_sessionize",
     "events_hourly",
     "scalar_suite",
+    "cxc_saldo_factura",
+    "cxc_kpis",
+    "cxc_concentracion",
+    "doc_minhash_pairs",
+    "doc_simhash",
+    "knn_brute",
+    "multimodal_features",
 ]
 
 

@@ -61,10 +61,16 @@ _A = [(2654435761 * (i + 1)) % MINHASH_P for i in range(MINHASH_K)]
 _B = [(40503 * (i + 7) ** 2 + 1) % MINHASH_P for i in range(MINHASH_K)]
 N_BANDS = 4  # bands of 2 rows each
 
+# Single-pass fold: one traversal of the shingle hashes carries all K
+# running minima. The naive form — transform(perms, i -> array_min(map hs))
+# — re-evaluates the (md5) hash array once per permutation at runtime
+# because lambda bodies multiply evaluation counts that Catalyst's
+# CollapseProject cannot see. The fold evaluates _hs exactly once.
 SIGS = (
-    f"transform(sequence(0, {MINHASH_K - 1}), i -> "
-    f"array_min(transform(_hs, h -> "
-    f"(element_at(array({','.join(str(a) + 'L' for a in _A)}), i+1) * h + "
+    f"aggregate(_hs, "
+    f"transform(sequence(0, {MINHASH_K - 1}), i -> {MINHASH_P}L), "
+    f"(acc, h) -> zip_with(acc, sequence(0, {MINHASH_K - 1}), (m, i) -> "
+    f"least(m, (element_at(array({','.join(str(a) + 'L' for a in _A)}), i+1) * h + "
     f"element_at(array({','.join(str(b) + 'L' for b in _B)}), i+1)) % {MINHASH_P}L)))"
 )
 SQL_SIGS = (
@@ -244,10 +250,14 @@ register("doc_lang_id", q_doc_lang_id, SQL_DOC_LANG_ID)
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    return docs.selectExpr(
-        "doc_id",
-        f"{_h('text')} AS huella_doc",
-        f"array_min(transform({SHINGLES}, s -> {_h('s')})) AS huella_min_shingle",
+    return (
+        docs.selectExpr("doc_id", "text", f"{WORDS} AS _ws")
+        .selectExpr("doc_id", "text", f"{_SHINGLES_WS} AS _sh")
+        .selectExpr(
+            "doc_id",
+            f"{_h('text')} AS huella_doc",
+            f"array_min(transform(_sh, s -> {_h('s')})) AS huella_min_shingle",
+        )
     )
 
 
@@ -267,16 +277,36 @@ register("doc_fingerprint", q_doc_fingerprint, SQL_DOC_FINGERPRINT)
 # computation is a per-row map. This is THE scale path for near-dedup.
 # --------------------------------------------------------------------------
 
+# Shingles over a pre-projected words array (single split per row; the
+# inline form re-splits the text for every element_at).
+_SHINGLES_WS = (
+    "CASE WHEN size(_ws) >= 3 THEN "
+    "transform(sequence(0, size(_ws) - 3), "
+    "i -> concat_ws(' ', element_at(_ws, i+1), element_at(_ws, i+2), "
+    "element_at(_ws, i+3))) "
+    "ELSE array(trim(text)) END"
+)
+
+
 def _with_sigs(docs: DataFrame) -> DataFrame:
     return (
-        docs.selectExpr("doc_id", f"transform({SHINGLES}, s -> {_h('s')}) AS _hs")
+        docs.selectExpr("doc_id", "text", f"{WORDS} AS _ws")
+        .selectExpr("doc_id", f"{_SHINGLES_WS} AS _sh")
+        .selectExpr("doc_id", f"transform(_sh, s -> {_h('s')}) AS _hs")
         .selectExpr("doc_id", f"{SIGS} AS sigs")
     )
 
 
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Public dedup API: (doc_id, sigs array<bigint>) MinHash signatures."""
+    return _with_sigs(docs)
+
+
 def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sigs = _with_sigs(docs)
+    # The signature frame feeds both sides of the band self-join and the
+    # estimate projection — cache so signatures are computed once.
+    sigs = _with_sigs(docs).cache()
     bands = sigs.selectExpr(
         "doc_id", "sigs",
         f"explode(transform(sequence(0, {N_BANDS - 1}), b -> "
@@ -334,9 +364,10 @@ register("doc_minhash_pairs", q_doc_minhash_pairs, SQL_DOC_MINHASH_PAIRS)
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sh = docs.selectExpr("doc_id", f"array_distinct({SHINGLES}) AS sh")
+    sh = (docs.selectExpr("doc_id", "text", f"{WORDS} AS _ws")
+          .selectExpr("doc_id", f"array_distinct({_SHINGLES_WS}) AS sh"))
     sigs = _with_sigs(docs).selectExpr("doc_id", "element_at(sigs, 1) AS sig0")
-    keyed = sh.join(sigs, "doc_id")
+    keyed = sh.join(sigs, "doc_id").cache()
     left = keyed.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"), "sig0")
     right = keyed.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"), "sig0")
     inter = F.expr("size(array_intersect(sh1, sh2))").cast("double")
@@ -379,13 +410,24 @@ SIMHASH_BITS = 28
 
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same single-pass-fold shape as MinHash: one traversal of the token
+    # hashes accumulates all 28 bit votes (the per-bit re-scan form would
+    # hash every token 28 times).
     docs = _docs(spark, sf_dir)
-    return docs.selectExpr(
-        "doc_id",
-        f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}), b -> "
-        f"CASE WHEN aggregate(transform({WORDS}, w -> {_h('w')}), 0L, "
-        f"(acc, h) -> acc + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1L ELSE -1L END) > 0 "
-        f"THEN shiftleft(1L, b) ELSE 0L END), 0L, (acc, x) -> acc + x) AS simhash",
+    votes = (
+        f"aggregate(_hs, transform(sequence(0, {SIMHASH_BITS - 1}), b -> 0L), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}), (v, b) -> "
+        f"v + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1L ELSE -1L END))"
+    )
+    return (
+        docs.selectExpr("doc_id", f"transform({WORDS}, w -> {_h('w')}) AS _hs")
+        .selectExpr("doc_id", f"{votes} AS _votes")
+        .selectExpr(
+            "doc_id",
+            f"aggregate(zip_with(_votes, sequence(0, {SIMHASH_BITS - 1}), "
+            f"(v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END), "
+            f"0L, (acc, x) -> acc + x) AS simhash",
+        )
     )
 
 
