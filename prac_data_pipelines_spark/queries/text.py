@@ -150,6 +150,45 @@ register("doc_token_stats", q_doc_token_stats, SQL_DOC_TOKEN_STATS)
 
 
 # --------------------------------------------------------------------------
+# doc_bpe_tokens — BPE-style pre-tokenization (letter runs / digit runs /
+# single punctuation) via JVM-side regexp_extract_all; the token-count
+# basis an LLM-data pipeline budgets by.
+# --------------------------------------------------------------------------
+
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]"
+_SQL_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.selectExpr(
+            "doc_id", "source",
+            f"regexp_extract_all(text, '{_BPE_RE}', 0) AS _toks",
+        )
+        .selectExpr(
+            "doc_id", "source",
+            "cast(size(_toks) as bigint) AS n_bpe_tokens",
+            "cast(size(array_distinct(_toks)) as bigint) AS n_bpe_unique",
+        )
+    )
+
+
+SQL_DOC_BPE_TOKENS = f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(text, '{_SQL_BPE_RE}') AS _toks
+  FROM documents
+)
+SELECT doc_id, source,
+       len(_toks)::BIGINT AS n_bpe_tokens,
+       len(list_distinct(_toks))::BIGINT AS n_bpe_unique
+FROM toks
+"""
+
+register("doc_bpe_tokens", q_doc_bpe_tokens, SQL_DOC_BPE_TOKENS)
+
+
+# --------------------------------------------------------------------------
 # doc_quality_score — composite quality heuristic (length, lexical
 # diversity, stopword balance) with a classification ladder.
 # --------------------------------------------------------------------------
