@@ -41,5 +41,5 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import core, cxc, text, vector, events, media, sqltext  # noqa: F401  (self-registering)
+    from . import core, cxc, text, vector, events, media, sqltext, extras  # noqa: F401  (self-registering)
     _LOADED = True

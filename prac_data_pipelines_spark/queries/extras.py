@@ -1,0 +1,146 @@
+"""Engine-completeness queries beyond the reference's own surface:
+exact percentiles, the full ranking-window family, ROLLUP grouping sets,
+and INTERSECT/EXCEPT set operations. A user switching from any SQL
+analytics stack gets these from the same registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.rounding import r2, r4
+from ..sources import load_table
+from . import register
+
+
+# --------------------------------------------------------------------------
+# quantiles — exact continuous percentiles per group (distributed exact
+# percentile: sort-based within groups; use approx_percentile at 100 TB
+# when exactness is not contractual).
+# --------------------------------------------------------------------------
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            r2(F.expr("percentile(l_extendedprice, 0.5)")).alias("p50_precio"),
+            r2(F.expr("percentile(l_extendedprice, 0.9)")).alias("p90_precio"),
+            r2(F.expr("percentile(l_quantity, 0.5)")).alias("p50_cantidad"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_QUANTILES = """
+SELECT l_returnflag,
+       floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / 100 AS p50_precio,
+       floor(quantile_cont(l_extendedprice, 0.9) * 100 + 0.5) / 100 AS p90_precio,
+       floor(quantile_cont(l_quantity, 0.5) * 100 + 0.5) / 100 AS p50_cantidad
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+register("quantiles", q_quantiles, SQL_QUANTILES)
+
+
+# --------------------------------------------------------------------------
+# window_suite — rank / dense_rank / lag / lead / ntile in one partitioned
+# pass (one shuffle on the partition key serves all five functions).
+# --------------------------------------------------------------------------
+
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_custkey", "o_orderkey",
+        r2(F.col("o_totalprice")).alias("precio"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.lag("o_orderkey").over(w).cast("long").alias("ant"),
+        F.lead("o_orderkey").over(w).cast("long").alias("sig"),
+        F.ntile(4).over(w).cast("long").alias("cuartil"),
+    )
+
+
+SQL_WINDOW_SUITE = """
+SELECT o_custkey, o_orderkey,
+       floor(o_totalprice * 100 + 0.5) / 100 AS precio,
+       rank() OVER w::BIGINT AS rnk,
+       dense_rank() OVER w::BIGINT AS drnk,
+       lag(o_orderkey) OVER w::BIGINT AS ant,
+       lead(o_orderkey) OVER w::BIGINT AS sig,
+       ntile(4) OVER w::BIGINT AS cuartil
+FROM orders WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+register("window_suite", q_window_suite, SQL_WINDOW_SUITE)
+
+
+# --------------------------------------------------------------------------
+# rollup_summary — hierarchical grouping sets (status ⊃ priority ⊃ total)
+# in ONE pass instead of three unioned aggregations.
+# --------------------------------------------------------------------------
+
+def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             r2(F.sum("o_totalprice")).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(todos)")).alias("estatus"),
+            F.coalesce("o_orderpriority", F.lit("(todas)")).alias("prioridad"),
+            "n", "total",
+        )
+        .orderBy("estatus", "prioridad")
+    )
+
+
+SQL_ROLLUP_SUMMARY = """
+SELECT coalesce(o_orderstatus, '(todos)') AS estatus,
+       coalesce(o_orderpriority, '(todas)') AS prioridad,
+       count(*)::BIGINT AS n,
+       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY estatus, prioridad
+"""
+
+register("rollup_summary", q_rollup_summary, SQL_ROLLUP_SUMMARY)
+
+
+# --------------------------------------------------------------------------
+# set_ops — INTERSECT / EXCEPT over customer key sets (customers with both
+# open and finished orders; customers with only open orders).
+# --------------------------------------------------------------------------
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    open_c = o.filter("o_orderstatus = 'O'").select("o_custkey")
+    done_c = o.filter("o_orderstatus = 'F'").select("o_custkey")
+    both = (open_c.intersect(done_c)
+            .select("o_custkey", F.lit("AMBOS").alias("grupo")))
+    only_open = (open_c.subtract(done_c)  # set-semantics EXCEPT
+                 .select("o_custkey", F.lit("SOLO_ABIERTAS").alias("grupo")))
+    return both.unionByName(only_open).orderBy("grupo", "o_custkey")
+
+
+SQL_SET_OPS = """
+SELECT o_custkey, 'AMBOS' AS grupo FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+UNION ALL
+SELECT o_custkey, 'SOLO_ABIERTAS' FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+ORDER BY grupo, o_custkey
+"""
+
+register("set_ops", q_set_ops, SQL_SET_OPS)
