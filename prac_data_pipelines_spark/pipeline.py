@@ -69,7 +69,12 @@ def run_pipeline(spark: SparkSession, sf_dir: str,
         views[f"kpis_morosidad_cliente_{suf}"] = pk.morosidad_por_cliente(master, as_of, m)
 
     # Audit family
+    from .plans import auditor as au
     views["auditoria_nulos"] = pa.auditoria_nulos(master)
+    views["importes_atipicos"] = au.importes_atipicos(charges)
+    views["recaudos_atipicos"] = au.recaudos_atipicos(charges)
+    views["moras_atipicas"] = au.moras_atipicas(charges)
+    views["resumen_auditoria"] = au.resumen_auditoria(master, charges)
     views["calidad_datos"] = column_profile(master)
 
     return views

@@ -1,0 +1,57 @@
+"""Unit-level operator tests: salted join equivalence, bucket compiler
+edges, TOTAL-row arithmetic, z-score guards."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from prac_data_pipelines_spark.operators.skew import salted_join
+    from prac_data_pipelines_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    salted = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), orders,
+        "o_orderkey", n_salts=4).count()
+    assert salted == plain
+
+
+def test_bucketize_edges(spark):
+    from prac_data_pipelines_spark.config import RANGOS_ANTIGUEDAD
+    from prac_data_pipelines_spark.operators.buckets import bucketize
+
+    df = spark.createDataFrame(
+        [(-5,), (0,), (1,), (15,), (16,), (365,), (366,), (None,)], ["d"])
+    out = {r["d"]: r["b"] for r in df.select(
+        "d", bucketize(F.col("d"), RANGOS_ANTIGUEDAD).alias("b")).collect()}
+    assert out[-5] == "VIGENTE" and out[0] == "VIGENTE"
+    assert out[1] == "1-15 DIAS" and out[15] == "1-15 DIAS"
+    assert out[16] == "16-30 DIAS"
+    assert out[365] == "181-365 DIAS" and out[366] == "MAS DE 365 DIAS"
+    assert out[None] == "SIN CLASIFICAR"
+
+
+def test_total_row(spark):
+    from prac_data_pipelines_spark.operators.totals import with_total_row
+
+    df = spark.createDataFrame(
+        [("a", 1.25, 2), ("b", 2.50, 3)], ["k", "monto", "n"])
+    out = with_total_row(df, "k", ["monto"], int_sum_cols=["n"])
+    total = [r for r in out.collect() if r["k"] == "TOTAL"][0]
+    assert total["monto"] == 3.75 and total["n"] == 5
+
+
+def test_zscore_guards(spark):
+    from prac_data_pipelines_spark.operators.stats import zscore_columns
+
+    # n < 3 → all null z
+    small = spark.createDataFrame([(1.0,), (2.0,)], ["x"])
+    z = zscore_columns(small, "x", z_col="z", flag_col="f")
+    assert all(r["z"] is None for r in z.collect())
+    # zero variance → all null z
+    flat = spark.createDataFrame([(5.0,)] * 4, ["x"])
+    z2 = zscore_columns(flat, "x", z_col="z", flag_col="f")
+    assert all(r["z"] is None for r in z2.collect())

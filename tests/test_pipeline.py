@@ -18,7 +18,8 @@ EXPECTED_VIEWS = {
     "kpis_resumen", "kpis_concentracion_mxn", "kpis_concentracion_usd",
     "kpis_limite_credito_mxn", "kpis_limite_credito_usd",
     "kpis_morosidad_cliente_mxn", "kpis_morosidad_cliente_usd",
-    "auditoria_nulos", "calidad_datos",
+    "auditoria_nulos", "importes_atipicos", "recaudos_atipicos",
+    "moras_atipicas", "resumen_auditoria", "calidad_datos",
 }
 
 
@@ -28,7 +29,11 @@ def test_pipeline_views(spark, sf_dir):
     views = run_pipeline(spark, sf_dir)
     assert set(views) == EXPECTED_VIEWS
     counts = {name: df.count() for name, df in views.items()}
-    assert all(n > 0 for n in counts.values()), {k: v for k, v in counts.items() if v == 0}
+    # z-outlier audits are legitimately empty on near-uniform synthetic data
+    # (a bounded distribution caps |z| below the 3.0 threshold)
+    may_be_empty = {"importes_atipicos", "recaudos_atipicos"}
+    empty = {k: v for k, v in counts.items() if v == 0 and k not in may_be_empty}
+    assert not empty, empty
     # balance identity: open + closed = all charges
     assert (counts["movimientos_abiertos_cxc"] + counts["movimientos_cerrados_cxc"]
             == counts["reporte_cxc"])
