@@ -144,3 +144,46 @@ ORDER BY grupo, o_custkey
 """
 
 register("set_ops", q_set_ops, SQL_SET_OPS)
+
+
+# --------------------------------------------------------------------------
+# asof_latest_order — as-of join: each event matched to the user's most
+# recent order at-or-before the event time. Implemented as the one-shuffle
+# union+window composition (operators/asof.py); the oracle uses DuckDB's
+# native ASOF JOIN — a genuinely independent implementation of the
+# semantics. Right side deduplicated per (key, time) for determinism.
+# --------------------------------------------------------------------------
+
+def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    events = (load_table(spark, sf_dir, "events")
+              .select("event_id", "user_id", "ts"))
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .selectExpr("o_custkey AS user_id", "o_orderdate", "o_orderkey")
+    )
+    out = asof_join(events, orders, key="user_id",
+                    left_time="ts", right_time="o_orderdate",
+                    payload_cols=["o_orderkey"])
+    return out.select("event_id", "user_id",
+                      F.col("o_orderkey").cast("long").alias("ultima_orden"))
+
+
+SQL_ASOF_LATEST_ORDER = """
+WITH dedup_orders AS (
+  SELECT o_custkey, o_orderdate, o_orderkey FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+)
+SELECT event_id, user_id, o_orderkey::BIGINT AS ultima_orden
+FROM events ASOF JOIN dedup_orders
+  ON user_id = o_custkey AND ts >= o_orderdate
+"""
+
+register("asof_latest_order", q_asof_latest_order, SQL_ASOF_LATEST_ORDER)
