@@ -22,7 +22,8 @@ from .reporte import active, monto, saldo_factura, with_cycle_metrics
 
 def antiguedad_cartera(master: DataFrame, as_of: str,
                        moneda: str = "MXN") -> DataFrame:
-    """Open-invoice balance by aging bucket, bucket-ordered, with TOTAL row."""
+    """Open-invoice balance by aging bucket, bucket-ordered, with TOTAL row
+    (reference ``src/analytics.py:133-174``)."""
     charges = with_cycle_metrics(saldo_factura(master), as_of)
     open_inv = charges.filter((F.col("MONEDA") == moneda) & (F.col("SALDO_FACTURA") > 0))
     agg = (
@@ -40,7 +41,8 @@ def antiguedad_cartera(master: DataFrame, as_of: str,
 
 def cartera_vencida_vs_vigente(master: DataFrame, as_of: str,
                                moneda: str = "MXN") -> DataFrame:
-    """Current-vs-overdue split of the open sale portfolio."""
+    """Current-vs-overdue split of the open sale portfolio
+    (reference ``src/analytics.py:264-304``)."""
     charges = with_cycle_metrics(saldo_factura(master), as_of)
     open_inv = charges.filter((F.col("MONEDA") == moneda) & (F.col("SALDO_FACTURA") > 0))
     estatus = F.when(F.col("DELTA_MORA") > 0, "VENCIDA").otherwise("VIGENTE")
@@ -54,7 +56,8 @@ def cartera_vencida_vs_vigente(master: DataFrame, as_of: str,
 
 def resumen_por_concepto(master: DataFrame, moneda: str = "MXN") -> DataFrame:
     """Charges and credits per concept — one conditional aggregation
-    (restates the reference's full-outer join of two aggregates)."""
+    (restates the reference's full-outer join of two aggregates,
+    ``src/analytics.py:310-348``)."""
     act = active(master).filter(F.col("MONEDA") == moneda)
     es_cargo = F.col("NATURALEZA_CONCEPTO") == "C"
     es_abono = F.col("NATURALEZA_CONCEPTO") == "R"
@@ -73,7 +76,8 @@ def resumen_por_concepto(master: DataFrame, moneda: str = "MXN") -> DataFrame:
 
 
 def resumen_cancelados(master: DataFrame, moneda: str = "MXN") -> DataFrame:
-    """Cancelled movements per concept (the complement of the active filter)."""
+    """Cancelled movements per concept (the complement of the active filter;
+    reference ``src/analytics.py:391-425``)."""
     canc = master.filter(~F.expr(ACTIVO) & (F.col("MONEDA") == moneda))
     return (
         canc.groupBy("CONCEPTO")
@@ -84,7 +88,8 @@ def resumen_cancelados(master: DataFrame, moneda: str = "MXN") -> DataFrame:
 
 
 def resumen_ajustes(master: DataFrame, moneda: str = "MXN") -> DataFrame:
-    """Unapplied/advance (TIPO_IMPTE='A') amounts per client."""
+    """Unapplied/advance (TIPO_IMPTE='A') amounts per client
+    (reference ``src/analytics.py:354-385``)."""
     ajustes = active(master).filter(
         (F.col("TIPO_IMPTE") == "A") & (F.col("MONEDA") == moneda))
     return (
@@ -97,7 +102,8 @@ def resumen_ajustes(master: DataFrame, moneda: str = "MXN") -> DataFrame:
 
 
 def auditoria_nulos(master: DataFrame) -> DataFrame:
-    """Null-attribute audits: movements missing client type / salesperson."""
+    """Null-attribute audits: movements missing client type / salesperson
+    (reference ``src/auditor.py:267-313``)."""
     act = active(master)
     return (
         act.groupBy("MONEDA")

@@ -24,7 +24,8 @@ def _es_venta():
 
 def kpi_scalars(master: DataFrame, as_of: str,
                 periodo_dias: int = KPI_PERIODO_DIAS) -> DataFrame:
-    """One row per currency with every KPI input aggregated conditionally."""
+    """One row per currency with every KPI input aggregated conditionally
+    (reference formulas ``src/kpis.py:68-114``)."""
     charges = with_cycle_metrics(saldo_factura(master), as_of)
     venta_saldos = (
         charges.filter(_es_venta())
@@ -73,7 +74,8 @@ def kpi_scalars(master: DataFrame, as_of: str,
 
 
 def kpi_rows(master: DataFrame, as_of: str) -> DataFrame:
-    """(moneda, kpi, valor, interpretacion) — the reference's 3-row summary."""
+    """(moneda, kpi, valor, interpretacion) — the reference's 3-row summary
+    (``src/kpis.py:95-114``)."""
     s = kpi_scalars(master, as_of)
     dso_i = (F.when(F.col("dso") <= 45, "EXCELENTE")
               .when(F.col("dso") <= 75, "ACEPTABLE").otherwise("CRITICO"))
@@ -96,7 +98,8 @@ def kpi_rows(master: DataFrame, as_of: str) -> DataFrame:
 
 
 def concentracion_abc(master: DataFrame, moneda: str = "MXN") -> DataFrame:
-    """Per-client open-balance concentration with Pareto/ABC classes."""
+    """Per-client open-balance concentration with Pareto/ABC classes
+    (reference ``src/kpis.py:117-161``)."""
     charges = saldo_factura(master).filter(
         (F.col("MONEDA") == moneda) & (F.col("SALDO_FACTURA") > 0))
     per_client = (
@@ -110,7 +113,7 @@ def concentracion_abc(master: DataFrame, moneda: str = "MXN") -> DataFrame:
 
 def limite_credito(master: DataFrame, moneda: str = "MXN") -> DataFrame:
     """Credit-limit utilization ladder per client (SIN_LIMITE / SOBRE_LIMITE /
-    CRITICO / ALTO / NORMAL)."""
+    CRITICO / ALTO / NORMAL; reference ``src/kpis.py:164-238``)."""
     charges = saldo_factura(master).filter(
         (F.col("MONEDA") == moneda) & (F.col("SALDO_FACTURA") > 0))
     per_client = (
@@ -136,7 +139,7 @@ def limite_credito(master: DataFrame, moneda: str = "MXN") -> DataFrame:
 def morosidad_por_cliente(master: DataFrame, as_of: str,
                           moneda: str = "MXN") -> DataFrame:
     """Per-client delinquency: counts of open/current/overdue sale invoices,
-    conditional balance sums, max days overdue."""
+    conditional balance sums, max days overdue (reference ``src/kpis.py:241-303``)."""
     charges = with_cycle_metrics(saldo_factura(master), as_of).filter(
         _es_venta() & (F.col("MONEDA") == moneda))
     is_open = F.col("SALDO_FACTURA") > 0

@@ -19,7 +19,8 @@ from .master import ACTIVO
 
 
 def active(master: DataFrame) -> DataFrame:
-    """Drop cancelled movements (messy flag domain normalized once)."""
+    """Drop cancelled movements (messy flag domain normalized once;
+    reference ``src/reporte_cxc.py:309,322-331``)."""
     return master.filter(F.expr(ACTIVO))
 
 
@@ -29,7 +30,8 @@ def monto() -> Column:
 
 def saldo_factura(master: DataFrame) -> DataFrame:
     """Per-charge balance: (IMPORTE+IMPUESTO) of the charge minus the sum of
-    its applied credits (TIPO_IMPTE='R'), linked by DOCTO_CC_ACR_ID.
+    its applied credits (TIPO_IMPTE='R'), linked by DOCTO_CC_ACR_ID
+    (reference ``src/reporte_cxc.py:338-360``).
 
     One aggregation + one key join, both shuffling on the charge id; the
     credit aggregation is map-side combined.
@@ -55,7 +57,7 @@ def saldo_factura(master: DataFrame) -> DataFrame:
 def with_cycle_metrics(charges_with_saldo: DataFrame, as_of: str) -> DataFrame:
     """DELTA_MORA (open invoices: days overdue vs ``as_of``) bucketed by the
     aging ladder, DELTA_RECAUDO (paid invoices: last payment vs due date)
-    bucketed by the collection ladder."""
+    bucketed by the collection ladder (reference ``src/reporte_cxc.py:380-435``)."""
     is_open = F.col("SALDO_FACTURA") > 0
     delta_mora = F.when(
         is_open, F.datediff(F.lit(as_of).cast("date"), F.col("FECHA_VENCIMIENTO")))
@@ -76,7 +78,8 @@ def with_cycle_metrics(charges_with_saldo: DataFrame, as_of: str) -> DataFrame:
 
 def saldo_cliente(master: DataFrame) -> DataFrame:
     """Per-client running signed balance (charges add, credits subtract) in a
-    total deterministic order (group key, doc id — unique at movement grain).
+    total deterministic order (group key, doc id — unique at movement grain;
+    reference ``src/reporte_cxc.py:362-373`` with the §4.1 tiebreak fix).
 
     Partitioned window → parallel across clients at any scale.
     """
