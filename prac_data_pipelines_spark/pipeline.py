@@ -43,6 +43,10 @@ def run_pipeline(spark: SparkSession, sf_dir: str,
     views["reporte_cxc"] = charges
     views["movimientos_abiertos_cxc"] = charges.filter("SALDO_FACTURA > 0")
     views["movimientos_cerrados_cxc"] = charges.filter("SALDO_FACTURA <= 0")
+    views["movimientos_abiertos_con_pagos"] = \
+        pr.movimientos_con_pagos(master, charges, abiertos=True)
+    views["movimientos_cerrados_con_pagos"] = \
+        pr.movimientos_con_pagos(master, charges, abiertos=False)
     views["por_acreditar"] = pr.active(master).filter("TIPO_IMPTE = 'A'")
     views["registros_cancelados_cxc"] = master.subtract(pr.active(master))
     views["saldos_cliente"] = pr.saldo_cliente(master)

@@ -76,6 +76,38 @@ def with_cycle_metrics(charges_with_saldo: DataFrame, as_of: str) -> DataFrame:
     )
 
 
+def movimientos_con_pagos(master: DataFrame, charges_with_saldo: DataFrame,
+                          abiertos: bool) -> DataFrame:
+    """Open (resp. closed) charges ∪ the payments applied to them, banded.
+
+    Reference ``src/reporte_cxc.py:464-505``: the payment membership is a
+    semi-join against the charge-id set (J4), the result is a unionByName
+    (U1), and the Excel banding groups each charge with its payments (W3).
+    Banding is partitioned by client — groups never span clients because
+    the client is the leading sort key — so the window parallelizes.
+    """
+    from ..operators.windows import band_groups
+
+    cond = (F.col("SALDO_FACTURA") > 0) if abiertos else (F.col("SALDO_FACTURA") <= 0)
+    sel = ["DOCTO_CC_ID", "DOCTO_CC_ACR_ID", "CLIENTE_ID", "NOMBRE_CLIENTE",
+           "MONEDA", "TIPO_IMPTE", "IMPORTE", "IMPUESTO", "FECHA_EMISION"]
+    charge_ids = charges_with_saldo.filter(cond).select(
+        F.col("DOCTO_CC_ID").alias("_CID"))
+    charges = (charges_with_saldo.filter(cond).select(*sel))
+    payments = (
+        active(master).filter(F.col("TIPO_IMPTE") == "R")
+        .join(charge_ids, F.col("DOCTO_CC_ACR_ID") == F.col("_CID"), "left_semi")
+        .select(*sel)
+    )
+    union = charges.unionByName(payments)
+    grupo = F.coalesce("DOCTO_CC_ACR_ID", "DOCTO_CC_ID")
+    return band_groups(
+        union, group_key=grupo,
+        order_by=[grupo.asc(), F.col("TIPO_IMPTE").asc(), F.col("DOCTO_CC_ID").asc()],
+        partition_by=["CLIENTE_ID"],
+    )
+
+
 def saldo_cliente(master: DataFrame) -> DataFrame:
     """Per-client running signed balance (charges add, credits subtract) in a
     total deterministic order (group key, doc id — unique at movement grain;

@@ -431,3 +431,47 @@ FROM activos WHERE TIPO_IMPTE <> 'A' AND CLIENTE_ID < 100
 """
 
 register("cxc_saldo_cliente", q_cxc_saldo_cliente, SQL_CXC_SALDO_CLIENTE)
+
+
+# --------------------------------------------------------------------------
+# cxc_movimientos_abiertos — open charges ∪ their applied payments
+# (semi-join membership, J4/U1) with per-client presentation banding (W3).
+# --------------------------------------------------------------------------
+
+def q_cxc_movimientos_abiertos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _master(spark, sf_dir)
+    charges = pr.saldo_factura(m)
+    out = pr.movimientos_con_pagos(m, charges, abiertos=True)
+    return out.select("CLIENTE_ID", "DOCTO_CC_ID", "TIPO_IMPTE",
+                      F.col("_BAND_GROUP").cast("long").alias("banda"))
+
+
+SQL_CXC_MOVIMIENTOS_ABIERTOS = f"""{_BASE},
+union_mov AS (
+  SELECT DOCTO_CC_ID, DOCTO_CC_ACR_ID, CLIENTE_ID, TIPO_IMPTE
+  FROM saldos WHERE SALDO_FACTURA > 0
+  UNION ALL
+  SELECT DOCTO_CC_ID, DOCTO_CC_ACR_ID, CLIENTE_ID, TIPO_IMPTE
+  FROM abonos WHERE DOCTO_CC_ACR_ID IN (SELECT DOCTO_CC_ID FROM saldos WHERE SALDO_FACTURA > 0)
+), flagged AS (
+  SELECT CLIENTE_ID, DOCTO_CC_ID, TIPO_IMPTE,
+         coalesce(DOCTO_CC_ACR_ID, DOCTO_CC_ID) AS grupo,
+         CASE WHEN lag(coalesce(DOCTO_CC_ACR_ID, DOCTO_CC_ID)) OVER w IS NULL
+                OR coalesce(DOCTO_CC_ACR_ID, DOCTO_CC_ID)
+                   <> lag(coalesce(DOCTO_CC_ACR_ID, DOCTO_CC_ID)) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM union_mov
+  WINDOW w AS (PARTITION BY CLIENTE_ID
+               ORDER BY coalesce(DOCTO_CC_ACR_ID, DOCTO_CC_ID) ASC,
+                        TIPO_IMPTE ASC, DOCTO_CC_ID ASC)
+)
+SELECT CLIENTE_ID, DOCTO_CC_ID, TIPO_IMPTE,
+       (sum(chg) OVER (PARTITION BY CLIENTE_ID
+                       ORDER BY grupo ASC, TIPO_IMPTE ASC, DOCTO_CC_ID ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) % 2)::BIGINT
+         AS banda
+FROM flagged
+"""
+
+register("cxc_movimientos_abiertos", q_cxc_movimientos_abiertos,
+         SQL_CXC_MOVIMIENTOS_ABIERTOS)

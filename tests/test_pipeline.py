@@ -8,6 +8,7 @@ import tempfile
 
 EXPECTED_VIEWS = {
     "reporte_cxc", "movimientos_abiertos_cxc", "movimientos_cerrados_cxc",
+    "movimientos_abiertos_con_pagos", "movimientos_cerrados_con_pagos",
     "por_acreditar", "registros_cancelados_cxc", "saldos_cliente",
     "movimientos_totales_cxc",
     "antiguedad_cartera_mxn", "antiguedad_cartera_usd",
