@@ -484,3 +484,72 @@ FROM hs
 """
 
 register("doc_simhash", q_doc_simhash, SQL_DOC_SIMHASH)
+
+
+# --------------------------------------------------------------------------
+# doc_curation — the composed training-data curation pipeline:
+# quality-filter → near-dup removal (keep the lowest doc_id of each LSH
+# candidate pair) → per-source token budget. Each stage is one of the
+# operators above; the composition stays one lazy plan.
+# --------------------------------------------------------------------------
+
+CURATION_MIN_QUALITY = 0.55
+CURATION_JACCARD = 0.5
+
+
+def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    quality = q_doc_quality(spark, sf_dir).filter(
+        F.col("calidad") >= CURATION_MIN_QUALITY).select("doc_id")
+    dup_losers = (q_doc_minhash_pairs(spark, sf_dir)
+                  .filter(F.col("jaccard_est") >= CURATION_JACCARD)
+                  .select(F.col("d2").alias("doc_id")).distinct())
+    kept = (docs.join(quality, "doc_id", "left_semi")
+            .join(dup_losers, "doc_id", "left_anti"))
+    return (
+        kept.selectExpr("source", f"cast(size({WORDS}) as bigint) AS _toks")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs_conservados"),
+             F.sum("_toks").cast("long").alias("tokens_conservados"))
+        .orderBy("source")
+    )
+
+
+SQL_DOC_CURATION = f"""
+WITH quality AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           floor((least(strlen(text)::DOUBLE / 400, 1.0) * 0.4
+                  + (len(list_distinct({SQL_WORDS}))::DOUBLE / len({SQL_WORDS})::DOUBLE) * 0.4
+                  + (1 - abs(len(list_filter({SQL_WORDS}, w -> w IN ({_STOPWORDS})))::DOUBLE
+                             / len({SQL_WORDS})::DOUBLE - 0.2)) * 0.2) * 10000 + 0.5) / 10000
+             AS calidad
+    FROM documents
+  ) WHERE calidad >= {CURATION_MIN_QUALITY}
+), hs AS (
+  SELECT doc_id, list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}) AS hs
+  FROM documents
+), sigs AS (
+  SELECT doc_id, {SQL_SIGS} AS sigs FROM hs
+), bands AS (
+  SELECT doc_id, sigs, concat(b, ':', sigs[2*b+1], ':', sigs[2*b+2]) AS banda
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS b)
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2, l.sigs AS s1, r.sigs AS s2
+  FROM bands l JOIN bands r ON l.banda = r.banda AND l.doc_id < r.doc_id
+), losers AS (
+  SELECT DISTINCT d2 AS doc_id FROM pairs
+  WHERE floor(list_sum(list_transform(range(0, {MINHASH_K}),
+                       i -> CASE WHEN s1[i+1] = s2[i+1] THEN 1 ELSE 0 END))
+               / {MINHASH_K}.0 * 10000 + 0.5) / 10000 >= {CURATION_JACCARD}
+), kept AS (
+  SELECT d.* FROM documents d
+  JOIN quality q ON d.doc_id = q.doc_id
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+)
+SELECT source, count(*)::BIGINT AS docs_conservados,
+       sum(len({SQL_WORDS}))::BIGINT AS tokens_conservados
+FROM kept GROUP BY source ORDER BY source
+"""
+
+register("doc_curation", q_doc_curation, SQL_DOC_CURATION)
