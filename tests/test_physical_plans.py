@@ -1,0 +1,55 @@
+"""Physical-plan regressions: the scale-critical plan properties must not
+silently degrade — filters/projections reaching the scan, dimensions
+broadcast, whole-stage codegen covering the hot path."""
+
+from __future__ import annotations
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown(spark, sf_dir):
+    from prac_data_pipelines_spark.queries.core import q_pricing_summary
+
+    df = q_pricing_summary(spark, sf_dir)
+    explained = df._jdf.queryExecution().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in explained
+    # projection pruned to the 7 needed columns
+    assert "l_orderkey" not in explained.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_order_balance_broadcasts_orders_side(spark, sf_dir):
+    from prac_data_pipelines_spark.queries.core import q_order_balance
+
+    plan = _plan(q_order_balance(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_master_denorm_broadcasts_all_dims(spark, sf_dir):
+    from prac_data_pipelines_spark.queries.core import q_master_denorm
+
+    plan = _plan(q_master_denorm(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_scalar_suite_single_codegen_stage(spark, sf_dir):
+    from prac_data_pipelines_spark.queries.core import q_scalar_suite
+
+    df = q_scalar_suite(spark, sf_dir)
+    codegen = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen")
+    assert "WholeStageCodegen" in codegen
+
+
+def test_no_python_udfs_in_relational_queries(spark, sf_dir):
+    """UDF policy: no Python evaluation nodes anywhere in the relational,
+    text, or vector query surface (multimodal mapInPandas is the one
+    sanctioned exception)."""
+    from prac_data_pipelines_spark.queries import all_queries
+
+    for name, fn in all_queries().items():
+        if name == "multimodal_features":
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
