@@ -41,5 +41,7 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import core, cxc, text, vector, events, media, sqltext, extras  # noqa: F401  (self-registering)
+    from . import (  # noqa: F401  (self-registering)
+        core, cxc, text, vector, events, media, sqltext, extras, tpch,
+    )
     _LOADED = True
