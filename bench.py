@@ -40,8 +40,12 @@ HEADLINE = [
     "cxc_concentracion",
     "doc_minhash_pairs",
     "doc_simhash",
+    "doc_curation",
     "knn_brute",
     "multimodal_features",
+    "customer_order_distribution",
+    "large_quantity_orders",
+    "asof_latest_order",
 ]
 
 
