@@ -29,10 +29,25 @@ TABLES = (
 )
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime-settable session confs the engine's semantics depend on —
+    applied defensively so results are correct even when the caller (e.g.
+    the verification driver) built the SparkSession without our factory:
+
+    - nanosecond parquet timestamps read as long (Spark has no nanos type;
+      the source layer converts to microsecond timestamps),
+    - UTC session timezone (timestamp rendering must not depend on the
+      host's zone — workers and the oracle must agree).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Filters/projections applied by callers are pushed into
     the parquet scan by Catalyst (verify with ``.explain``: ``PushedFilters``,
     ``ReadSchema``)."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts arrives as nanosecond epoch (read as long via nanosAsLong):
