@@ -151,3 +151,78 @@ FROM n GROUP BY label ORDER BY label
 """
 
 register("embedding_norms", q_embedding_norms, SQL_EMBEDDING_NORMS)
+
+
+# --------------------------------------------------------------------------
+# knn_ivf — IVF-style ANN: every vector is assigned to its nearest centroid
+# (deterministic centroid set = the first N_CENTROIDS vectors, broadcast),
+# and search is restricted to the query's inverted list. At scale the
+# centroid assignment partitions the corpus; a real deployment trains
+# centroids with k-means and probes >1 list — the plan shape is identical.
+# --------------------------------------------------------------------------
+
+N_CENTROIDS = 8
+IVF_TOP_K = 3
+
+
+def _assigned(emb: DataFrame) -> DataFrame:
+    centroids = (emb.filter(F.col("vec_id") < N_CENTROIDS)
+                 .selectExpr("vec_id AS centroid_id", "embedding AS ce"))
+    scored = (
+        emb.crossJoin(broadcast(centroids))
+        .selectExpr("vec_id", "embedding", "centroid_id",
+                    f"{cosine_expr('embedding', 'ce')} AS _sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_sim").desc(),
+                                             F.col("centroid_id").asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1").select("vec_id", "embedding", "centroid_id"))
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    assigned = _assigned(emb).cache()
+    queries = (assigned.filter(F.col("vec_id") < 40)
+               .selectExpr("vec_id AS qid", "embedding AS qe", "centroid_id"))
+    corpus = (assigned.filter(F.col("vec_id") >= 40)
+              .selectExpr("vec_id AS cid", "embedding AS ce", "centroid_id"))
+    scored = (
+        queries.join(corpus, "centroid_id")
+        .selectExpr("qid", "cid", "centroid_id", f"{cosine_expr('qe', 'ce')} AS _cos")
+        .select("qid", "cid", "centroid_id", r6(F.col("_cos")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rango", F.row_number().over(w).cast("long"))
+        .filter(F.col("rango") <= IVF_TOP_K)
+        .orderBy("qid", "rango")
+    )
+
+
+SQL_KNN_IVF = f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine_expr('e.embedding', 'c.ce')} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN centroids c
+  ) WHERE rn = 1
+), scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, q.centroid_id,
+         floor({sql_cosine_expr('q.embedding', 'c.embedding')} * 1000000 + 0.5) / 1000000 AS cos
+  FROM assigned q JOIN assigned c ON q.centroid_id = c.centroid_id
+  WHERE q.vec_id < 40 AND c.vec_id >= 40
+), ranked AS (
+  SELECT qid, cid, centroid_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC)::BIGINT AS rango
+  FROM scored
+)
+SELECT qid, cid, centroid_id, cos, rango FROM ranked WHERE rango <= {IVF_TOP_K}
+ORDER BY qid, rango
+"""
+
+register("knn_ivf", q_knn_ivf, SQL_KNN_IVF)
