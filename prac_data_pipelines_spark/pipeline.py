@@ -50,9 +50,19 @@ def run_pipeline(spark: SparkSession, sf_dir: str,
     views["por_acreditar"] = pr.active(master).filter("TIPO_IMPTE = 'A'")
     views["registros_cancelados_cxc"] = master.subtract(pr.active(master))
     views["saldos_cliente"] = pr.saldo_cliente(master)
-    views["movimientos_totales_cxc"] = zscore_columns(
+    # Full report + z-score enrichment for amount, collection delay, and
+    # overdue age (the reference's movimientos_totales surface).
+    from pyspark.sql import functions as F
+    totales = zscore_columns(
         charges, "IMPORTE", subset=charges["CONCEPTO"].contains("VENTA"),
         z_col="Z_IMPORTE", flag_col="ES_ATIPICO_IMPORTE")
+    totales = zscore_columns(
+        totales, "DELTA_RECAUDO", subset=F.col("DELTA_RECAUDO").isNotNull(),
+        z_col="Z_RECAUDO", flag_col="ES_ATIPICO_RECAUDO")
+    totales = zscore_columns(
+        totales, "DELTA_MORA", subset=F.col("DELTA_MORA").isNotNull(),
+        z_col="Z_MORA", flag_col="ES_ATIPICO_MORA")
+    views["movimientos_totales_cxc"] = totales
 
     # Analytics family (per currency)
     for m in CURRENCIES:

@@ -26,7 +26,6 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
 )
 
 # ts arrives as nanosecond epoch (INT64) in the harness feed; normalized to
@@ -87,6 +86,31 @@ def stream_sessionize(events: DataFrame) -> DataFrame:
             "user_id", "n_eventos", "valor",
         )
     )
+
+
+def stream_purchase_error_join(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to error events by
+    the same user within the following 6 hours (did a purchase precede a
+    failure?). Both sides watermarked so the join state is bounded — rows
+    older than the watermark+interval are evicted from the state store.
+    """
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .withWatermark("ts", WATERMARK)
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"),
+                         F.col("event_id").alias("p_event")))
+    errors = (events.filter(F.col("event_type") == "error")
+              .withWatermark("ts", WATERMARK)
+              .select(F.col("user_id").alias("e_user"),
+                      F.col("ts").alias("e_ts"),
+                      F.col("event_id").alias("e_event")))
+    cond = (
+        (purchases.p_user == errors.e_user)
+        & (errors.e_ts >= purchases.p_ts)
+        & (errors.e_ts <= purchases.p_ts + F.expr("INTERVAL 6 HOURS"))
+    )
+    return purchases.join(errors, cond).select(
+        "p_user", "p_event", "e_event", "p_ts", "e_ts")
 
 
 def run_to_memory(stream_df: DataFrame, table_name: str,

@@ -41,6 +41,29 @@ def test_stream_hourly_matches_batch(spark, stream_dir, sf_dir):
     assert got == want
 
 
+def test_stream_stream_interval_join(spark, stream_dir, sf_dir):
+    from prac_data_pipelines_spark.sources import load_table
+    from prac_data_pipelines_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+        stream_purchase_error_join,
+    )
+
+    joined = stream_purchase_error_join(read_event_stream(spark, stream_dir))
+    run_to_memory(joined, "ssjoin_test", output_mode="append")
+    got = spark.table("ssjoin_test").count()
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter("event_type = 'purchase'").selectExpr(
+        "user_id pu", "ts pts", "event_id pe")
+    e = ev.filter("event_type = 'error'").selectExpr(
+        "user_id eu", "ts ets", "event_id ee")
+    import pyspark.sql.functions as F
+    want = p.join(e, (p.pu == e.eu) & (e.ets >= p.pts)
+                  & (e.ets <= p.pts + F.expr("INTERVAL 6 HOURS"))).count()
+    assert got == want and got > 0
+
+
 def test_stream_sessionize(spark, stream_dir):
     from prac_data_pipelines_spark.streaming.events import (
         read_event_stream,
