@@ -108,8 +108,14 @@ def main() -> int:
     for name, df in views.items():
         print(f"{name}: {df.count()} rows")
     if not args.skip_export:
+        from .sinks.pdf import export_pdf_report
         from .sinks.report import export_views
         written = export_views(views, args.out)
+        pdf_views = {k: views[k] for k in (
+            "kpis_resumen", "antiguedad_cartera_mxn", "antiguedad_cartera_usd",
+            "cartera_vencida_vs_vigente_mxn", "kpis_concentracion_mxn",
+        ) if k in views}
+        written.append(export_pdf_report(pdf_views, f"{args.out}/dashboard_cxc.pdf"))
         print(f"wrote {len(written)} artifacts to {args.out}")
     return 0
 

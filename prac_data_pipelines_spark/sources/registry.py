@@ -71,6 +71,26 @@ def register_views(spark: SparkSession, sf_dir: str,
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def load_csv(spark: SparkSession, path: str, schema=None,
+             header: bool = True) -> DataFrame:
+    """CSV scan with explicit schema (schema-on-write discipline — inference
+    is a full extra pass at scale and types drift silently)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def load_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines scan; same schema discipline as CSV."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def load_jdbc_table(spark: SparkSession, url: str, query: str,
                     properties: dict[str, str] | None = None) -> DataFrame:
     """JDBC scan (parity with the reference's database extraction,
