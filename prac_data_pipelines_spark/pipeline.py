@@ -49,6 +49,14 @@ def run_pipeline(spark: SparkSession, sf_dir: str,
         pr.movimientos_con_pagos(master, charges, abiertos=False)
     views["por_acreditar"] = pr.active(master).filter("TIPO_IMPTE = 'A'")
     views["registros_cancelados_cxc"] = master.subtract(pr.active(master))
+    # Raw master with presentation banding (the reference's registros_totales)
+    from pyspark.sql import functions as F
+    from .operators.windows import band_groups
+    _grp = F.coalesce("DOCTO_CC_ACR_ID", "DOCTO_CC_ID")
+    views["registros_totales_cxc"] = band_groups(
+        master, group_key=_grp,
+        order_by=[_grp.asc(), F.col("TIPO_IMPTE").asc(), F.col("DOCTO_CC_ID").asc()],
+        partition_by=["CLIENTE_ID"])
     views["saldos_cliente"] = pr.saldo_cliente(master)
     # Full report + z-score enrichment for amount, collection delay, and
     # overdue age (the reference's movimientos_totales surface).
@@ -85,6 +93,9 @@ def run_pipeline(spark: SparkSession, sf_dir: str,
     # Audit family
     from .plans import auditor as au
     views["auditoria_nulos"] = pa.auditoria_nulos(master)
+    activos = pr.active(master)
+    views["sin_tipo_cliente"] = activos.filter(F.col("TIPO_CLIENTE").isNull())
+    views["sin_vendedor"] = activos.filter(F.col("VENDEDOR").isNull())
     views["importes_atipicos"] = au.importes_atipicos(charges)
     views["recaudos_atipicos"] = au.recaudos_atipicos(charges)
     views["moras_atipicas"] = au.moras_atipicas(charges)

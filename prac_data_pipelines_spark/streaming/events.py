@@ -122,3 +122,21 @@ def run_to_memory(stream_df: DataFrame, table_name: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def run_to_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
+                   output_mode: str = "complete") -> None:
+    """Drain available input into parquet via foreachBatch — the pattern for
+    feeding the batch view/report layer from a stream: each micro-batch
+    overwrite-publishes the current rollup snapshot (readers always see a
+    complete, consistent table)."""
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (stream_df.writeStream.foreachBatch(publish)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

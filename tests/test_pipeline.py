@@ -9,7 +9,8 @@ import tempfile
 EXPECTED_VIEWS = {
     "reporte_cxc", "movimientos_abiertos_cxc", "movimientos_cerrados_cxc",
     "movimientos_abiertos_con_pagos", "movimientos_cerrados_con_pagos",
-    "por_acreditar", "registros_cancelados_cxc", "saldos_cliente",
+    "por_acreditar", "registros_cancelados_cxc", "registros_totales_cxc",
+    "sin_tipo_cliente", "sin_vendedor", "saldos_cliente",
     "movimientos_totales_cxc",
     "antiguedad_cartera_mxn", "antiguedad_cartera_usd",
     "cartera_vencida_vs_vigente_mxn", "cartera_vencida_vs_vigente_usd",

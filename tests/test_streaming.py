@@ -64,6 +64,29 @@ def test_stream_stream_interval_join(spark, stream_dir, sf_dir):
     assert got == want and got > 0
 
 
+def test_stream_to_parquet_publish(spark, stream_dir, sf_dir):
+    import tempfile
+
+    from prac_data_pipelines_spark.queries.events import q_events_hourly
+    from prac_data_pipelines_spark.streaming.events import (
+        read_event_stream,
+        run_to_parquet,
+        stream_hourly_rollup,
+    )
+
+    out = tempfile.mkdtemp(prefix="pub_out_")
+    ckpt = tempfile.mkdtemp(prefix="pub_ckpt_")
+    try:
+        run_to_parquet(stream_hourly_rollup(read_event_stream(spark, stream_dir)),
+                       out, ckpt)
+        published = spark.read.parquet(out)
+        want = q_events_hourly(spark, sf_dir).count()
+        assert published.count() == want
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_stream_sessionize(spark, stream_dir):
     from prac_data_pipelines_spark.streaming.events import (
         read_event_stream,
