@@ -48,9 +48,12 @@ def run_pipeline(spark: SparkSession, sf_dir: str,
     views["movimientos_cerrados_con_pagos"] = \
         pr.movimientos_con_pagos(master, charges, abiertos=False)
     views["por_acreditar"] = pr.active(master).filter("TIPO_IMPTE = 'A'")
-    views["registros_cancelados_cxc"] = master.subtract(pr.active(master))
-    # Raw master with presentation banding (the reference's registros_totales)
+    # negated active-filter, not subtract(): a set-difference would shuffle
+    # the full row width to deduplicate what a predicate already expresses
     from pyspark.sql import functions as F
+    from .plans.master import ACTIVO
+    views["registros_cancelados_cxc"] = master.filter(~F.expr(ACTIVO))
+    # Raw master with presentation banding (the reference's registros_totales)
     from .operators.windows import band_groups
     _grp = F.coalesce("DOCTO_CC_ACR_ID", "DOCTO_CC_ID")
     views["registros_totales_cxc"] = band_groups(
