@@ -29,22 +29,28 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     (side tag sorts the right row first), matching ``>=`` ASOF semantics.
     """
     left_cols = [c for c in left.columns if c != key]
-    right_types = dict(right.dtypes)
     left_types = dict(left.dtypes)
+    # Payloads travel as ONE struct: the struct itself is non-null for every
+    # right row even when all its fields are null, so (a) a match with null
+    # payload values is still a match, and (b) a newer all-null right row
+    # correctly shadows an older one (per-column last(ignorenulls) would
+    # leak the stale value forward).
+    payload_struct = F.struct(*[F.col(c) for c in payload_cols])
+    struct_type = right.select(payload_struct.alias("_p")).schema["_p"].dataType
 
     tagged_left = left.select(
         F.col(key),
         F.col(left_time).cast("timestamp").alias("_t"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left_cols],
-        *[F.lit(None).cast(right_types[c]).alias(c) for c in payload_cols],
+        F.lit(None).cast(struct_type).alias("_p"),
     )
     tagged_right = right.select(
         F.col(key),
         F.col(right_time).cast("timestamp").alias("_t"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left_types[c]).alias(c) for c in left_cols],
-        *[F.col(c) for c in payload_cols],
+        payload_struct.alias("_p"),
     )
     union = tagged_left.unionByName(tagged_right)
     w = (Window.partitionBy(key)
@@ -52,9 +58,8 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = union.select(
         key, "_side", *left_cols,
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in payload_cols],
+        F.last(F.col("_p"), ignorenulls=True).over(w).alias("_p"),
     )
-    matched = F.lit(False)
-    for c in payload_cols:
-        matched = matched | F.col(c).isNotNull()
-    return carried.filter((F.col("_side") == 1) & matched).drop("_side")
+    return (carried.filter((F.col("_side") == 1) & F.col("_p").isNotNull())
+            .select(key, *left_cols,
+                    *[F.col("_p").getField(c).alias(c) for c in payload_cols]))

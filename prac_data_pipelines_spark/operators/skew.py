@@ -26,6 +26,10 @@ def salted_join(large: DataFrame, small: DataFrame, key: str,
     across partitions. The small side is exploded, so its size multiplies
     by ``n_salts``: keep it to genuinely-small dimension frames.
     """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        # outer joins would surface each unmatched small-side row once per
+        # salt replica — n_salts duplicates instead of one row
+        raise ValueError(f"salted_join supports inner/left/semi/anti, not {how!r}")
     salted_large = large.withColumn(
         "_salt", (F.abs(F.hash(F.monotonically_increasing_id())) % n_salts))
     exploded_small = small.withColumn(

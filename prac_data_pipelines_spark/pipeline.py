@@ -78,20 +78,20 @@ def run_pipeline(spark: SparkSession, sf_dir: str,
     # Analytics family (per currency)
     for m in CURRENCIES:
         suf = m.lower()
-        views[f"antiguedad_cartera_{suf}"] = pa.antiguedad_cartera(master, as_of, m)
+        views[f"antiguedad_cartera_{suf}"] = pa.antiguedad_cartera(master, as_of, m, charges=charges)
         views[f"cartera_vencida_vs_vigente_{suf}"] = \
-            pa.cartera_vencida_vs_vigente(master, as_of, m)
+            pa.cartera_vencida_vs_vigente(master, as_of, m, charges=charges)
         views[f"resumen_concepto_cxc_{suf}"] = pa.resumen_por_concepto(master, m)
         views[f"resumen_cancelados_cxc_{suf}"] = pa.resumen_cancelados(master, m)
         views[f"resumen_ajustes_cxc_{suf}"] = pa.resumen_ajustes(master, m)
 
     # KPI family
-    views["kpis_resumen"] = pk.kpi_rows(master, as_of)
+    views["kpis_resumen"] = pk.kpi_rows(master, as_of, charges=charges)
     for m in CURRENCIES:
         suf = m.lower()
-        views[f"kpis_concentracion_{suf}"] = pk.concentracion_abc(master, m)
-        views[f"kpis_limite_credito_{suf}"] = pk.limite_credito(master, m)
-        views[f"kpis_morosidad_cliente_{suf}"] = pk.morosidad_por_cliente(master, as_of, m)
+        views[f"kpis_concentracion_{suf}"] = pk.concentracion_abc(master, m, charges=charges)
+        views[f"kpis_limite_credito_{suf}"] = pk.limite_credito(master, m, charges=charges)
+        views[f"kpis_morosidad_cliente_{suf}"] = pk.morosidad_por_cliente(master, as_of, m, charges=charges)
 
     # Audit family
     from .plans import auditor as au

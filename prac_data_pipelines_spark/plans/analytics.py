@@ -21,10 +21,12 @@ from .reporte import active, monto, saldo_factura, with_cycle_metrics
 
 
 def antiguedad_cartera(master: DataFrame, as_of: str,
-                       moneda: str = "MXN") -> DataFrame:
+                       moneda: str = "MXN",
+                       charges: DataFrame | None = None) -> DataFrame:
     """Open-invoice balance by aging bucket, bucket-ordered, with TOTAL row
     (reference ``src/analytics.py:133-174``)."""
-    charges = with_cycle_metrics(saldo_factura(master), as_of)
+    if charges is None:
+        charges = with_cycle_metrics(saldo_factura(master), as_of)
     open_inv = charges.filter((F.col("MONEDA") == moneda) & (F.col("SALDO_FACTURA") > 0))
     agg = (
         open_inv.groupBy(F.col("CATEGORIA_MORA").alias("RANGO"))
@@ -40,10 +42,12 @@ def antiguedad_cartera(master: DataFrame, as_of: str,
 
 
 def cartera_vencida_vs_vigente(master: DataFrame, as_of: str,
-                               moneda: str = "MXN") -> DataFrame:
+                               moneda: str = "MXN",
+                               charges: DataFrame | None = None) -> DataFrame:
     """Current-vs-overdue split of the open sale portfolio
     (reference ``src/analytics.py:264-304``)."""
-    charges = with_cycle_metrics(saldo_factura(master), as_of)
+    if charges is None:
+        charges = with_cycle_metrics(saldo_factura(master), as_of)
     open_inv = charges.filter((F.col("MONEDA") == moneda) & (F.col("SALDO_FACTURA") > 0))
     estatus = F.when(F.col("DELTA_MORA") > 0, "VENCIDA").otherwise("VIGENTE")
     return (

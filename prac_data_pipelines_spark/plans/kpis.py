@@ -23,10 +23,12 @@ def _es_venta():
 
 
 def kpi_scalars(master: DataFrame, as_of: str,
-                periodo_dias: int = KPI_PERIODO_DIAS) -> DataFrame:
+                periodo_dias: int = KPI_PERIODO_DIAS,
+                charges: DataFrame | None = None) -> DataFrame:
     """One row per currency with every KPI input aggregated conditionally
     (reference formulas ``src/kpis.py:68-114``)."""
-    charges = with_cycle_metrics(saldo_factura(master), as_of)
+    if charges is None:
+        charges = with_cycle_metrics(saldo_factura(master), as_of)
     venta_saldos = (
         charges.filter(_es_venta())
         .groupBy("MONEDA")
@@ -73,10 +75,11 @@ def kpi_scalars(master: DataFrame, as_of: str,
     )
 
 
-def kpi_rows(master: DataFrame, as_of: str) -> DataFrame:
+def kpi_rows(master: DataFrame, as_of: str,
+             charges: DataFrame | None = None) -> DataFrame:
     """(moneda, kpi, valor, interpretacion) — the reference's 3-row summary
     (``src/kpis.py:95-114``)."""
-    s = kpi_scalars(master, as_of)
+    s = kpi_scalars(master, as_of, charges=charges)
     dso_i = (F.when(F.col("dso") <= 45, "EXCELENTE")
               .when(F.col("dso") <= 75, "ACEPTABLE").otherwise("CRITICO"))
     cei_i = (F.when(F.col("cei") >= 0.9, "EXCELENTE")
@@ -97,10 +100,13 @@ def kpi_rows(master: DataFrame, as_of: str) -> DataFrame:
     return out
 
 
-def concentracion_abc(master: DataFrame, moneda: str = "MXN") -> DataFrame:
+def concentracion_abc(master: DataFrame, moneda: str = "MXN",
+                      charges: DataFrame | None = None) -> DataFrame:
     """Per-client open-balance concentration with Pareto/ABC classes
     (reference ``src/kpis.py:117-161``)."""
-    charges = saldo_factura(master).filter(
+    if charges is None:
+        charges = saldo_factura(master)
+    charges = charges.filter(
         (F.col("MONEDA") == moneda) & (F.col("SALDO_FACTURA") > 0))
     per_client = (
         charges.groupBy("CLIENTE_ID", "NOMBRE_CLIENTE")
@@ -111,16 +117,19 @@ def concentracion_abc(master: DataFrame, moneda: str = "MXN") -> DataFrame:
                       pct_col="PCT", cum_col="PCT_ACUMULADO", abc_col="CLASE_ABC")
 
 
-def limite_credito(master: DataFrame, moneda: str = "MXN") -> DataFrame:
+def limite_credito(master: DataFrame, moneda: str = "MXN",
+                   charges: DataFrame | None = None) -> DataFrame:
     """Credit-limit utilization ladder per client (SIN_LIMITE / SOBRE_LIMITE /
     CRITICO / ALTO / NORMAL; reference ``src/kpis.py:164-238``)."""
-    charges = saldo_factura(master).filter(
+    if charges is None:
+        charges = saldo_factura(master)
+    charges = charges.filter(
         (F.col("MONEDA") == moneda) & (F.col("SALDO_FACTURA") > 0))
     per_client = (
         charges.groupBy("CLIENTE_ID", "NOMBRE_CLIENTE", "LIMITE_CREDITO")
         .agg(r2(F.sum("SALDO_FACTURA")).alias("SALDO_PENDIENTE"))
     )
-    sin_limite = F.col("LIMITE_CREDITO") <= 0
+    sin_limite = (F.col("LIMITE_CREDITO") <= 0) | F.col("LIMITE_CREDITO").isNull()
     util = F.when(~sin_limite, r4(F.col("SALDO_PENDIENTE") / F.col("LIMITE_CREDITO")))
     alerta = (F.when(sin_limite, "SIN_LIMITE")
                .when(util > 1.0, "SOBRE_LIMITE")
@@ -137,10 +146,13 @@ def limite_credito(master: DataFrame, moneda: str = "MXN") -> DataFrame:
 
 
 def morosidad_por_cliente(master: DataFrame, as_of: str,
-                          moneda: str = "MXN") -> DataFrame:
+                          moneda: str = "MXN",
+                          charges: DataFrame | None = None) -> DataFrame:
     """Per-client delinquency: counts of open/current/overdue sale invoices,
     conditional balance sums, max days overdue (reference ``src/kpis.py:241-303``)."""
-    charges = with_cycle_metrics(saldo_factura(master), as_of).filter(
+    if charges is None:
+        charges = with_cycle_metrics(saldo_factura(master), as_of)
+    charges = charges.filter(
         _es_venta() & (F.col("MONEDA") == moneda))
     is_open = F.col("SALDO_FACTURA") > 0
     vencida = is_open & (F.col("DELTA_MORA") > 0)

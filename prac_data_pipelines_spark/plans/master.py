@@ -212,4 +212,12 @@ cust AS (
 
 # Active (non-cancelled) predicate over the messy flag domain —
 # reference src/reporte_cxc.py:309 normalized once at this seam.
-ACTIVO = "upper(trim(cast(CANCELADO as string))) NOT IN ('S','SI','1','TRUE')"
+# NULL flags coalesce to 'N' (active): a bare NOT IN would evaluate to NULL
+# and silently drop the row from BOTH the active and cancelled views.
+# Accepted "cancelled" domain comes from config so Spark and the SQL
+# oracles cannot drift apart.
+from ..config import CANCELADO_ACEPTADO as _CANC
+
+_CANC_SQL = ",".join(f"'{v}'" for v in _CANC)
+ACTIVO = (f"upper(trim(cast(coalesce(CANCELADO, 'N') as string))) "
+          f"NOT IN ({_CANC_SQL})")

@@ -25,7 +25,10 @@ from . import register
 # Shared oracle CTE fragments (mirror plans/reporte.py exactly)
 # --------------------------------------------------------------------------
 
-_SQL_ACTIVO = "upper(trim(CAST(CANCELADO AS VARCHAR))) NOT IN ('S','SI','1','TRUE')"
+from ..config import CANCELADO_ACEPTADO as _CANC
+
+_SQL_ACTIVO = ("upper(trim(CAST(coalesce(CANCELADO, 'N') AS VARCHAR))) NOT IN ("
+               + ",".join(f"'{v}'" for v in _CANC) + ")")
 _R2 = "floor({} * 100 + 0.5) / 100"
 _MONTO_R2 = _R2.format("(IMPORTE + IMPUESTO)")
 

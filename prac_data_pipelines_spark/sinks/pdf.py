@@ -66,9 +66,9 @@ def write_pdf(pages: list[tuple[str, list[str]]], path: str) -> str:
             f"/Resources << /Font << /F1 {font_n} 0 R >> >> "
             f"/Contents {content_n} 0 R >>".encode()))
     kids = " ".join(f"{n} 0 R" for n in page_ns)
-    assert add(
-        f"<< /Type /Pages /Kids [{kids}] /Count {len(page_ns)} >>".encode()
-    ) == pages_n
+    actual_pages_n = add(
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(page_ns)} >>".encode())
+    assert actual_pages_n == pages_n
     catalog_n = add(f"<< /Type /Catalog /Pages {pages_n} 0 R >>".encode())
 
     out = bytearray(b"%PDF-1.4\n")
@@ -91,10 +91,13 @@ def write_pdf(pages: list[tuple[str, list[str]]], path: str) -> str:
 def frame_to_lines(df: DataFrame, max_rows: int = MAX_ROWS_PER_TABLE) -> list[str]:
     """Fixed-width text rendering of a (small, collected) view frame,
     preserving a trailing TOTAL row when truncating."""
-    rows = df.limit(max_rows + 50).collect()
     cols = df.columns
-    body = [r for r in rows if str(r[0]) != "TOTAL"][:max_rows]
-    total = [r for r in rows if str(r[0]) == "TOTAL"]
+    body = [r for r in df.limit(max_rows + 1).collect()
+            if str(r[0]) != "TOTAL"][:max_rows]
+    # fetch the TOTAL row explicitly — relying on it landing inside the
+    # limit() loses it for views longer than the truncation window
+    from pyspark.sql import functions as F
+    total = df.filter(F.col(cols[0]).cast("string") == "TOTAL").collect()
     widths = [max(len(c), 12) for c in cols]
 
     def fmt(r) -> str:

@@ -51,11 +51,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts arrives as nanosecond epoch (read as long via nanosAsLong):
-        # truncate to microseconds, same as engines with micro precision do.
+        # truncate to microseconds with INTEGER division — `/` would go
+        # through double, whose 2^53 exact range epoch-ns values exceed
+        # (ulp = 256 ns → 1 µs drift vs the oracle's exact truncation).
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
         if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

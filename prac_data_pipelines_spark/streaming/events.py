@@ -49,8 +49,9 @@ def read_event_stream(spark: SparkSession, source_dir: str,
            .schema(EVENTS_SCHEMA)
            .option("path", source_dir)
            .load())
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    # integer division — `/` loses exactness for epoch-ns beyond double's
+    # 2^53 range (see sources/registry.py)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def stream_hourly_rollup(events: DataFrame) -> DataFrame:

@@ -44,6 +44,34 @@ def test_total_row(spark):
     assert total["monto"] == 3.75 and total["n"] == 5
 
 
+def test_asof_join_null_payload_still_matches(spark):
+    import datetime as dt
+
+    from prac_data_pipelines_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 10), "e1")], ["k", "lt", "ev"])
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 5), None),        # older, null payload
+         (1, dt.datetime(2024, 1, 8), None)],       # newest <= lt, null payload
+        "k long, rt timestamp, p string")
+    out = asof_join(left, right, key="k", left_time="lt", right_time="rt",
+                    payload_cols=["p"]).collect()
+    # a true as-of match with a NULL payload is still a match
+    assert len(out) == 1 and out[0]["p"] is None
+
+
+def test_salted_join_rejects_outer(spark, sf_dir):
+    import pytest as _pytest
+
+    from prac_data_pipelines_spark.operators.skew import salted_join
+    from prac_data_pipelines_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    with _pytest.raises(ValueError):
+        salted_join(o, o.limit(1), "o_orderkey", how="full")
+
+
 def test_zscore_guards(spark):
     from prac_data_pipelines_spark.operators.stats import zscore_columns
 
