@@ -39,8 +39,12 @@ def ensure_session_confs(spark: SparkSession) -> None:
     - UTC session timezone (timestamp rendering must not depend on the
       host's zone — workers and the oracle must agree).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for key, val in (("spark.sql.legacy.parquet.nanosAsLong", "true"),
+                     ("spark.sql.session.timeZone", "UTC")):
+        try:
+            spark.conf.set(key, val)
+        except Exception:  # noqa: BLE001 - conf locked: keep the session's value
+            pass
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
