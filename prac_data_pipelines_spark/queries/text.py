@@ -553,3 +553,117 @@ FROM kept GROUP BY source ORDER BY source
 """
 
 register("doc_curation", q_doc_curation, SQL_DOC_CURATION)
+
+
+# --------------------------------------------------------------------------
+# doc_dup_clusters — connected components over the near-dup pair graph:
+# each document labeled with the smallest doc_id reachable through LSH
+# candidate pairs. Spark side: iterative min-label propagation (the
+# standard distributed CC algorithm — each round is one join + one
+# aggregation, state fits the cluster). Oracle: transitive closure via a
+# recursive CTE — an independent formulation of the same semantics.
+# --------------------------------------------------------------------------
+
+CLUSTER_MIN_EST = 0.25
+
+
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (q_doc_minhash_pairs(spark, sf_dir)
+             .filter(F.col("jaccard_est") >= CLUSTER_MIN_EST)
+             .select("d1", "d2"))
+    edges = (pairs.unionByName(pairs.select(F.col("d2").alias("d1"),
+                                            F.col("d1").alias("d2")))
+             .distinct().cache())
+    labels = (edges.select(F.col("d1").alias("doc_id")).distinct()
+              .withColumn("etiqueta", F.col("doc_id")).cache())
+    for _ in range(20):  # diameter bound; tiny graphs converge in a few rounds
+        neighbor_min = (
+            edges.join(labels, edges.d2 == labels.doc_id)
+            .groupBy(F.col("d1").alias("doc_id"))
+            .agg(F.min("etiqueta").alias("_nb_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select("doc_id",
+                    F.least("etiqueta", F.coalesce("_nb_min", F.col("etiqueta")))
+                    .alias("etiqueta"))
+            .cache()
+        )
+        changed = (updated.alias("u").join(labels.alias("l"), "doc_id")
+                   .filter("u.etiqueta != l.etiqueta").count())
+        labels = updated
+        if changed == 0:
+            break
+    cluster_size = (labels.groupBy("etiqueta")
+                    .agg(F.count(F.lit(1)).cast("long").alias("tam_cluster")))
+    return (labels.join(cluster_size, "etiqueta")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("etiqueta").cast("long").alias("cluster_id"),
+                    "tam_cluster")
+            .orderBy("cluster_id", "doc_id"))
+
+
+SQL_DOC_DUP_CLUSTERS = f"""
+WITH RECURSIVE hs AS (
+  SELECT doc_id, list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}) AS hs
+  FROM documents
+), sigs AS (
+  SELECT doc_id, {SQL_SIGS} AS sigs FROM hs
+), bands AS (
+  SELECT doc_id, sigs, concat(b, ':', sigs[2*b+1], ':', sigs[2*b+2]) AS banda
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS b)
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+  FROM bands l JOIN bands r ON l.banda = r.banda AND l.doc_id < r.doc_id
+  WHERE floor(list_sum(list_transform(range(0, {MINHASH_K}),
+                       i -> CASE WHEN l.sigs[i+1] = r.sigs[i+1] THEN 1 ELSE 0 END))
+               / {MINHASH_K}.0 * 10000 + 0.5) / 10000 >= {CLUSTER_MIN_EST}
+), edges AS (
+  SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs
+), reach AS (
+  SELECT d1 AS src, d2 AS dst FROM edges
+  UNION
+  SELECT r.src, e.d2 FROM reach r JOIN edges e ON r.dst = e.d1
+), labeled AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT doc_id::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id,
+       (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS tam_cluster
+FROM labeled
+ORDER BY cluster_id, doc_id
+"""
+
+register("doc_dup_clusters", q_doc_dup_clusters, SQL_DOC_DUP_CLUSTERS)
+
+
+# --------------------------------------------------------------------------
+# doc_sample — deterministic hash-threshold sampling (reproducible splits
+# without a seed exchange: the hash of the id decides membership, so any
+# engine — and any rerun — draws the same sample).
+# --------------------------------------------------------------------------
+
+SAMPLE_PCT = 30
+
+
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bucket = F.expr(f"{_h('cast(doc_id as string)')} % 100")
+    return (
+        docs.withColumn("_b", bucket)
+        .filter(F.col("_b") < SAMPLE_PCT)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_muestra"),
+             F.sum("n_chars").cast("long").alias("chars_muestra"))
+        .orderBy("source")
+    )
+
+
+SQL_DOC_SAMPLE = f"""
+SELECT source, count(*)::BIGINT AS n_muestra, sum(n_chars)::BIGINT AS chars_muestra
+FROM documents
+WHERE ({_sql_h('cast(doc_id as varchar)')}) % 100 < {SAMPLE_PCT}
+GROUP BY source ORDER BY source
+"""
+
+register("doc_sample", q_doc_sample, SQL_DOC_SAMPLE)
