@@ -576,7 +576,7 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              .distinct().cache())
     labels = (edges.select(F.col("d1").alias("doc_id")).distinct()
               .withColumn("etiqueta", F.col("doc_id")).cache())
-    for _ in range(20):  # diameter bound; tiny graphs converge in a few rounds
+    for i in range(20):  # diameter bound; tiny graphs converge in a few rounds
         neighbor_min = (
             edges.join(labels, edges.d2 == labels.doc_id)
             .groupBy(F.col("d1").alias("doc_id"))
@@ -589,6 +589,10 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("etiqueta"))
             .cache()
         )
+        if (i + 1) % 5 == 0:
+            # truncate the iterative lineage — without this, plan depth grows
+            # linearly with rounds and planning cost dominates at scale
+            updated = updated.localCheckpoint()
         changed = (updated.alias("u").join(labels.alias("l"), "doc_id")
                    .filter("u.etiqueta != l.etiqueta").count())
         labels = updated
