@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.rounding import r2, r4
+from ..operators.rounding import r2, r4, r6
 from ..sources import load_table
 from . import register
 
@@ -187,3 +187,115 @@ FROM events ASOF JOIN dedup_orders
 """
 
 register("asof_latest_order", q_asof_latest_order, SQL_ASOF_LATEST_ORDER)
+
+
+# --------------------------------------------------------------------------
+# order_vs_customer_avg — correlated per-row aggregate: each order compared
+# to its customer's average order value. Spark-first: a window aggregate
+# over the customer key (one shuffle), not a correlated re-scan per row.
+# --------------------------------------------------------------------------
+
+def q_order_vs_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg_cust = F.avg("o_totalprice").over(w)
+    return (
+        o.select(
+            "o_orderkey", "o_custkey",
+            r2(F.col("o_totalprice")).alias("total"),
+            r2(avg_cust).alias("media_cliente"),
+            r4(F.col("o_totalprice") / avg_cust).alias("ratio"),
+        )
+        .filter(F.col("ratio") >= 1.5)
+    )
+
+
+SQL_ORDER_VS_CUSTOMER_AVG = """
+WITH enriched AS (
+  SELECT o_orderkey, o_custkey,
+         floor(o_totalprice * 100 + 0.5) / 100 AS total,
+         floor(avg(o_totalprice) OVER (PARTITION BY o_custkey) * 100 + 0.5) / 100
+           AS media_cliente,
+         floor(o_totalprice / avg(o_totalprice) OVER (PARTITION BY o_custkey)
+               * 10000 + 0.5) / 10000 AS ratio
+  FROM orders
+)
+SELECT * FROM enriched WHERE ratio >= 1.5
+"""
+
+register("order_vs_customer_avg", q_order_vs_customer_avg, SQL_ORDER_VS_CUSTOMER_AVG)
+
+
+# --------------------------------------------------------------------------
+# distribution_windows — percent_rank / cume_dist / first & last value in
+# one partitioned pass (the distribution-analytics window family).
+# --------------------------------------------------------------------------
+
+def q_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey", "c_mktsegment",
+        r2(F.col("c_acctbal")).alias("saldo"),
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("dist_acum"),
+        F.first("c_custkey").over(wf).cast("long").alias("menor_saldo"),
+        F.last("c_custkey").over(wf).cast("long").alias("mayor_saldo"),
+    )
+
+
+SQL_DISTRIBUTION_WINDOWS = """
+SELECT c_custkey, c_mktsegment,
+       floor(c_acctbal * 100 + 0.5) / 100 AS saldo,
+       floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+       floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS dist_acum,
+       first_value(c_custkey) OVER wf::BIGINT AS menor_saldo,
+       last_value(c_custkey) OVER wf::BIGINT AS mayor_saldo
+FROM customer WHERE c_custkey < 300
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC),
+       wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+register("distribution_windows", q_distribution_windows, SQL_DISTRIBUTION_WINDOWS)
+
+
+# --------------------------------------------------------------------------
+# fuzzy_name_blocks — entity resolution: blocked pairwise Levenshtein over
+# customer names. Blocking bounds the quadratic comparison (the same
+# structure as LSH for text): pairs only form within a block key.
+# --------------------------------------------------------------------------
+
+def q_fuzzy_name_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    blocked = c.select(
+        "c_custkey", "c_name", (F.col("c_custkey") % 25).alias("bloque"))
+    left = blocked.selectExpr("bloque", "c_custkey AS k1", "c_name AS n1")
+    right = blocked.selectExpr("bloque", "c_custkey AS k2", "c_name AS n2")
+    pairs = (left.join(right, "bloque")
+             .filter(F.col("k1") < F.col("k2"))
+             .withColumn("distancia", F.levenshtein("n1", "n2")))
+    return (
+        pairs.filter(F.col("distancia") <= 2)
+        .groupBy("bloque")
+        .agg(F.count(F.lit(1)).cast("long").alias("pares_similares"),
+             F.min("distancia").cast("long").alias("distancia_min"))
+        .orderBy("bloque")
+    )
+
+
+SQL_FUZZY_NAME_BLOCKS = """
+WITH blocked AS (
+  SELECT c_custkey, c_name, c_custkey % 25 AS bloque
+  FROM customer WHERE c_custkey < 500
+)
+SELECT l.bloque, count(*)::BIGINT AS pares_similares,
+       min(levenshtein(l.c_name, r.c_name))::BIGINT AS distancia_min
+FROM blocked l JOIN blocked r ON l.bloque = r.bloque AND l.c_custkey < r.c_custkey
+WHERE levenshtein(l.c_name, r.c_name) <= 2
+GROUP BY l.bloque ORDER BY l.bloque
+"""
+
+register("fuzzy_name_blocks", q_fuzzy_name_blocks, SQL_FUZZY_NAME_BLOCKS)
