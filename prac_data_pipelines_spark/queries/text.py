@@ -595,6 +595,7 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             updated = updated.localCheckpoint()
         changed = (updated.alias("u").join(labels.alias("l"), "doc_id")
                    .filter("u.etiqueta != l.etiqueta").count())
+        labels.unpersist()  # superseded generation — don't pin executor memory
         labels = updated
         if changed == 0:
             break
