@@ -7,15 +7,16 @@ standardize each subset row: ``Z = round(abs((x - mean)/std), 4)``, flag
 ``Z >= threshold``. Guards: need ``n >= min_obs`` non-null observations and
 ``std > 0``, else the z columns stay null.
 
-Spark-first: the mean/std are a global aggregate broadcast back via an
-unpartitioned window — one pass, no driver round-trip, no crossJoin shuffle
-(Catalyst plans the empty-frame window as a single-stage broadcast of the
-aggregate, and the subset predicate stays pushdown-eligible).
+Scale note: the subset mean/std/count is computed as a one-row ``df.agg`` and
+attached with ``crossJoin(broadcast(...))`` — a map-side-combined partial
+aggregate plus a broadcast nested-loop join of a single row. An unpartitioned
+window would instead funnel the whole frame through one task
+(``Exchange SinglePartition``); this formulation keeps every stage parallel.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import ANOMALIAS
@@ -35,11 +36,15 @@ def zscore_columns(df: DataFrame, metric: str, subset: Column | None = None,
 
     member = F.lit(True) if subset is None else subset
     x = F.when(member, F.col(metric).cast("double"))
-    w = Window.partitionBy()  # global stats, broadcast back to every row
-    mean = F.avg(x).over(w)
-    std = F.stddev_samp(x).over(w)
-    n = F.count(x).over(w)
+    stats = df.agg(
+        F.avg(x).alias("__z_mean"),
+        F.stddev_samp(x).alias("__z_std"),
+        F.count(x).alias("__z_n"),
+    )
+    mean, std, n = F.col("__z_mean"), F.col("__z_std"), F.col("__z_n")
     ok = (n >= F.lit(min_obs)) & (std > F.lit(0))
     z = F.when(ok & member & x.isNotNull(), r4(F.abs((x - mean) / std)))
-    return (df.withColumn(z_col, z)
-              .withColumn(flag_col, F.when(z.isNotNull(), z >= F.lit(threshold))))
+    return (df.crossJoin(F.broadcast(stats))
+              .withColumn(z_col, z)
+              .withColumn(flag_col, F.when(z.isNotNull(), z >= F.lit(threshold)))
+              .drop("__z_mean", "__z_std", "__z_n"))

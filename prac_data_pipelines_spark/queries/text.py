@@ -399,22 +399,38 @@ register("doc_minhash_pairs", q_doc_minhash_pairs, SQL_DOC_MINHASH_PAIRS)
 # --------------------------------------------------------------------------
 # doc_ngram_jaccard — exact n-gram Jaccard on LSH candidates (verify stage
 # of the dedup pipeline: cheap candidates → exact similarity on survivors).
+# Candidates come from the SAME banded LSH join as doc_minhash_pairs: a pair
+# must agree on a full band (2 consecutive signature positions), never on a
+# single global minimum — one boilerplate shingle shared corpus-wide can no
+# longer collapse a huge doc population into one quadratic bucket.
 # --------------------------------------------------------------------------
+
+_BANDS_EXPR = (
+    f"explode(transform(sequence(0, {N_BANDS - 1}), b -> "
+    f"concat(b, ':', element_at(sigs, 2*b+1), ':', element_at(sigs, 2*b+2)))) AS banda"
+)
+
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sh = (docs.selectExpr("doc_id", "text", f"{WORDS} AS _ws")
           .selectExpr("doc_id", f"array_distinct({_SHINGLES_WS}) AS sh"))
-    sigs = _with_sigs(docs).selectExpr("doc_id", "element_at(sigs, 1) AS sig0")
-    keyed = sh.join(sigs, "doc_id").cache()
-    left = keyed.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"), "sig0")
-    right = keyed.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"), "sig0")
+    bands = _with_sigs(docs).selectExpr("doc_id", _BANDS_EXPR)
+    cand = (
+        bands.select(F.col("doc_id").alias("d1"), "banda")
+        .join(bands.select(F.col("doc_id").alias("d2"), "banda"), "banda")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .dropDuplicates(["d1", "d2"])
+    )
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1")), "d1")
+        .join(sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2")), "d2")
+    )
     inter = F.expr("size(array_intersect(sh1, sh2))").cast("double")
     union = F.expr("size(sh1) + size(sh2) - size(array_intersect(sh1, sh2))").cast("double")
     return (
-        left.join(right, "sig0")
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", r4(inter / union).alias("jaccard"))
+        verified.select("d1", "d2", r4(inter / union).alias("jaccard"))
         .orderBy("d1", "d2")
     )
 
@@ -426,15 +442,19 @@ WITH sh AS (
   SELECT doc_id, list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}) AS hs
   FROM documents
 ), sigs AS (
-  SELECT doc_id, ({SQL_SIGS})[1] AS sig0 FROM hs
-), keyed AS (
-  SELECT sh.doc_id, sh.sh, sigs.sig0 FROM sh JOIN sigs ON sh.doc_id = sigs.doc_id
+  SELECT doc_id, {SQL_SIGS} AS sigs FROM hs
+), bands AS (
+  SELECT doc_id, concat(b, ':', sigs[2*b+1], ':', sigs[2*b+2]) AS banda
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS b)
+), cand AS (
+  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+  FROM bands l JOIN bands r ON l.banda = r.banda AND l.doc_id < r.doc_id
 )
-SELECT l.doc_id AS d1, r.doc_id AS d2,
+SELECT d1, d2,
        floor(len(list_intersect(l.sh, r.sh))::DOUBLE
              / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)))::DOUBLE
              * 10000 + 0.5) / 10000 AS jaccard
-FROM keyed l JOIN keyed r ON l.sig0 = r.sig0 AND l.doc_id < r.doc_id
+FROM cand JOIN sh l ON l.doc_id = cand.d1 JOIN sh r ON r.doc_id = cand.d2
 ORDER BY d1, d2
 """
 
