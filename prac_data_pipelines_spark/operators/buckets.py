@@ -18,6 +18,12 @@ from pyspark.sql import functions as F
 Buckets = list[tuple[int | None, int | None, str]]
 
 
+def _sql_str(s: str) -> str:
+    """Render a Python string as a SQL literal (doubling embedded quotes —
+    a label like "D'ORO" must not desynchronize the oracle SQL)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def bucketize(value: Column, buckets: Buckets,
               default: str = "SIN CLASIFICAR") -> Column:
     """Compile buckets into one conditional expression."""
@@ -49,8 +55,8 @@ def bucketize_sql(value_sql: str, buckets: Buckets,
             cond = f"{value_sql} > {lo}"
         else:
             cond = f"({value_sql} > {lo} AND {value_sql} <= {hi})"
-        arms.append(f"WHEN {cond} THEN '{label}'")
-    return "CASE " + " ".join(arms) + f" ELSE '{default}' END"
+        arms.append(f"WHEN {cond} THEN {_sql_str(label)}")
+    return "CASE " + " ".join(arms) + f" ELSE {_sql_str(default)} END"
 
 
 def bucket_order_expr(label: Column, buckets: Buckets) -> Column:
@@ -67,6 +73,7 @@ def bucket_order_expr(label: Column, buckets: Buckets) -> Column:
 
 def bucket_order_sql(label_sql: str, buckets: Buckets) -> str:
     arms = " ".join(
-        f"WHEN {label_sql} = '{lbl}' THEN {idx}" for idx, (_, _, lbl) in enumerate(buckets)
+        f"WHEN {label_sql} = {_sql_str(lbl)} THEN {idx}"
+        for idx, (_, _, lbl) in enumerate(buckets)
     )
     return f"CASE {arms} ELSE {len(buckets)} END"

@@ -18,7 +18,7 @@ from pyspark.sql.functions import broadcast
 from ..config import DEFAULT_AS_OF, RANGOS_ANTIGUEDAD
 from ..operators.buckets import bucketize, bucketize_sql, bucket_order_expr, bucket_order_sql
 from ..operators.profile import column_profile
-from ..operators.sorting import dual_sort_keys
+from ..operators.sorting import dual_sort_keys, global_positions
 from ..operators.stats import zscore_columns
 from ..operators.totals import with_total_row
 from ..operators.windows import band_groups, pareto_abc, running_balance
@@ -568,14 +568,19 @@ register("zscore_outliers", q_zscore_outliers, SQL_ZSCORE_OUTLIERS)
 # --------------------------------------------------------------------------
 # dual_sort — O2: stratified sort materialized via an explicit position
 # column (positive balances by amount desc, then the rest alphabetically).
+# Positions come from operators.sorting.global_positions — range-partitioned
+# local ranks + broadcast prefix-sum offsets — so no unpartitioned window
+# ever touches the raw table (the input grows with the data; a global
+# row_number() would funnel it through one task).
 # --------------------------------------------------------------------------
 
 def q_dual_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     keys = dual_sort_keys(F.col("c_acctbal"), F.col("c_name")) + [F.col("c_custkey").asc()]
     return (
-        customer.withColumn("pos", F.row_number().over(Window.orderBy(*keys)).cast("long"))
+        global_positions(customer, keys, pos_col="pos")
         .select("pos", "c_custkey", "c_name", r2(F.col("c_acctbal")).alias("acctbal"))
+        .orderBy("pos")
     )
 
 

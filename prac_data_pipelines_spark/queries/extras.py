@@ -266,12 +266,37 @@ register("distribution_windows", q_distribution_windows, SQL_DISTRIBUTION_WINDOW
 # fuzzy_name_blocks — entity resolution: blocked pairwise Levenshtein over
 # customer names. Blocking bounds the quadratic comparison (the same
 # structure as LSH for text): pairs only form within a block key.
+#
+# The block key is SEMANTIC — derived from the name itself, not from a
+# row id: normalize (lowercase, strip non-alphanumerics), then key on the
+# trailing `_BLOCK_SUFFIX` characters (the discriminative end of the
+# string; the reference corpus shares a constant boilerplate prefix, the
+# same shape as real client catalogs sharing "S.A. de C.V."-style heads).
+# Near-identical names normalize to the same suffix and land in the same
+# block. Scale posture: block count grows with the data (alphabet^k keys;
+# pick k ~ log_36(N / target_block_size) as N grows), and a deterministic
+# per-block cap (`_BLOCK_CAP`, row_number by key) bounds the worst-case
+# O(cap^2) comparison even under a skewed suffix — unlike a fixed modulo
+# block count, where every block grows linearly with N and pair counts
+# quadratically. Reference anchor: client-name matching is the core
+# dimension join of /root/reference/src/data_transformer.py:100-131.
 # --------------------------------------------------------------------------
+
+_BLOCK_SUFFIX = 2      # trailing chars of the normalized name; ~36^k keys
+_BLOCK_CAP = 200       # deterministic per-block bound on the O(n^2) verify
+
 
 def q_fuzzy_name_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
-    blocked = c.select(
-        "c_custkey", "c_name", (F.col("c_custkey") % 25).alias("bloque"))
+    blocked = (
+        c.select("c_custkey", "c_name",
+                 F.expr(f"right(regexp_replace(lower(c_name), '[^a-z0-9]', ''), "
+                        f"{_BLOCK_SUFFIX})").alias("bloque"))
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("bloque").orderBy("c_custkey")))
+        .filter(F.col("_rn") <= _BLOCK_CAP)
+        .drop("_rn")
+    )
     left = blocked.selectExpr("bloque", "c_custkey AS k1", "c_name AS n1")
     right = blocked.selectExpr("bloque", "c_custkey AS k2", "c_name AS n2")
     pairs = (left.join(right, "bloque")
@@ -286,10 +311,17 @@ def q_fuzzy_name_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_FUZZY_NAME_BLOCKS = """
-WITH blocked AS (
-  SELECT c_custkey, c_name, c_custkey % 25 AS bloque
+SQL_FUZZY_NAME_BLOCKS = f"""
+WITH keyed AS (
+  SELECT c_custkey, c_name,
+         right(regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g'),
+               {_BLOCK_SUFFIX}) AS bloque
   FROM customer WHERE c_custkey < 500
+), blocked AS (
+  SELECT c_custkey, c_name, bloque
+  FROM (SELECT *, row_number() OVER (PARTITION BY bloque ORDER BY c_custkey)
+               AS _rn FROM keyed)
+  WHERE _rn <= {_BLOCK_CAP}
 )
 SELECT l.bloque, count(*)::BIGINT AS pares_similares,
        min(levenshtein(l.c_name, r.c_name))::BIGINT AS distancia_min

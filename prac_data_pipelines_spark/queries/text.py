@@ -578,13 +578,18 @@ register("doc_curation", q_doc_curation, SQL_DOC_CURATION)
 # --------------------------------------------------------------------------
 # doc_dup_clusters — connected components over the near-dup pair graph:
 # each document labeled with the smallest doc_id reachable through LSH
-# candidate pairs. Spark side: iterative min-label propagation (the
-# standard distributed CC algorithm — each round is one join + one
-# aggregation, state fits the cluster). Oracle: transitive closure via a
-# recursive CTE — an independent formulation of the same semantics.
+# candidate pairs. Spark side: iterative min-label propagation PLUS
+# pointer jumping (each round also replaces a doc's label with its
+# label's label), so rounds needed is O(log diameter), not O(diameter).
+# Convergence is checked every other round (halving the extra count jobs
+# the check costs); exhausting the round budget without converging raises
+# rather than silently returning partial labels. Oracle: transitive
+# closure via a recursive CTE — an independent formulation of the same
+# semantics.
 # --------------------------------------------------------------------------
 
 CLUSTER_MIN_EST = 0.25
+_CC_MAX_ROUNDS = 20  # with pointer jumping this covers diameter ~2^20
 
 
 def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -596,29 +601,49 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              .distinct().cache())
     labels = (edges.select(F.col("d1").alias("doc_id")).distinct()
               .withColumn("etiqueta", F.col("doc_id")).cache())
-    for i in range(20):  # diameter bound; tiny graphs converge in a few rounds
+    converged = False
+    for i in range(1, _CC_MAX_ROUNDS + 1):
         neighbor_min = (
             edges.join(labels, edges.d2 == labels.doc_id)
             .groupBy(F.col("d1").alias("doc_id"))
             .agg(F.min("etiqueta").alias("_nb_min"))
         )
-        updated = (
+        stepped = (
             labels.join(neighbor_min, "doc_id", "left")
             .select("doc_id",
                     F.least("etiqueta", F.coalesce("_nb_min", F.col("etiqueta")))
                     .alias("etiqueta"))
+        )
+        # pointer jumping: labels only ever point at other member doc_ids,
+        # and min-propagation is monotone, so label(label(x)) <= label(x)
+        parents = stepped.select(F.col("doc_id").alias("_p_id"),
+                                 F.col("etiqueta").alias("_p_lab"))
+        updated = (
+            stepped.join(parents, stepped.etiqueta == parents._p_id, "left")
+            .select("doc_id",
+                    F.least("etiqueta", F.coalesce("_p_lab", F.col("etiqueta")))
+                    .alias("etiqueta"))
             .cache()
         )
-        if (i + 1) % 5 == 0:
+        if i % 5 == 0:
             # truncate the iterative lineage — without this, plan depth grows
             # linearly with rounds and planning cost dominates at scale
             updated = updated.localCheckpoint()
-        changed = (updated.alias("u").join(labels.alias("l"), "doc_id")
-                   .filter("u.etiqueta != l.etiqueta").count())
+        if i % 2 == 0 or i == _CC_MAX_ROUNDS:
+            changed = (updated.alias("u").join(labels.alias("l"), "doc_id")
+                       .filter("u.etiqueta != l.etiqueta").count())
+            if changed == 0:
+                labels.unpersist()
+                labels = updated
+                converged = True
+                break
         labels.unpersist()  # superseded generation — don't pin executor memory
         labels = updated
-        if changed == 0:
-            break
+    if not converged:
+        raise RuntimeError(
+            f"doc_dup_clusters: min-label propagation did not converge in "
+            f"{_CC_MAX_ROUNDS} rounds — component diameter exceeds 2^"
+            f"{_CC_MAX_ROUNDS}? Inspect the pair graph before trusting labels.")
     cluster_size = (labels.groupBy("etiqueta")
                     .agg(F.count(F.lit(1)).cast("long").alias("tam_cluster")))
     return (labels.join(cluster_size, "etiqueta")

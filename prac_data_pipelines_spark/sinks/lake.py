@@ -14,7 +14,12 @@ At 100 TB the storage layout IS the query plan:
 
 from __future__ import annotations
 
+import re
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
+
+_SIMPLE_NAME = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
 
 
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
@@ -27,13 +32,35 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
 
 def write_bucketed(df: DataFrame, table: str, bucket_col: str,
                    n_buckets: int = 16, sort_col: str | None = None) -> None:
+    # Only simple unqualified names: a qualified `db.tbl` would resolve to
+    # a different directory than the naive join below, and path separators
+    # in the name would escape the warehouse.
+    if not _SIMPLE_NAME.fullmatch(table):
+        raise ValueError(
+            f"write_bucketed expects a simple unqualified table name, "
+            f"got {table!r}")
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # A stale location without catalog metadata (e.g. an interrupted write)
-    # blocks managed-table creation — clear it.
-    import shutil
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    stale: str | None = None
+    if spark.catalog.tableExists(table):
+        # Resolve the table's REAL location from the catalog before the
+        # drop discards the metadata (the default warehouse join would be
+        # wrong for relocated tables).
+        loc = next((r.data_type
+                    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+                    if r.col_name == "Location"), None)
+        if loc and loc.startswith("file:"):
+            stale = loc.removeprefix("file:")
+        spark.sql(f"DROP TABLE {table}")
+    else:
+        # No catalog entry, but an interrupted earlier write may have left
+        # files at the default managed location, which blocks creation.
+        # Only local-file warehouses are cleaned client-side.
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        base = (wh.removeprefix("file:") if wh.startswith("file:")
+                else wh if "://" not in wh else None)
+        stale = f"{base}/{table.lower()}" if base else None
+    if stale:
+        shutil.rmtree(stale, ignore_errors=True)
     writer = (df.write.mode("overwrite")
               .bucketBy(n_buckets, bucket_col))
     if sort_col:

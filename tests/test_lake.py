@@ -35,6 +35,47 @@ def test_partition_pruning(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_write_bucketed_rejects_unsafe_names(spark, sf_dir):
+    from prac_data_pipelines_spark.sinks.lake import write_bucketed
+    from prac_data_pipelines_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    for bad in ("db.tbl", "../escape", "a b", "t;drop"):
+        with pytest.raises(ValueError):
+            write_bucketed(orders, bad, "o_orderkey", 4)
+
+
+def test_write_bucketed_overwrites_existing_table(spark, sf_dir):
+    from prac_data_pipelines_spark.sinks.lake import write_bucketed
+    from prac_data_pipelines_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").limit(100)
+    try:
+        write_bucketed(orders, "bucketed_rewrite_probe", "o_orderkey", 4)
+        write_bucketed(orders, "bucketed_rewrite_probe", "o_orderkey", 4)
+        assert spark.table("bucketed_rewrite_probe").count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_rewrite_probe")
+
+
+def test_bucketize_sql_escapes_quotes():
+    import duckdb
+
+    from prac_data_pipelines_spark.operators.buckets import (
+        bucket_order_sql,
+        bucketize_sql,
+    )
+
+    buckets = [(None, 10, "D'ORO"), (10, None, "it's big")]
+    sql = bucketize_sql("v", buckets, default="n/a '")
+    got = duckdb.sql(f"SELECT {sql} AS b FROM (SELECT 15 AS v)").fetchall()
+    assert got == [("it's big",)]
+    order = bucket_order_sql("lbl", buckets)
+    got = duckdb.sql(
+        f"SELECT {order} AS o FROM (SELECT 'D''ORO' AS lbl)").fetchall()
+    assert got == [(0,)]
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     from prac_data_pipelines_spark.sinks.lake import (
         bucketed_join_no_shuffle,

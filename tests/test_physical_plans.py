@@ -42,6 +42,27 @@ def test_scalar_suite_single_codegen_stage(spark, sf_dir):
     assert "WholeStageCodegen" in codegen
 
 
+def test_dual_sort_has_no_single_partition_exchange(spark, sf_dir):
+    """dual_sort assigns global positions over a raw table that grows with
+    the data — the whole plan must stay parallel (range partition + local
+    rank + broadcast offsets), never an unpartitioned window's
+    Exchange SinglePartition funnel."""
+    from prac_data_pipelines_spark.queries.core import q_dual_sort
+
+    plan = _plan(q_dual_sort(spark, sf_dir))
+    assert "SinglePartition" not in plan
+
+
+def test_zscore_attaches_stats_by_broadcast(spark, sf_dir):
+    """zscore_columns must broadcast the one-row aggregate, not funnel the
+    frame through an unpartitioned window."""
+    from prac_data_pipelines_spark.queries.core import q_zscore_outliers
+
+    plan = _plan(q_zscore_outliers(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
 def test_no_python_udfs_in_relational_queries(spark, sf_dir):
     """UDF policy: no Python evaluation nodes anywhere in the relational,
     text, or vector query surface (multimodal mapInPandas is the one
