@@ -48,9 +48,23 @@ def test_pipeline_export(spark, sf_dir):
     from prac_data_pipelines_spark.sinks.report import export_views
 
     views = run_pipeline(spark, sf_dir)
-    subset = {k: views[k] for k in ("antiguedad_cartera_mxn", "kpis_resumen")}
+    subset = {k: views[k] for k in ("antiguedad_cartera_mxn", "kpis_resumen",
+                                    "calidad_datos", "saldos_cliente")}
     with tempfile.TemporaryDirectory() as d:
         written = export_views(subset, d)
-        assert len(written) == 2
+        # three-workbook reference layout: the two analysis views share
+        # 02_analisis, calidad_datos goes to 00_auditoria, and the view
+        # outside the reference layout lands in the catch-all workbook
+        names = sorted(os.path.basename(p) for p in written)
+        assert names == ["00_auditoria_cxc.xlsx", "02_analisis_cxc.xlsx",
+                         "99_vistas_cxc.xlsx"]
         for p in written:
             assert os.path.exists(p) and os.path.getsize(p) > 0
+
+        import xml.etree.ElementTree as ET
+        import zipfile
+        ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+        with zipfile.ZipFile(os.path.join(d, "02_analisis_cxc.xlsx")) as zf:
+            root = ET.fromstring(zf.read("xl/workbook.xml"))
+        sheets = [s.get("name") for s in root.findall(".//m:sheet", ns)]
+        assert sheets == ["antiguedad_cartera_mxn", "kpis_resumen"]
