@@ -31,8 +31,10 @@ def test_pdf_report_sink(spark, sf_dir):
     from prac_data_pipelines_spark.sinks.pdf import export_pdf_report
 
     views = run_pipeline(spark, sf_dir)
-    subset = {k: views[k] for k in ("kpis_resumen", "antiguedad_cartera_mxn",
-                                    "cartera_vencida_vs_vigente_mxn")}
+    subset = {k: views[k] for k in (
+        "kpis_resumen", "antiguedad_cartera_mxn",
+        "cartera_vencida_vs_vigente_mxn", "kpis_concentracion_mxn",
+        "kpis_limite_credito_mxn")}
     d = tempfile.mkdtemp(prefix="pdf_")
     try:
         path = export_pdf_report(subset, f"{d}/reporte.pdf")
@@ -40,7 +42,41 @@ def test_pdf_report_sink(spark, sf_dir):
             data = f.read()
         assert data.startswith(b"%PDF-1.4")
         assert data.rstrip().endswith(b"%%EOF")
-        assert len(data) > 2000
-        assert data.count(b"/Type /Page ") == 3
+        assert len(data) > 10_000
+        # one page per KPI view
+        assert data.count(b"/Type /Page ") == 5
+        # vector chart content: filled rects (bars/tables), Bezier arcs
+        # (donut wedges, Pareto markers), dashed 80% guide, bold font
+        assert data.count(b" re f") > 5    # chart bars (fill only)
+        assert data.count(b" re B") > 50   # table cells (fill + grid)
+        assert data.count(b" c ") > 8
+        assert b"[3 3] 0 d" in data
+        assert b"/Helvetica-Bold" in data
+        # xref offsets must point at their objects
+        xref_at = int(data.rsplit(b"startxref\n", 1)[1].split(b"\n")[0])
+        assert data[xref_at:xref_at + 4] == b"xref"
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_pdf_donut_geometry_closes():
+    """A full-circle donut (one 100% wedge) must produce arcs covering
+    2*pi: the wedge path's final curve endpoint returns to the start."""
+    from prac_data_pipelines_spark.sinks.pdf import Canvas
+
+    c = Canvas()
+    c.wedge(100.0, 100.0, 50.0, 30.0, 0.0, 6.283185307179586, (1, 0, 0))
+    op = c.ops[-1]
+    assert op.count(" c") >= 8  # >= 4 outer + 4 inner segments
+    assert "150.00 100.00 m" in op  # starts at angle 0 on the outer radius
+    assert op.endswith("h B")
+
+
+def test_pdf_text_alignment_and_rotation():
+    from prac_data_pipelines_spark.sinks.pdf import Canvas
+
+    c = Canvas()
+    c.text(100, 50, "abcd", size=10, align="center")
+    assert "1 0 0 1 89.60 50.00 Tm" in c.ops[-1]  # x - len*size*0.52/2
+    c.text(100, 50, "abcd", size=10, rotate_deg=45)
+    assert "0.7071 0.7071 -0.7071 0.7071" in c.ops[-1]
