@@ -15,7 +15,7 @@ within-bucket comparisons, which is what makes 100 TB dedup feasible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.rounding import r4
@@ -83,6 +83,37 @@ SQL_SIGS = (
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
+
+
+# Hot-band guard: a band key shared by a huge doc population (corpus-wide
+# boilerplate minimizers) would make the within-bucket self-join quadratic
+# in that bucket. Bands larger than this are dropped from candidate
+# generation on BOTH engines — the standard LSH recall/cost trade: members
+# of a mega-band are near-dups of thousands of docs and are still reachable
+# through their other (discriminative) bands.
+MAX_BAND_DOCS = 1000
+
+
+def _band_guard(bands: DataFrame) -> DataFrame:
+    """Filter out hot bands. The count window partitions by ``banda`` —
+    the same key the candidate join shuffles on, so the window's exchange
+    is reused by the join (no extra shuffle)."""
+    w = Window.partitionBy("banda")
+    return (bands.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= MAX_BAND_DOCS).drop("_n"))
+
+
+# DuckDB twin of the banding + guard (two CTEs: DuckDB can't nest a window
+# inside the expression that defines its partition key). Expects a `sigs`
+# CTE with (doc_id, sigs) in scope.
+SQL_BANDS_CTE = f"""bands0 AS (
+  SELECT doc_id, sigs, concat(b, ':', sigs[2*b+1], ':', sigs[2*b+2]) AS banda
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS b)
+), bands AS (
+  SELECT doc_id, sigs, banda FROM (
+    SELECT *, count(*) OVER (PARTITION BY banda) AS _n FROM bands0)
+  WHERE _n <= {MAX_BAND_DOCS}
+)"""
 
 
 # --------------------------------------------------------------------------
@@ -346,11 +377,11 @@ def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The signature frame feeds both sides of the band self-join and the
     # estimate projection — cache so signatures are computed once.
     sigs = _with_sigs(docs).cache()
-    bands = sigs.selectExpr(
+    bands = _band_guard(sigs.selectExpr(
         "doc_id", "sigs",
         f"explode(transform(sequence(0, {N_BANDS - 1}), b -> "
         f"concat(b, ':', element_at(sigs, 2*b+1), ':', element_at(sigs, 2*b+2)))) AS banda",
-    )
+    ))
     left = bands.select(F.col("doc_id").alias("d1"), F.col("sigs").alias("s1"), "banda")
     right = bands.select(F.col("doc_id").alias("d2"), F.col("sigs").alias("s2"), "banda")
     pairs = (
@@ -375,10 +406,7 @@ WITH hs AS (
   FROM documents
 ), sigs AS (
   SELECT doc_id, {SQL_SIGS} AS sigs FROM hs
-), bands AS (
-  SELECT doc_id, sigs, concat(b, ':', sigs[2*b+1], ':', sigs[2*b+2]) AS banda
-  FROM sigs CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS b)
-), pairs AS (
+), {SQL_BANDS_CTE}, pairs AS (
   SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2, l.sigs AS s1, r.sigs AS s2
   FROM bands l JOIN bands r ON l.banda = r.banda AND l.doc_id < r.doc_id
 )
@@ -415,7 +443,7 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sh = (docs.selectExpr("doc_id", "text", f"{WORDS} AS _ws")
           .selectExpr("doc_id", f"array_distinct({_SHINGLES_WS}) AS sh"))
-    bands = _with_sigs(docs).selectExpr("doc_id", _BANDS_EXPR)
+    bands = _band_guard(_with_sigs(docs).selectExpr("doc_id", _BANDS_EXPR))
     cand = (
         bands.select(F.col("doc_id").alias("d1"), "banda")
         .join(bands.select(F.col("doc_id").alias("d2"), "banda"), "banda")
@@ -443,10 +471,7 @@ WITH sh AS (
   FROM documents
 ), sigs AS (
   SELECT doc_id, {SQL_SIGS} AS sigs FROM hs
-), bands AS (
-  SELECT doc_id, concat(b, ':', sigs[2*b+1], ':', sigs[2*b+2]) AS banda
-  FROM sigs CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS b)
-), cand AS (
+), {SQL_BANDS_CTE}, cand AS (
   SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
   FROM bands l JOIN bands r ON l.banda = r.banda AND l.doc_id < r.doc_id
 )
@@ -551,10 +576,7 @@ WITH quality AS (
   FROM documents
 ), sigs AS (
   SELECT doc_id, {SQL_SIGS} AS sigs FROM hs
-), bands AS (
-  SELECT doc_id, sigs, concat(b, ':', sigs[2*b+1], ':', sigs[2*b+2]) AS banda
-  FROM sigs CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS b)
-), pairs AS (
+), {SQL_BANDS_CTE}, pairs AS (
   SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2, l.sigs AS s1, r.sigs AS s2
   FROM bands l JOIN bands r ON l.banda = r.banda AND l.doc_id < r.doc_id
 ), losers AS (
@@ -623,12 +645,14 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id",
                     F.least("etiqueta", F.coalesce("_p_lab", F.col("etiqueta")))
                     .alias("etiqueta"))
-            .cache()
+            # truncate the iterative lineage EVERY round: the pointer jump
+            # references the previous generation three times, so plan size
+            # grows ~3^rounds without a hard cut and Catalyst analysis time
+            # dwarfs the actual label shuffles (measured 63s/round by round
+            # 4 at 40k docs with a 5-round cut). The checkpoint materializes
+            # |labels| rows — same cost class as the cache it replaces.
+            .localCheckpoint()
         )
-        if i % 5 == 0:
-            # truncate the iterative lineage — without this, plan depth grows
-            # linearly with rounds and planning cost dominates at scale
-            updated = updated.localCheckpoint()
         if i % 2 == 0 or i == _CC_MAX_ROUNDS:
             changed = (updated.alias("u").join(labels.alias("l"), "doc_id")
                        .filter("u.etiqueta != l.etiqueta").count())
@@ -659,10 +683,7 @@ WITH RECURSIVE hs AS (
   FROM documents
 ), sigs AS (
   SELECT doc_id, {SQL_SIGS} AS sigs FROM hs
-), bands AS (
-  SELECT doc_id, sigs, concat(b, ':', sigs[2*b+1], ':', sigs[2*b+2]) AS banda
-  FROM sigs CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS b)
-), pairs AS (
+), {SQL_BANDS_CTE}, pairs AS (
   SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
   FROM bands l JOIN bands r ON l.banda = r.banda AND l.doc_id < r.doc_id
   WHERE floor(list_sum(list_transform(range(0, {MINHASH_K}),

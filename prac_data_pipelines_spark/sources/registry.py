@@ -110,3 +110,24 @@ def load_jdbc_table(spark: SparkSession, url: str, query: str,
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def load_jdbc_partitioned(spark: SparkSession, url: str, table: str,
+                          partition_col: str, lower: int, upper: int,
+                          num_partitions: int,
+                          properties: dict[str, str] | None = None) -> DataFrame:
+    """Parallel JDBC scan: ``num_partitions`` concurrent connections, each
+    reading one stride of ``partition_col`` in ``[lower, upper]``. This is
+    the scale path for database extraction — a ``query``-option read opens
+    ONE connection regardless of cluster size (Spark only splits ``dbtable``
+    reads with explicit bounds)."""
+    reader = (spark.read.format("jdbc")
+              .option("url", url)
+              .option("dbtable", table)
+              .option("partitionColumn", partition_col)
+              .option("lowerBound", str(lower))
+              .option("upperBound", str(upper))
+              .option("numPartitions", str(num_partitions)))
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -32,11 +32,67 @@ def replicate(df, key_cols: list[str], k: int, span: int):
     return out
 
 
+def probe_llm(spark, sf_dir: str, k: int) -> None:
+    """Scale-probe the LLM-pipeline surface: replicate documents/embeddings
+    k x (shifted ids, text left identical — the dedup worst case: every
+    original becomes a k-member identity cluster) and run the REAL
+    registered queries against the replicated directory. Also reports the
+    LSH band-bucket size distribution, the quantity the hot-band guard
+    (queries/text.py MAX_BAND_DOCS) bounds."""
+    import shutil
+    import tempfile
+
+    from prac_data_pipelines_spark.queries import all_queries
+    from prac_data_pipelines_spark.queries.text import (
+        MAX_BAND_DOCS,
+        N_BANDS,
+        minhash_signatures,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="scale_probe_llm_")
+    span = 100_000_000
+    replicate(load_table(spark, sf_dir, "documents"), ["doc_id"], k, span) \
+        .write.mode("overwrite").parquet(f"{scratch}/documents.parquet")
+    replicate(load_table(spark, sf_dir, "embeddings"), ["vec_id"], k, span) \
+        .write.mode("overwrite").parquet(f"{scratch}/embeddings.parquet")
+    docs = spark.read.parquet(f"{scratch}/documents.parquet")
+    print(f"replicated documents: {docs.count():,} rows (k={k})")
+
+    # band-bucket size distribution (pre-guard): the in-bucket join cost is
+    # sum(n_b^2), so the max bucket is the scale risk the guard caps
+    bands = minhash_signatures(docs).selectExpr(
+        "doc_id",
+        f"explode(transform(sequence(0, {N_BANDS - 1}), b -> "
+        f"concat(b, ':', element_at(sigs, 2*b+1), ':', element_at(sigs, 2*b+2)))) AS banda")
+    dist = (bands.groupBy("banda").count()
+            .selectExpr("max(count) AS max_b",
+                        "percentile_approx(count, 0.99) AS p99_b",
+                        "avg(count) AS mean_b", "count(1) AS n_bands")
+            .collect()[0])
+    print(f"band buckets: n={dist['n_bands']:,} max={dist['max_b']} "
+          f"p99={dist['p99_b']} mean={dist['mean_b']:.2f} "
+          f"(guard caps at {MAX_BAND_DOCS})")
+
+    queries = all_queries()
+    for name in ("doc_minhash_pairs", "doc_ngram_jaccard", "doc_simhash",
+                 "doc_dup_clusters", "doc_curation", "knn_lsh", "knn_ivf",
+                 "embedding_norms"):
+        t0 = time.time()
+        queries[name](spark, scratch).write.format("noop").mode("overwrite").save()
+        print(f"{name} at {k}x: {time.time()-t0:.2f}s")
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    k = int(args[0]) if args else 8
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    only_llm = "--llm" in sys.argv
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if only_llm:
+        probe_llm(spark, sf_dir, k)
+        return
 
     span = 100_000_000
     # Materialize the replicated tables to parquet first so the timings
@@ -77,6 +133,8 @@ def main() -> None:
     (orders.withColumn("run", F.sum("o_totalprice").over(w))
      .write.format("noop").mode("overwrite").save())
     print(f"running_balance-shape at {k}x: {time.time()-t0:.2f}s")
+
+    probe_llm(spark, sf_dir, k)
 
 
 if __name__ == "__main__":
