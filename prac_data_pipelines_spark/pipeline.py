@@ -79,6 +79,8 @@ def run_pipeline(spark: SparkSession, sf_dir: str,
     for m in CURRENCIES:
         suf = m.lower()
         views[f"antiguedad_cartera_{suf}"] = pa.antiguedad_cartera(master, as_of, m, charges=charges)
+        views[f"antiguedad_por_cliente_{suf}"] = \
+            pa.antiguedad_por_cliente(master, as_of, m, charges=charges)
         views[f"cartera_vencida_vs_vigente_{suf}"] = \
             pa.cartera_vencida_vs_vigente(master, as_of, m, charges=charges)
         views[f"resumen_concepto_cxc_{suf}"] = pa.resumen_por_concepto(master, m)

@@ -58,6 +58,75 @@ def cartera_vencida_vs_vigente(master: DataFrame, as_of: str,
     )
 
 
+def antiguedad_por_cliente(master: DataFrame, as_of: str,
+                           moneda: str = "MXN",
+                           charges: DataFrame | None = None) -> DataFrame:
+    """Per-client aging pivot (reference ``src/analytics.py:180-260``):
+    sale charges vs credits per client, open-invoice count/balance, and
+    the open balance pivoted across the aging buckets.
+
+    Spark-first: the reference runs five pandas groupbys plus a Python
+    pivot loop; here it is TWO conditional grouped passes (cargos/abonos
+    over the active master; open-invoice + bucket pivot over the charges
+    frame) joined on the client key — both shuffle once on that key.
+    Clients with at least one sale charge, stratified dual sort, TOTAL row.
+    """
+    if charges is None:
+        charges = with_cycle_metrics(saldo_factura(master), as_of)
+    venta = (F.col("TIPO_IMPTE") == "C") & F.col("CONCEPTO").contains("VENTA")
+    labels = [label for _, _, label in RANGOS_ANTIGUEDAD]
+
+    act = (active(master)
+           .filter((F.col("MONEDA") == moneda)
+                   & F.col("NOMBRE_CLIENTE").isNotNull()))
+    per_client = (
+        act.groupBy("NOMBRE_CLIENTE")
+        .agg(
+            F.coalesce(F.max(F.when(venta, F.col("ESTATUS_CLIENTE"))),
+                       F.lit("")).alias("ESTATUS_CLIENTE"),
+            F.sum(venta.cast("int")).cast("long").alias("NUM_FACTURAS_TOTALES"),
+            r2(F.sum(F.when(venta, r2(monto())).otherwise(0.0)))
+            .alias("TOTAL_CARGOS"),
+            r2(F.sum(F.when(F.col("TIPO_IMPTE") == "R", r2(monto()))
+                     .otherwise(0.0))).alias("TOTAL_ABONOS"),
+        )
+        .filter(F.col("NUM_FACTURAS_TOTALES") > 0)
+    )
+    abiertas = charges.filter(
+        (F.col("MONEDA") == moneda) & venta & (F.col("SALDO_FACTURA") > 0)
+        & F.col("NOMBRE_CLIENTE").isNotNull())
+    open_aggs = (
+        abiertas.groupBy("NOMBRE_CLIENTE")
+        .agg(F.count(F.lit(1)).cast("long").alias("NUM_FACTURAS_PENDIENTES"),
+             r2(F.sum("SALDO_FACTURA")).alias("SALDO_PENDIENTE"),
+             *[r2(F.sum(F.when(F.col("CATEGORIA_MORA") == lbl,
+                               F.col("SALDO_FACTURA")).otherwise(0.0)))
+               .alias(lbl) for lbl in labels])
+    )
+    joined = (
+        per_client.join(open_aggs, "NOMBRE_CLIENTE", "left")
+        .select(
+            "NOMBRE_CLIENTE", "ESTATUS_CLIENTE", "NUM_FACTURAS_TOTALES",
+            F.coalesce("NUM_FACTURAS_PENDIENTES", F.lit(0)).cast("long")
+            .alias("NUM_FACTURAS_PENDIENTES"),
+            "TOTAL_CARGOS", "TOTAL_ABONOS",
+            F.coalesce("SALDO_PENDIENTE", F.lit(0.0)).alias("SALDO_PENDIENTE"),
+            *[F.coalesce(lbl, F.lit(0.0)).alias(lbl) for lbl in labels],
+        )
+    )
+    from ..operators.sorting import dual_sort_keys
+    out = with_total_row(
+        joined, "NOMBRE_CLIENTE",
+        ["TOTAL_CARGOS", "TOTAL_ABONOS", "SALDO_PENDIENTE"] + labels,
+        int_sum_cols=["NUM_FACTURAS_TOTALES", "NUM_FACTURAS_PENDIENTES"],
+        const={"ESTATUS_CLIENTE": F.lit("")},
+    )
+    es_total = F.col("NOMBRE_CLIENTE") == "TOTAL"
+    keys = dual_sort_keys(F.col("SALDO_PENDIENTE"), F.col("NOMBRE_CLIENTE"))
+    return out.orderBy(es_total.cast("int").asc(), *keys,
+                       F.col("NOMBRE_CLIENTE").asc())
+
+
 def resumen_por_concepto(master: DataFrame, moneda: str = "MXN") -> DataFrame:
     """Charges and credits per concept — one conditional aggregation
     (restates the reference's full-outer join of two aggregates,

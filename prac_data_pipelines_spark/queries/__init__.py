@@ -32,11 +32,14 @@ _PRIORITY: tuple[str, ...] = (
     "knn_ivf", "events_hourly", "events_sessionize", "events_json",
     "multimodal_features", "sql_text", "distinct_values", "quantiles",
     "window_suite", "rollup_summary", "set_ops", "asof_latest_order",
-    "order_vs_customer_avg", "distribution_windows", "fuzzy_name_blocks",
+    "order_vs_customer_avg", "distribution_windows",
     "priority_late_lines", "customer_order_distribution",
     "large_quantity_orders", "parts_never_ordered", "rich_inactive_customers",
-    # re-implemented this round — needs a fresh driver verdict:
-    "doc_ngram_jaccard", "doc_dup_clusters",
+    # re-implemented in round 2 — needs a fresh driver verdict:
+    "doc_ngram_jaccard", "doc_dup_clusters", "doc_minhash_pairs",
+    "doc_curation", "fuzzy_name_blocks", "dual_sort", "zscore_outliers",
+    # new in round 2:
+    "cxc_antiguedad_cliente",
 )
 
 

@@ -150,6 +150,71 @@ register("cxc_antiguedad", q_cxc_antiguedad, SQL_CXC_ANTIGUEDAD)
 
 
 # --------------------------------------------------------------------------
+# cxc_antiguedad_cliente — per-client aging pivot with TOTAL row (MXN;
+# reference src/analytics.py:180-260). Two keyed conditional aggregations
+# joined on the client, buckets pivoted as conditional sums.
+# --------------------------------------------------------------------------
+
+def q_cxc_antiguedad_cliente(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pa.antiguedad_por_cliente(_master(spark, sf_dir), AS_OF_CXC, "MXN")
+
+
+_PIVOT_COLS = ", ".join(
+    f"""{_R2.format(f'''sum(CASE WHEN CATEGORIA_MORA = '{lbl}' THEN SALDO_FACTURA ELSE 0 END)''')} AS "{lbl}\""""
+    for _, _, lbl in RANGOS_ANTIGUEDAD)
+_PIVOT_NAMES = ", ".join(f'"{lbl}"' for _, _, lbl in RANGOS_ANTIGUEDAD)
+_PIVOT_ZERO = ", ".join(f'coalesce(a."{lbl}", 0.0) AS "{lbl}"'
+                        for _, _, lbl in RANGOS_ANTIGUEDAD)
+_PIVOT_TOTAL = ", ".join(_R2.format(f'sum("{lbl}")') + f' AS "{lbl}"'
+                         for _, _, lbl in RANGOS_ANTIGUEDAD)
+
+SQL_CXC_ANTIGUEDAD_CLIENTE = f"""{_BASE},
+por_cliente AS (
+  SELECT NOMBRE_CLIENTE,
+         coalesce(max(CASE WHEN {_ES_VENTA_SQL} THEN ESTATUS_CLIENTE END), '')
+           AS ESTATUS_CLIENTE,
+         sum(CASE WHEN {_ES_VENTA_SQL} THEN 1 ELSE 0 END)::BIGINT
+           AS NUM_FACTURAS_TOTALES,
+         {_R2.format(f'sum(CASE WHEN {_ES_VENTA_SQL} THEN {_MONTO_R2} ELSE 0 END)')}
+           AS TOTAL_CARGOS,
+         {_R2.format(f"sum(CASE WHEN TIPO_IMPTE = 'R' THEN {_MONTO_R2} ELSE 0 END)")}
+           AS TOTAL_ABONOS
+  FROM activos WHERE MONEDA = 'MXN' AND NOMBRE_CLIENTE IS NOT NULL
+  GROUP BY 1
+  HAVING sum(CASE WHEN {_ES_VENTA_SQL} THEN 1 ELSE 0 END) > 0
+),
+abiertos AS (
+  SELECT NOMBRE_CLIENTE,
+         count(*)::BIGINT AS NUM_FACTURAS_PENDIENTES,
+         {_R2.format('sum(SALDO_FACTURA)')} AS SALDO_PENDIENTE,
+         {_PIVOT_COLS}
+  FROM metricas
+  WHERE MONEDA = 'MXN' AND SALDO_FACTURA > 0 AND {_ES_VENTA_SQL}
+        AND NOMBRE_CLIENTE IS NOT NULL
+  GROUP BY 1
+),
+base AS (
+  SELECT p.NOMBRE_CLIENTE, p.ESTATUS_CLIENTE, p.NUM_FACTURAS_TOTALES,
+         coalesce(a.NUM_FACTURAS_PENDIENTES, 0)::BIGINT AS NUM_FACTURAS_PENDIENTES,
+         p.TOTAL_CARGOS, p.TOTAL_ABONOS,
+         coalesce(a.SALDO_PENDIENTE, 0.0) AS SALDO_PENDIENTE,
+         {_PIVOT_ZERO}
+  FROM por_cliente p LEFT JOIN abiertos a USING (NOMBRE_CLIENTE)
+)
+SELECT * FROM base
+UNION ALL
+SELECT 'TOTAL', '', sum(NUM_FACTURAS_TOTALES)::BIGINT,
+       sum(NUM_FACTURAS_PENDIENTES)::BIGINT,
+       {_R2.format('sum(TOTAL_CARGOS)')}, {_R2.format('sum(TOTAL_ABONOS)')},
+       {_R2.format('sum(SALDO_PENDIENTE)')}, {_PIVOT_TOTAL}
+FROM base
+"""
+
+register("cxc_antiguedad_cliente", q_cxc_antiguedad_cliente,
+         SQL_CXC_ANTIGUEDAD_CLIENTE)
+
+
+# --------------------------------------------------------------------------
 # cxc_cartera — current vs overdue split (MXN).
 # --------------------------------------------------------------------------
 

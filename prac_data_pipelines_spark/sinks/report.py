@@ -36,6 +36,8 @@ ANALISIS_SHEET_ORDER = [
     "cartera_vencida_vs_vigente_usd",
     "antiguedad_cartera_mxn",
     "antiguedad_cartera_usd",
+    "antiguedad_por_cliente_mxn",
+    "antiguedad_por_cliente_usd",
     "resumen_concepto_cxc_mxn",
     "resumen_concepto_cxc_usd",
     "resumen_cancelados_cxc_mxn",

@@ -13,6 +13,7 @@ EXPECTED_VIEWS = {
     "sin_tipo_cliente", "sin_vendedor", "saldos_cliente",
     "movimientos_totales_cxc",
     "antiguedad_cartera_mxn", "antiguedad_cartera_usd",
+    "antiguedad_por_cliente_mxn", "antiguedad_por_cliente_usd",
     "cartera_vencida_vs_vigente_mxn", "cartera_vencida_vs_vigente_usd",
     "resumen_concepto_cxc_mxn", "resumen_concepto_cxc_usd",
     "resumen_cancelados_cxc_mxn", "resumen_cancelados_cxc_usd",
