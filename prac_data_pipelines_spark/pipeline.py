@@ -116,6 +116,8 @@ def main() -> int:
     ap.add_argument("--out", default="output")
     ap.add_argument("--as-of", default=AS_OF_CXC)
     ap.add_argument("--skip-export", action="store_true")
+    ap.add_argument("--dashboard", type=int, metavar="PORT", default=None,
+                    help="serve the interactive dashboard on PORT and block")
     args = ap.parse_args()
 
     spark = get_spark("cxc-pipeline")
@@ -133,6 +135,17 @@ def main() -> int:
         ) if k in views}
         written.append(export_pdf_report(pdf_views, f"{args.out}/dashboard_cxc.pdf"))
         print(f"wrote {len(written)} artifacts to {args.out}")
+    if args.dashboard is not None:
+        import time
+
+        from .sinks.dashboard import serve_dashboard
+        server, port = serve_dashboard(views, args.dashboard)
+        print(f"dashboard: http://127.0.0.1:{port}/ (Ctrl-C to stop)")
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            server.shutdown()
     return 0
 
 
