@@ -39,7 +39,8 @@ _PRIORITY: tuple[str, ...] = (
     "doc_ngram_jaccard", "doc_dup_clusters", "doc_minhash_pairs",
     "doc_curation", "fuzzy_name_blocks", "dual_sort", "zscore_outliers",
     # new in round 2:
-    "cxc_antiguedad_cliente",
+    "cxc_antiguedad_cliente", "volume_shipping", "market_share",
+    "waiting_suppliers",
 )
 
 

@@ -181,3 +181,185 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 register("rich_inactive_customers", q_rich_inactive_customers,
          SQL_RICH_INACTIVE_CUSTOMERS)
+
+
+# --------------------------------------------------------------------------
+# volume_shipping — Q7 shape: the nation-to-nation trade-flow chain
+# (supplier→lineitem→orders→customer plus TWO roles of the nation dim).
+# Plan shape that matters at scale: both nation joins broadcast, the
+# lineitem⋈orders fan-in is the only big shuffle, and the bidirectional
+# nation-pair filter is pushed below the aggregation.
+# --------------------------------------------------------------------------
+
+_NATION_A, _NATION_B = "NATION_3", "NATION_7"
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nkey"),
+                       F.col("n_name").alias("nacion_prov"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nkey"),
+                       F.col("n_name").alias("nacion_cli"))
+    pair = (
+        ((F.col("nacion_prov") == _NATION_A) & (F.col("nacion_cli") == _NATION_B))
+        | ((F.col("nacion_prov") == _NATION_B) & (F.col("nacion_cli") == _NATION_A))
+    )
+    vol = r2(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("nacion_prov", "nacion_cli",
+                 F.year("l_shipdate").cast("long").alias("anio"))
+        .agg(r2(F.sum(vol)).alias("volumen"),
+             F.count(F.lit(1)).cast("long").alias("n_lineas"))
+        .orderBy("nacion_prov", "nacion_cli", "anio")
+    )
+
+
+SQL_VOLUME_SHIPPING = f"""
+SELECT n1.n_name AS nacion_prov, n2.n_name AS nacion_cli,
+       year(l_shipdate)::BIGINT AS anio,
+       floor(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100)
+             * 100 + 0.5) / 100 AS volumen,
+       count(*)::BIGINT AS n_lineas
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = '{_NATION_A}' AND n2.n_name = '{_NATION_B}')
+   OR (n1.n_name = '{_NATION_B}' AND n2.n_name = '{_NATION_A}')
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+register("volume_shipping", q_volume_shipping, SQL_VOLUME_SHIPPING)
+
+
+# --------------------------------------------------------------------------
+# market_share — Q8 shape: one nation's share of a region's order volume
+# per year — a 6-table join tree reduced by a conditional-sum ratio
+# (numerator and denominator in ONE aggregation pass, no second scan).
+# --------------------------------------------------------------------------
+
+_SHARE_NATION = "NATION_5"
+_SHARE_REGION = "ASIA"
+_SHARE_PTYPE = "PROMO"
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rounding import r6
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == _SHARE_PTYPE)
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == _SHARE_REGION)
+    n_cust = (nation.join(F.broadcast(region),
+                          nation.n_regionkey == region.r_regionkey)
+              .select(F.col("n_nationkey").alias("c_nkey")))
+    n_supp = nation.select(F.col("n_nationkey").alias("s_nkey"),
+                           F.col("n_name").alias("nacion_prov"))
+    vol = r2(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    es_objetivo = (F.col("nacion_prov") == _SHARE_NATION)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("c_nkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("anio"))
+        .agg(r6(F.sum(F.when(es_objetivo, vol).otherwise(0.0))
+                / F.sum(vol)).alias("cuota"),
+             r2(F.sum(vol)).alias("volumen_total"))
+        .orderBy("anio")
+    )
+
+
+SQL_MARKET_SHARE = f"""
+SELECT year(o_orderdate)::BIGINT AS anio,
+       floor(sum(CASE WHEN n2.n_name = '{_SHARE_NATION}'
+                 THEN floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100
+                 ELSE 0 END)
+             / sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100)
+             * 1000000 + 0.5) / 1000000 AS cuota,
+       floor(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100)
+             * 100 + 0.5) / 100 AS volumen_total
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = '{_SHARE_PTYPE}' AND r_name = '{_SHARE_REGION}'
+GROUP BY 1 ORDER BY 1
+"""
+
+register("market_share", q_market_share, SQL_MARKET_SHARE)
+
+
+# --------------------------------------------------------------------------
+# waiting_suppliers — Q21 shape: the double-correlated EXISTS / NOT EXISTS
+# self-join on the fact table (suppliers whose line was the ONLY returned
+# one on a multi-supplier order; the synthetic lineitem has no
+# receipt/commit dates, so the returnflag stands in for "late").
+# Planned as one semi- and one anti-join on the order key — the fact
+# table self-joins shuffle on the same key, so AQE reuses the exchange.
+# --------------------------------------------------------------------------
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_returnflag") == "R")
+    others = li.select(F.col("l_orderkey").alias("o_key"),
+                       F.col("l_suppkey").alias("o_supp"))
+    late_others = late.select(F.col("l_orderkey").alias("lo_key"),
+                              F.col("l_suppkey").alias("lo_supp"))
+    base = late.select("l_orderkey", "l_suppkey").dropDuplicates()
+    exists_other = base.join(
+        others,
+        (base.l_orderkey == others.o_key) & (base.l_suppkey != others.o_supp),
+        "left_semi")
+    only_late = exists_other.join(
+        late_others,
+        (exists_other.l_orderkey == F.col("lo_key"))
+        & (exists_other.l_suppkey != F.col("lo_supp")),
+        "left_anti")
+    return (
+        only_late.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("ordenes_retrasadas"))
+        .orderBy(F.col("ordenes_retrasadas").desc(), F.col("l_suppkey").asc())
+        .limit(20)
+    )
+
+
+SQL_WAITING_SUPPLIERS = """
+WITH base AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_returnflag = 'R'
+)
+SELECT b.l_suppkey, count(*)::BIGINT AS ordenes_retrasadas
+FROM base b
+WHERE EXISTS (SELECT 1 FROM lineitem o
+              WHERE o.l_orderkey = b.l_orderkey AND o.l_suppkey <> b.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem lo
+                  WHERE lo.l_orderkey = b.l_orderkey
+                    AND lo.l_suppkey <> b.l_suppkey
+                    AND lo.l_returnflag = 'R')
+GROUP BY b.l_suppkey
+ORDER BY ordenes_retrasadas DESC, l_suppkey ASC LIMIT 20
+"""
+
+register("waiting_suppliers", q_waiting_suppliers, SQL_WAITING_SUPPLIERS)

@@ -63,6 +63,18 @@ def test_zscore_attaches_stats_by_broadcast(spark, sf_dir):
     assert "Window" not in plan
 
 
+def test_trade_flow_chains_broadcast_dims(spark, sf_dir):
+    """Q7/Q8 shapes: every dimension (nation x2, region, part filter) must
+    broadcast; only the fact-side joins may shuffle."""
+    from prac_data_pipelines_spark.queries.tpch import (
+        q_market_share,
+        q_volume_shipping,
+    )
+
+    assert _plan(q_volume_shipping(spark, sf_dir)).count("BroadcastHashJoin") >= 2
+    assert _plan(q_market_share(spark, sf_dir)).count("BroadcastHashJoin") >= 3
+
+
 def test_no_python_udfs_in_relational_queries(spark, sf_dir):
     """UDF policy: no Python evaluation nodes anywhere in the relational,
     text, or vector query surface (multimodal mapInPandas is the one
