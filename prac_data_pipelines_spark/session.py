@@ -60,3 +60,33 @@ def get_spark(app_name: str = "prac_data_pipelines_spark",
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
     )
     return builder.getOrCreate()
+
+
+def tune_for_input(spark: SparkSession, input_dir: str,
+                   target_partition_bytes: int = 128 * 1024 * 1024) -> int:
+    """Size shuffle parallelism from the actual input volume.
+
+    One static ``spark.sql.shuffle.partitions`` cannot fit both sf0.01 and
+    100 TB: too few partitions → spills and stragglers at scale; AQE can
+    coalesce surplus partitions downward at runtime but can only split
+    partitions the skew-join handler recognizes. So set the UPPER bound
+    from data size — ceil(input_bytes / target) clamped to
+    [2x cores, 20000] — and let AQE coalesce below it. Returns the value
+    set. Local filesystem paths only (on a cluster, size the same formula
+    from the catalog/object-store listing).
+    """
+    import math
+
+    total = 0
+    for root, _dirs, files in os.walk(input_dir):
+        for name in files:
+            if not name.startswith(("_", ".")):
+                try:
+                    total += os.path.getsize(os.path.join(root, name))
+                except OSError:
+                    pass
+    cores = spark.sparkContext.defaultParallelism
+    parts = max(2 * cores,
+                min(20_000, math.ceil(total / target_partition_bytes)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    return parts

@@ -83,3 +83,20 @@ def test_zscore_guards(spark):
     flat = spark.createDataFrame([(5.0,)] * 4, ["x"])
     z2 = zscore_columns(flat, "x", z_col="z", flag_col="f")
     assert all(r["z"] is None for r in z2.collect())
+
+
+def test_tune_for_input_scales_with_volume(spark, sf_dir):
+    from prac_data_pipelines_spark.session import tune_for_input
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        # report-sized input: floor at 2x cores (AQE coalesces below)
+        assert tune_for_input(spark, sf_dir) == 2 * cores
+        # same bytes against a tiny target: partition count grows with the
+        # input/target ratio, proving the formula tracks volume
+        many = tune_for_input(spark, sf_dir, target_partition_bytes=1024)
+        assert many > 2 * cores
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == many
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
