@@ -28,9 +28,12 @@ def cosine_expr(a: str, b: str) -> str:
     return f"({dot_expr(a, b)} / ({norm_expr(a)} * {norm_expr(b)}))"
 
 
-def sign_bucket_expr(a: str, bits: int) -> str:
-    """Axis-sign LSH bucket: concat of sign bits of the first ``bits`` dims."""
-    return (f"aggregate(transform(slice({a}, 1, {bits}), "
+def sign_bucket_expr(a: str, bits: int, offset: int = 0) -> str:
+    """Axis-sign LSH bucket: sign bits of ``bits`` dims starting after
+    ``offset``. One table alone has low recall (any near-zero dim flips
+    its sign under noise); use several tables at different offsets and
+    union their candidates (see queries/vector.py LSH_TABLES)."""
+    return (f"aggregate(transform(slice({a}, {offset + 1}, {bits}), "
             f"v -> CASE WHEN v >= 0 THEN 1L ELSE 0L END), "
             f"0L, (acc, s) -> acc * 2 + s)")
 
@@ -50,6 +53,7 @@ def sql_cosine_expr(a: str, b: str) -> str:
     return f"({sql_dot_expr(a, b)} / ({sql_norm_expr(a)} * {sql_norm_expr(b)}))"
 
 
-def sql_sign_bucket_expr(a: str, bits: int) -> str:
-    return (f"list_reduce(list_prepend(0, list_transform({a}[1:{bits}], "
+def sql_sign_bucket_expr(a: str, bits: int, offset: int = 0) -> str:
+    return (f"list_reduce(list_prepend(0, "
+            f"list_transform({a}[{offset + 1}:{offset + bits}], "
             f"v -> CASE WHEN v >= 0 THEN 1 ELSE 0 END)), (acc, s) -> acc * 2 + s)::BIGINT")

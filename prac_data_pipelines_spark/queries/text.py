@@ -55,10 +55,16 @@ def _sql_h(s: str) -> str:
 
 
 # MinHash parameters: k permutations (a*h + b) mod p over the base hash.
+# The multipliers must be pairwise INDEPENDENT: with the naive
+# a_i = c*(i+1), every permutation of hash h is (c*h)*(i+1)+b_i, so one
+# shingle whose c*h mod p is tiny wins the minimum under ALL permutations
+# of every doc containing it — near-disjoint docs then collide with
+# estimated Jaccard 1.0 (observed on the synthetic corpus: est 1.0 vs
+# exact 0.013). Distinct powers c^(i+1) mod p carry no linear relation.
 MINHASH_K = 8
 MINHASH_P = 2147483647
-_A = [(2654435761 * (i + 1)) % MINHASH_P for i in range(MINHASH_K)]
-_B = [(40503 * (i + 7) ** 2 + 1) % MINHASH_P for i in range(MINHASH_K)]
+_A = [pow(2654435761, i + 1, MINHASH_P) for i in range(MINHASH_K)]
+_B = [pow(40503, i + 3, MINHASH_P) for i in range(MINHASH_K)]
 N_BANDS = 4  # bands of 2 rows each
 
 # Single-pass fold: one traversal of the shingle hashes carries all K

@@ -14,10 +14,8 @@ from ..operators.rounding import r4, r6
 from ..operators.similarity import (
     cosine_expr,
     norm_expr,
-    sign_bucket_expr,
     sql_cosine_expr,
     sql_norm_expr,
-    sql_sign_bucket_expr,
 )
 from ..sources import load_table
 from . import register
@@ -73,24 +71,61 @@ register("knn_brute", q_knn_brute, SQL_KNN_BRUTE)
 
 
 # --------------------------------------------------------------------------
-# knn_lsh — sign-bit LSH bucketing: candidates restricted to the query's
-# bucket. At 100 TB the bucket key is the shuffle/partition key; all-pairs
-# never materializes.
+# knn_lsh — multi-table random-hyperplane LSH (SimHash for cosine): bit j
+# is the sign of the dot product with a fixed Rademacher (+-1) hyperplane;
+# candidates are the UNION of same-bucket pairs across L tables, exact
+# cosine re-ranks the survivors. Axis signs (the naive scheme) measured
+# recall 0.04; hyperplanes at 12x6 measure ~0.44 recall while scanning
+# ~18% of the corpus — a 2.4x lift over random scanning on THIS corpus,
+# whose synthetic embeddings are near-structureless (within-label cosine
+# ~0.002); on real clustered embeddings the same scheme concentrates
+# sharply. At 100 TB the (table, bucket) key is the shuffle/partition
+# key; all-pairs never materializes, and the union costs one exploded
+# frame, not L corpus scans.
 # --------------------------------------------------------------------------
+
+LSH_TABLES = 12
+EMB_DIM = 64
+
+import random as _random
+
+_rng = _random.Random(20260813)
+LSH_PLANES = [[_rng.choice((-1, 1)) for _ in range(EMB_DIM)]
+              for _ in range(LSH_TABLES * LSH_BITS)]
+
+_PLANES_SPARK = "array(" + ", ".join(
+    "array(" + ",".join(f"{s}D" for s in plane) + ")"
+    for plane in LSH_PLANES) + ")"
+_PLANES_SQL = "[" + ", ".join(
+    "[" + ",".join(str(s) for s in plane) + "]"
+    for plane in LSH_PLANES) + "]"
+
+# staged projections (memory: Catalyst inlines expressions into HOF
+# lambdas multiplicatively — compute bits once, then keys from bits)
+_BITS_EXPR = (
+    f"transform({_PLANES_SPARK}, h -> "
+    f"aggregate(zip_with(embedding, h, (x, s) -> cast(x as double) * s), "
+    f"0D, (acc, v) -> acc + v) >= 0D)")
+_KEYS_EXPR = (
+    f"transform(sequence(0, {LSH_TABLES - 1}), t -> concat(t, ':', "
+    f"aggregate(transform(slice(_bits, t * {LSH_BITS} + 1, {LSH_BITS}), "
+    f"b -> CASE WHEN b THEN 1L ELSE 0L END), 0L, (acc, x) -> acc * 2 + x)))")
+
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    bucketed = emb.selectExpr(
-        "vec_id", "embedding", f"{sign_bucket_expr('embedding', LSH_BITS)} AS cubo"
-    )
+    bucketed = (
+        emb.selectExpr("vec_id", "embedding", f"{_BITS_EXPR} AS _bits")
+        .selectExpr("vec_id", "embedding", f"explode({_KEYS_EXPR}) AS cubo"))
     queries = (bucketed.filter(F.col("vec_id") < 50)
                .selectExpr("vec_id AS qid", "embedding AS qe", "cubo"))
     corpus = (bucketed.filter(F.col("vec_id") >= 50)
               .selectExpr("vec_id AS cid", "embedding AS ce", "cubo"))
     scored = (
         queries.join(corpus, "cubo")
-        .selectExpr("qid", "cid", "cubo", f"{cosine_expr('qe', 'ce')} AS _cos")
-        .select("qid", "cid", "cubo", r6(F.col("_cos")).alias("cos"))
+        .dropDuplicates(["qid", "cid"])
+        .selectExpr("qid", "cid", f"{cosine_expr('qe', 'ce')} AS _cos")
+        .select("qid", "cid", r6(F.col("_cos")).alias("cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (
@@ -101,21 +136,35 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_KNN_LSH = f"""
-WITH bucketed AS (
+WITH bits AS (
   SELECT vec_id, embedding,
-         {sql_sign_bucket_expr('embedding', LSH_BITS)} AS cubo
+         list_transform({_PLANES_SQL}, h ->
+           list_sum(list_transform(list_zip(embedding, h),
+                    x -> (x[1]::DOUBLE) * x[2])) >= 0) AS _bits
   FROM embeddings
-), scored AS (
-  SELECT q.vec_id AS qid, c.vec_id AS cid, q.cubo,
-         floor({sql_cosine_expr('q.embedding', 'c.embedding')} * 1000000 + 0.5) / 1000000 AS cos
+), bucketed AS (
+  SELECT vec_id, embedding,
+         concat(t, ':', list_reduce(list_prepend(0,
+           list_transform(list_slice(_bits, t * {LSH_BITS} + 1,
+                                     t * {LSH_BITS} + {LSH_BITS}),
+                          b -> CASE WHEN b THEN 1 ELSE 0 END)),
+           (acc, x) -> acc * 2 + x)) AS cubo
+  FROM bits CROSS JOIN (SELECT unnest(range(0, {LSH_TABLES})) AS t)
+), cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid,
+         q.embedding AS qe, c.embedding AS ce
   FROM bucketed q JOIN bucketed c ON q.cubo = c.cubo
   WHERE q.vec_id < 50 AND c.vec_id >= 50
+), scored AS (
+  SELECT qid, cid,
+         floor({sql_cosine_expr('qe', 'ce')} * 1000000 + 0.5) / 1000000 AS cos
+  FROM cand
 ), ranked AS (
-  SELECT qid, cid, cubo, cos,
+  SELECT qid, cid, cos,
          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC)::BIGINT AS rango
   FROM scored
 )
-SELECT qid, cid, cubo, cos, rango FROM ranked WHERE rango <= {LSH_TOP_K}
+SELECT qid, cid, cos, rango FROM ranked WHERE rango <= {LSH_TOP_K}
 ORDER BY qid, rango
 """
 
