@@ -46,6 +46,12 @@ HEADLINE = [
     "customer_order_distribution",
     "large_quantity_orders",
     "asof_latest_order",
+    "volume_shipping",
+    "market_share",
+    "waiting_suppliers",
+    "knn_lsh",
+    "doc_dup_clusters",
+    "cxc_antiguedad_cliente",
 ]
 
 

@@ -40,7 +40,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_curation", "fuzzy_name_blocks", "dual_sort", "zscore_outliers",
     # new in round 2:
     "cxc_antiguedad_cliente", "volume_shipping", "market_share",
-    "waiting_suppliers",
+    "waiting_suppliers", "kmeans_embeddings", "knn_lsh",
 )
 
 

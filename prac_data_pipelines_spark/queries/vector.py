@@ -275,3 +275,106 @@ ORDER BY qid, rango
 """
 
 register("knn_ivf", q_knn_ivf, SQL_KNN_IVF)
+
+
+# --------------------------------------------------------------------------
+# kmeans_embeddings — distributed Lloyd's k-means over the embedding
+# corpus: deterministic init (first K vectors), 3 refinement rounds of
+# assign-to-nearest-centroid (cosine, broadcast centroids) followed by a
+# per-dimension mean (posexplode -> groupBy(centroid, dim) -> rebuild
+# array), means rounded to 1e-6 so both engines agree bit-for-bit despite
+# different floating-point summation orders. This is the trained-centroid
+# path the IVF index swaps in at deployment (q_knn_ivf's first-N
+# assignment keeps the identical plan shape). Oracle: the SAME three
+# rounds unrolled as SQL CTEs.
+# --------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _assign_to(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment by cosine (ties -> lowest centroid id)."""
+    scored = (
+        emb.crossJoin(broadcast(centroids))
+        .selectExpr("vec_id", "embedding", "centroid_id",
+                    f"{cosine_expr('embedding', 'ce')} AS _sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_sim").desc(),
+                                             F.col("centroid_id").asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1").select("vec_id", "embedding", "centroid_id"))
+
+
+def _recenter(assigned: DataFrame) -> DataFrame:
+    """Per-dimension mean of each cluster, rounded 1e-6 for parity."""
+    dims = assigned.select("centroid_id",
+                           F.posexplode("embedding").alias("d", "v"))
+    means = (dims.groupBy("centroid_id", "d")
+             .agg(F.expr("floor(avg(cast(v as double)) * 1000000 + 0.5) "
+                         "/ 1000000").alias("m")))
+    return (means.groupBy("centroid_id")
+            .agg(F.expr("transform(array_sort(collect_list(struct(d, m))), "
+                        "s -> s.m)").alias("ce")))
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).selectExpr(
+        "vec_id", "transform(embedding, v -> cast(v as double)) AS embedding")
+    centroids = (emb.filter(F.col("vec_id") < KMEANS_K)
+                 .selectExpr("vec_id AS centroid_id", "embedding AS ce"))
+    for _ in range(KMEANS_ITERS):
+        assigned = _assign_to(emb, centroids)
+        centroids = _recenter(assigned)
+    final = _assign_to(emb, centroids)
+    scored = (
+        final.join(broadcast(centroids), "centroid_id")
+        .selectExpr("centroid_id", f"{cosine_expr('embedding', 'ce')} AS _cos"))
+    return (
+        scored.groupBy(F.col("centroid_id").cast("long").alias("centroid_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectores"),
+             r4(F.avg("_cos")).alias("cohesion"))
+        .orderBy("centroid_id")
+    )
+
+
+def _sql_assign(emb_cte: str, cent_cte: str) -> str:
+    return f"""(
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine_expr('e.embedding', 'c.ce')} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM {emb_cte} e CROSS JOIN {cent_cte} c
+  ) WHERE rn = 1
+)"""
+
+
+_SQL_RECENTER = """(
+  SELECT centroid_id, list(m ORDER BY d) AS ce FROM (
+    SELECT centroid_id, d,
+           floor(avg(embedding[d + 1]::DOUBLE) * 1000000 + 0.5) / 1000000 AS m
+    FROM {src} CROSS JOIN (SELECT unnest(range(0, 64)) AS d)
+    GROUP BY centroid_id, d
+  ) GROUP BY centroid_id
+)"""
+
+SQL_KMEANS_EMBEDDINGS = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS embedding
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS centroid_id, embedding AS ce FROM emb
+  WHERE vec_id < {KMEANS_K}
+), a1 AS {_sql_assign('emb', 'c0')}, c1 AS {_SQL_RECENTER.format(src='a1')},
+a2 AS {_sql_assign('emb', 'c1')}, c2 AS {_SQL_RECENTER.format(src='a2')},
+a3 AS {_sql_assign('emb', 'c2')}, c3 AS {_SQL_RECENTER.format(src='a3')},
+final AS {_sql_assign('emb', 'c3')}
+SELECT f.centroid_id::BIGINT AS centroid_id, count(*)::BIGINT AS n_vectores,
+       floor(avg({sql_cosine_expr('f.embedding', 'c.ce')}) * 10000 + 0.5) / 10000
+         AS cohesion
+FROM final f JOIN c3 c ON f.centroid_id = c.centroid_id
+GROUP BY f.centroid_id ORDER BY f.centroid_id
+"""
+
+register("kmeans_embeddings", q_kmeans_embeddings, SQL_KMEANS_EMBEDDINGS)
