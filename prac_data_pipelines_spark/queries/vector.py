@@ -203,81 +203,6 @@ register("embedding_norms", q_embedding_norms, SQL_EMBEDDING_NORMS)
 
 
 # --------------------------------------------------------------------------
-# knn_ivf — IVF-style ANN: every vector is assigned to its nearest centroid
-# (deterministic centroid set = the first N_CENTROIDS vectors, broadcast),
-# and search is restricted to the query's inverted list. At scale the
-# centroid assignment partitions the corpus; a real deployment trains
-# centroids with k-means and probes >1 list — the plan shape is identical.
-# --------------------------------------------------------------------------
-
-N_CENTROIDS = 8
-IVF_TOP_K = 3
-
-
-def _assigned(emb: DataFrame) -> DataFrame:
-    centroids = (emb.filter(F.col("vec_id") < N_CENTROIDS)
-                 .selectExpr("vec_id AS centroid_id", "embedding AS ce"))
-    scored = (
-        emb.crossJoin(broadcast(centroids))
-        .selectExpr("vec_id", "embedding", "centroid_id",
-                    f"{cosine_expr('embedding', 'ce')} AS _sim")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("_sim").desc(),
-                                             F.col("centroid_id").asc())
-    return (scored.withColumn("_rn", F.row_number().over(w))
-            .filter("_rn = 1").select("vec_id", "embedding", "centroid_id"))
-
-
-def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    assigned = _assigned(emb).cache()
-    queries = (assigned.filter(F.col("vec_id") < 40)
-               .selectExpr("vec_id AS qid", "embedding AS qe", "centroid_id"))
-    corpus = (assigned.filter(F.col("vec_id") >= 40)
-              .selectExpr("vec_id AS cid", "embedding AS ce", "centroid_id"))
-    scored = (
-        queries.join(corpus, "centroid_id")
-        .selectExpr("qid", "cid", "centroid_id", f"{cosine_expr('qe', 'ce')} AS _cos")
-        .select("qid", "cid", "centroid_id", r6(F.col("_cos")).alias("cos"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
-    return (
-        scored.withColumn("rango", F.row_number().over(w).cast("long"))
-        .filter(F.col("rango") <= IVF_TOP_K)
-        .orderBy("qid", "rango")
-    )
-
-
-SQL_KNN_IVF = f"""
-WITH centroids AS (
-  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
-  WHERE vec_id < {N_CENTROIDS}
-), assigned AS (
-  SELECT vec_id, embedding, centroid_id FROM (
-    SELECT e.vec_id, e.embedding, c.centroid_id,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY {sql_cosine_expr('e.embedding', 'c.ce')} DESC,
-                                       c.centroid_id ASC) AS rn
-    FROM embeddings e CROSS JOIN centroids c
-  ) WHERE rn = 1
-), scored AS (
-  SELECT q.vec_id AS qid, c.vec_id AS cid, q.centroid_id,
-         floor({sql_cosine_expr('q.embedding', 'c.embedding')} * 1000000 + 0.5) / 1000000 AS cos
-  FROM assigned q JOIN assigned c ON q.centroid_id = c.centroid_id
-  WHERE q.vec_id < 40 AND c.vec_id >= 40
-), ranked AS (
-  SELECT qid, cid, centroid_id, cos,
-         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC)::BIGINT AS rango
-  FROM scored
-)
-SELECT qid, cid, centroid_id, cos, rango FROM ranked WHERE rango <= {IVF_TOP_K}
-ORDER BY qid, rango
-"""
-
-register("knn_ivf", q_knn_ivf, SQL_KNN_IVF)
-
-
-# --------------------------------------------------------------------------
 # kmeans_embeddings — distributed Lloyd's k-means over the embedding
 # corpus: deterministic init (first K vectors), 3 refinement rounds of
 # assign-to-nearest-centroid (cosine, broadcast centroids) followed by a
@@ -378,3 +303,88 @@ GROUP BY f.centroid_id ORDER BY f.centroid_id
 """
 
 register("kmeans_embeddings", q_kmeans_embeddings, SQL_KMEANS_EMBEDDINGS)
+
+
+# --------------------------------------------------------------------------
+# knn_ivf — IVF ANN over TRAINED centroids: the Lloyd's k-means below
+# (kmeans_embeddings) provides the coarse quantizer; every corpus vector
+# joins its nearest list, and each query probes its IVF_NPROBE nearest
+# lists (multi-probe — single-probe recall is bounded by how often the
+# true neighbor shares the query's one list). At scale the centroid
+# assignment partitions the corpus (the inverted lists ARE the shuffle
+# partitioning) and centroids broadcast.
+# --------------------------------------------------------------------------
+
+IVF_TOP_K = 3
+IVF_NPROBE = 2
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).selectExpr(
+        "vec_id", "transform(embedding, v -> cast(v as double)) AS embedding")
+    centroids = (emb.filter(F.col("vec_id") < KMEANS_K)
+                 .selectExpr("vec_id AS centroid_id", "embedding AS ce"))
+    for _ in range(KMEANS_ITERS):
+        centroids = _recenter(_assign_to(emb, centroids))
+    centroids = centroids.cache()
+
+    scored = (
+        emb.crossJoin(broadcast(centroids))
+        .selectExpr("vec_id", "embedding", "centroid_id",
+                    f"{cosine_expr('embedding', 'ce')} AS _sim"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("_sim").desc(), F.col("centroid_id").asc())
+    ranked = scored.withColumn("_rn", F.row_number().over(w_assign)).cache()
+    queries = (ranked.filter((F.col("vec_id") < 40)
+                             & (F.col("_rn") <= IVF_NPROBE))
+               .selectExpr("vec_id AS qid", "embedding AS qe", "centroid_id"))
+    corpus = (ranked.filter((F.col("vec_id") >= 40) & (F.col("_rn") == 1))
+              .selectExpr("vec_id AS cid", "embedding AS ce", "centroid_id"))
+    scored_pairs = (
+        queries.join(corpus, "centroid_id")
+        .dropDuplicates(["qid", "cid"])
+        .selectExpr("qid", "cid", f"{cosine_expr('qe', 'ce')} AS _cos")
+        .select("qid", "cid", r6(F.col("_cos")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored_pairs.withColumn("rango", F.row_number().over(w).cast("long"))
+        .filter(F.col("rango") <= IVF_TOP_K)
+        .orderBy("qid", "rango")
+    )
+
+
+SQL_KNN_IVF = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS embedding
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS centroid_id, embedding AS ce FROM emb
+  WHERE vec_id < {KMEANS_K}
+), a1 AS {_sql_assign('emb', 'c0')}, c1 AS {_SQL_RECENTER.format(src='a1')},
+a2 AS {_sql_assign('emb', 'c1')}, c2 AS {_SQL_RECENTER.format(src='a2')},
+a3 AS {_sql_assign('emb', 'c2')}, c3 AS {_SQL_RECENTER.format(src='a3')},
+ranked_assign AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {sql_cosine_expr('e.embedding', 'c.ce')} DESC,
+                                     c.centroid_id ASC) AS rn
+  FROM emb e CROSS JOIN c3 c
+), scored AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid,
+         floor({sql_cosine_expr('q.embedding', 'c.embedding')} * 1000000 + 0.5) / 1000000 AS cos
+  FROM ranked_assign q JOIN ranked_assign c ON q.centroid_id = c.centroid_id
+  WHERE q.vec_id < 40 AND q.rn <= {IVF_NPROBE}
+    AND c.vec_id >= 40 AND c.rn = 1
+), ranked AS (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC)::BIGINT AS rango
+  FROM scored
+)
+SELECT qid, cid, cos, rango FROM ranked WHERE rango <= {IVF_TOP_K}
+ORDER BY qid, rango
+"""
+
+register("knn_ivf", q_knn_ivf, SQL_KNN_IVF)
+
+
