@@ -114,6 +114,16 @@ def stream_purchase_error_join(events: DataFrame) -> DataFrame:
         "p_user", "p_event", "e_event", "p_ts", "e_ts")
 
 
+def stream_exact_dedup(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup on the event id — the streaming face of the
+    batch dedup family: state holds one entry per id and the watermark
+    bounds it (ids older than the watermark are evicted, so state is
+    O(ids-per-watermark-window), not O(stream)). The at-scale contract
+    for exactly-once event ingestion."""
+    return (events.withWatermark("ts", WATERMARK)
+            .dropDuplicatesWithinWatermark(["event_id"]))
+
+
 def run_to_memory(stream_df: DataFrame, table_name: str,
                   output_mode: str = "complete") -> None:
     """Drain all available input into an in-memory sink (test/dev helper)."""

@@ -101,3 +101,30 @@ def test_stream_sessionize(spark, stream_dir):
     for r in rows:
         assert r["fin"] >= r["inicio"]
         assert r["n_eventos"] >= 1
+
+
+def test_stream_exact_dedup_matches_batch_distinct(spark, stream_dir, sf_dir):
+    """A source with every event duplicated must come out with each
+    event_id exactly once, agreeing with the batch distinct count."""
+    import shutil as _sh
+
+    from prac_data_pipelines_spark.sources import load_table
+    from prac_data_pipelines_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+        stream_exact_dedup,
+    )
+
+    dup_dir = tempfile.mkdtemp(prefix="events_dup_")
+    try:
+        _sh.copy(f"{stream_dir}/part-0.parquet", f"{dup_dir}/part-0.parquet")
+        _sh.copy(f"{stream_dir}/part-0.parquet", f"{dup_dir}/part-1.parquet")
+        deduped = stream_exact_dedup(read_event_stream(spark, dup_dir))
+        run_to_memory(deduped, "dedup_out", output_mode="append")
+        got = spark.table("dedup_out")
+        n_batch = load_table(spark, sf_dir, "events") \
+            .select("event_id").distinct().count()
+        assert got.count() == n_batch
+        assert got.select("event_id").distinct().count() == n_batch
+    finally:
+        _sh.rmtree(dup_dir, ignore_errors=True)
