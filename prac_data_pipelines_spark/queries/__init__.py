@@ -41,6 +41,7 @@ _PRIORITY: tuple[str, ...] = (
     # new in round 2:
     "cxc_antiguedad_cliente", "volume_shipping", "market_share",
     "waiting_suppliers", "kmeans_embeddings", "knn_lsh",
+    "doc_simhash_pairs", "emb_near_dup", "knn_ivf",
 )
 
 

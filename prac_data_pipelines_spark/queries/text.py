@@ -744,3 +744,66 @@ GROUP BY source ORDER BY source
 """
 
 register("doc_sample", q_doc_sample, SQL_DOC_SAMPLE)
+
+
+# --------------------------------------------------------------------------
+# doc_simhash_pairs — SimHash near-dup candidates: 28-bit fingerprints
+# banded into 4 x 7-bit keys; a pair within Hamming distance 3 differs in
+# at most 3 bands, so by pigeonhole it agrees EXACTLY on at least one
+# band — the band join has guaranteed recall at the threshold, and the
+# quadratic work is confined to band buckets (same structure as MinHash
+# LSH, integer keys instead of signature slices).
+# --------------------------------------------------------------------------
+
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 7  # 4 x 7 = 28 bits
+SIMHASH_MAX_HAMMING = 3
+
+
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = q_doc_simhash(spark, sf_dir)
+    bands = sim.selectExpr(
+        "doc_id", "simhash",
+        f"explode(transform(sequence(0, {SIMHASH_BANDS - 1}), b -> "
+        f"concat(b, ':', (shiftright(simhash, b * {SIMHASH_BAND_BITS}) "
+        f"& {2 ** SIMHASH_BAND_BITS - 1})))) AS banda")
+    left = bands.select(F.col("doc_id").alias("d1"),
+                        F.col("simhash").alias("s1"), "banda")
+    right = bands.select(F.col("doc_id").alias("d2"),
+                         F.col("simhash").alias("s2"), "banda")
+    return (
+        left.join(right, "banda")
+        .filter(F.col("d1") < F.col("d2"))
+        .dropDuplicates(["d1", "d2"])
+        .withColumn("hamming", F.expr("bit_count(s1 ^ s2)").cast("long"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    )
+
+
+SQL_DOC_SIMHASH_PAIRS = f"""
+WITH hs AS (
+  SELECT doc_id, list_transform({SQL_WORDS}, w -> {_sql_h('w')}) AS hs
+  FROM documents
+), sim AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, {SIMHASH_BITS}), b ->
+           CASE WHEN list_sum(list_transform(hs, h ->
+                  CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+  FROM hs
+), bands AS (
+  SELECT doc_id, simhash,
+         concat(b, ':', (simhash >> (b * {SIMHASH_BAND_BITS}))
+                        & {2 ** SIMHASH_BAND_BITS - 1}) AS banda
+  FROM sim CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BANDS})) AS b)
+)
+SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+       bit_count(xor(l.simhash, r.simhash))::BIGINT AS hamming
+FROM bands l JOIN bands r ON l.banda = r.banda AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY d1, d2
+"""
+
+register("doc_simhash_pairs", q_doc_simhash_pairs, SQL_DOC_SIMHASH_PAIRS)

@@ -388,3 +388,75 @@ ORDER BY qid, rango
 register("knn_ivf", q_knn_ivf, SQL_KNN_IVF)
 
 
+
+
+# --------------------------------------------------------------------------
+# emb_near_dup — embedding-cosine near-duplicate detection: candidates
+# from the SAME multi-table hyperplane buckets as knn_lsh, exact cosine
+# verify at NEAR_DUP_COS, keep-lowest-id winner per pair. Duplicates are
+# synthesized deterministically (a re-keyed copy of vec_id < 30, the
+# doc_exact_dedup pattern) so the operator is demonstrable on the
+# near-structureless synthetic corpus; identical vectors share EVERY
+# bucket, so recall at cos=1 is guaranteed. At scale this is the
+# embedding-space member of the dedup family: bucket-join + verify,
+# never all-pairs.
+# --------------------------------------------------------------------------
+
+NEAR_DUP_COS = 0.98
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    copies = (emb.filter(F.col("vec_id") < 30)
+              .withColumn("vec_id", F.col("vec_id") + 1000000))
+    union = emb.unionByName(copies)
+    bucketed = (
+        union.selectExpr("vec_id", "embedding", f"{_BITS_EXPR} AS _bits")
+        .selectExpr("vec_id", "embedding", f"explode({_KEYS_EXPR}) AS cubo"))
+    left = bucketed.selectExpr("vec_id AS d1", "embedding AS e1", "cubo")
+    right = bucketed.selectExpr("vec_id AS d2", "embedding AS e2", "cubo")
+    return (
+        left.join(right, "cubo")
+        .filter(F.col("d1") < F.col("d2"))
+        .dropDuplicates(["d1", "d2"])
+        .selectExpr("d1", "d2", f"{cosine_expr('e1', 'e2')} AS _cos")
+        .select(F.col("d1").cast("long").alias("d1"),
+                F.col("d2").cast("long").alias("d2"),
+                r6(F.col("_cos")).alias("cos"))
+        .filter(F.col("cos") >= NEAR_DUP_COS)
+        .orderBy("d1", "d2")
+    )
+
+
+SQL_EMB_NEAR_DUP = f"""
+WITH unioned AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 30
+), bits AS (
+  SELECT vec_id, embedding,
+         list_transform({_PLANES_SQL}, h ->
+           list_sum(list_transform(list_zip(embedding, h),
+                    x -> (x[1]::DOUBLE) * x[2])) >= 0) AS _bits
+  FROM unioned
+), bucketed AS (
+  SELECT vec_id, embedding,
+         concat(t, ':', list_reduce(list_prepend(0,
+           list_transform(list_slice(_bits, t * {LSH_BITS} + 1,
+                                     t * {LSH_BITS} + {LSH_BITS}),
+                          b -> CASE WHEN b THEN 1 ELSE 0 END)),
+           (acc, x) -> acc * 2 + x)) AS cubo
+  FROM bits CROSS JOIN (SELECT unnest(range(0, {LSH_TABLES})) AS t)
+), cand AS (
+  SELECT DISTINCT l.vec_id AS d1, r.vec_id AS d2,
+         l.embedding AS e1, r.embedding AS e2
+  FROM bucketed l JOIN bucketed r ON l.cubo = r.cubo AND l.vec_id < r.vec_id
+)
+SELECT d1::BIGINT AS d1, d2::BIGINT AS d2,
+       floor({sql_cosine_expr('e1', 'e2')} * 1000000 + 0.5) / 1000000 AS cos
+FROM cand
+WHERE floor({sql_cosine_expr('e1', 'e2')} * 1000000 + 0.5) / 1000000 >= {NEAR_DUP_COS}
+ORDER BY d1, d2
+"""
+
+register("emb_near_dup", q_emb_near_dup, SQL_EMB_NEAR_DUP)
