@@ -64,3 +64,83 @@ def extract_features(docs_with_payload: DataFrame) -> DataFrame:
 
     return (docs_with_payload.select("doc_id", "payload")
             .mapInPandas(batches, schema=FEATURE_SCHEMA))
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("ancho", LongType()),
+    StructField("alto", LongType()),
+    StructField("res_ancho", LongType()),
+    StructField("res_alto", LongType()),
+])
+
+
+def resize_stub(w: int, h: int, target: int) -> tuple[int, int]:
+    """Integer aspect-preserving fit into target x target. A real deployment
+    swaps this for PIL's ``Image.resize`` over the decoded payload; integer
+    arithmetic keeps the oracle exactly mirrorable."""
+    w, h = max(w, 1), max(h, 1)
+    m = max(w, h)
+    return (w * target) // m, (h * target) // m
+
+
+def resize_images(docs_with_payload: DataFrame, target: int = 224) -> DataFrame:
+    """Arrow-batched resize stage: decode dims, fit into ``target``^2."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["payload"].map(decode_stub)
+            dims = feats.map(lambda t: resize_stub(t[0], t[1], target))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "ancho": feats.map(lambda t: t[0]),
+                "alto": feats.map(lambda t: t[1]),
+                "res_ancho": dims.map(lambda t: t[0]),
+                "res_alto": dims.map(lambda t: t[1]),
+            })
+
+    return (docs_with_payload.select("doc_id", "payload")
+            .mapInPandas(batches, schema=RESIZE_SCHEMA))
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("frame_bytes", LongType()),
+])
+
+
+def sample_frames(docs_with_payload: DataFrame, max_frames: int = 8) -> DataFrame:
+    """Arrow-batched frame sampling — the row-fan-out mapInPandas shape.
+
+    Treats the payload as a video of ``n_frames`` equal-length frames and
+    emits every ``ceil(n_frames / max_frames)``-th frame as its own row.
+    The stage genuinely slices the payload bytes per frame (a real decoder
+    would hand each slice to ffmpeg); the emitted length is the slice's.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            sizes: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                n_frames = n % 30 + 1
+                stride = (n_frames + max_frames - 1) // max_frames
+                flen = n // n_frames
+                for idx in range(0, n_frames, stride):
+                    start = idx * flen
+                    end = n if idx == n_frames - 1 else (idx + 1) * flen
+                    frame = payload[start:end]
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    sizes.append(len(frame))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "frame_bytes": pd.Series(sizes, dtype="int64"),
+            })
+
+    return (docs_with_payload.select("doc_id", "payload")
+            .mapInPandas(batches, schema=FRAME_SCHEMA))

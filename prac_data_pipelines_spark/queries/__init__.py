@@ -42,6 +42,7 @@ _PRIORITY: tuple[str, ...] = (
     "cxc_antiguedad_cliente", "volume_shipping", "market_share",
     "waiting_suppliers", "kmeans_embeddings", "knn_lsh",
     "doc_simhash_pairs", "emb_near_dup", "knn_ivf",
+    "multimodal_resize", "multimodal_frames",
 )
 
 

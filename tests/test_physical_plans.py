@@ -82,7 +82,7 @@ def test_no_python_udfs_in_relational_queries(spark, sf_dir):
     from prac_data_pipelines_spark.queries import all_queries
 
     for name, fn in all_queries().items():
-        if name == "multimodal_features":
+        if name.startswith("multimodal_"):
             continue
         plan = _plan(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
