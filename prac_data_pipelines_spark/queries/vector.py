@@ -114,16 +114,28 @@ _KEYS_EXPR = (
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
+    # Narrow bucket frame: (vec_id, cubo) only. Carrying the 64-float
+    # embedding through the x12 explode and the bucket join would blow the
+    # shuffle up 12x; instead candidates form on ids alone and embeddings
+    # join back only for surviving pairs. The query side (a small serving
+    # batch) is broadcast, so the corpus bucket frame never shuffles and
+    # the expensive 72-plane bits projection runs once per side, pushed
+    # below the explode by Catalyst.
     bucketed = (
-        emb.selectExpr("vec_id", "embedding", f"{_BITS_EXPR} AS _bits")
-        .selectExpr("vec_id", "embedding", f"explode({_KEYS_EXPR}) AS cubo"))
-    queries = (bucketed.filter(F.col("vec_id") < 50)
-               .selectExpr("vec_id AS qid", "embedding AS qe", "cubo"))
-    corpus = (bucketed.filter(F.col("vec_id") >= 50)
-              .selectExpr("vec_id AS cid", "embedding AS ce", "cubo"))
+        emb.selectExpr("vec_id", f"{_BITS_EXPR} AS _bits")
+        .selectExpr("vec_id", f"explode({_KEYS_EXPR}) AS cubo"))
+    q_keys = (bucketed.filter(F.col("vec_id") < 50)
+              .selectExpr("vec_id AS qid", "cubo"))
+    c_keys = (bucketed.filter(F.col("vec_id") >= 50)
+              .selectExpr("vec_id AS cid", "cubo"))
+    cand = (broadcast(q_keys).join(c_keys, "cubo")
+            .select("qid", "cid").dropDuplicates(["qid", "cid"]))
+    qe = (emb.filter(F.col("vec_id") < 50)
+          .selectExpr("vec_id AS qid", "embedding AS qe"))
+    ce = (emb.filter(F.col("vec_id") >= 50)
+          .selectExpr("vec_id AS cid", "embedding AS ce"))
     scored = (
-        queries.join(corpus, "cubo")
-        .dropDuplicates(["qid", "cid"])
+        broadcast(cand.join(broadcast(qe), "qid")).join(ce, "cid")
         .selectExpr("qid", "cid", f"{cosine_expr('qe', 'ce')} AS _cos")
         .select("qid", "cid", r6(F.col("_cos")).alias("cos"))
     )
