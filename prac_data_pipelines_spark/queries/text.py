@@ -638,7 +638,7 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stepped = (
             labels.join(neighbor_min, "doc_id", "left")
-            .select("doc_id",
+            .select("doc_id", F.col("etiqueta").alias("_prev"),
                     F.least("etiqueta", F.coalesce("_nb_min", F.col("etiqueta")))
                     .alias("etiqueta"))
         )
@@ -648,7 +648,7 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.col("etiqueta").alias("_p_lab"))
         updated = (
             stepped.join(parents, stepped.etiqueta == parents._p_id, "left")
-            .select("doc_id",
+            .select("doc_id", "_prev",
                     F.least("etiqueta", F.coalesce("_p_lab", F.col("etiqueta")))
                     .alias("etiqueta"))
             # truncate the iterative lineage EVERY round: the pointer jump
@@ -659,16 +659,19 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             # |labels| rows — same cost class as the cache it replaces.
             .localCheckpoint()
         )
-        if i % 2 == 0 or i == _CC_MAX_ROUNDS:
-            changed = (updated.alias("u").join(labels.alias("l"), "doc_id")
-                       .filter("u.etiqueta != l.etiqueta").count())
-            if changed == 0:
-                labels.unpersist()
-                labels = updated
-                converged = True
-                break
+        # convergence: `_prev` (the round-start label) carried through the
+        # checkpoint makes the check a filter-count over already-materialized
+        # rows — no join against the previous generation, so it is cheap
+        # enough to run EVERY round. A round that moves nothing is a true
+        # fixed point: propagation-fixed on a connected component forces the
+        # label constant across every edge (label(x)<=label(y) both ways),
+        # i.e. full convergence, and the jump is then the identity.
+        changed = updated.filter("etiqueta != _prev").count()
         labels.unpersist()  # superseded generation — don't pin executor memory
-        labels = updated
+        labels = updated.drop("_prev")
+        if changed == 0:
+            converged = True
+            break
     if not converged:
         raise RuntimeError(
             f"doc_dup_clusters: min-label propagation did not converge in "
