@@ -42,7 +42,8 @@ _PRIORITY: tuple[str, ...] = (
     "cxc_antiguedad_cliente", "volume_shipping", "market_share",
     "waiting_suppliers", "kmeans_embeddings", "knn_lsh",
     "doc_simhash_pairs", "emb_near_dup", "knn_ivf",
-    "multimodal_resize", "multimodal_frames",
+    "multimodal_resize", "multimodal_frames", "events_funnel",
+    "events_segment_value",
 )
 
 

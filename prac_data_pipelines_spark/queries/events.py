@@ -125,3 +125,92 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 register("events_json", q_events_json, SQL_EVENTS_JSON)
+
+
+# --------------------------------------------------------------------------
+# events_funnel — purchase→error correlation: purchases followed by at
+# least one error event from the same user within the next 6 hours. This
+# is the batch twin of ``streaming.events.stream_purchase_error_join``
+# (same predicate; there the join state is watermark-bounded). Scale
+# shape: equi-join on user_id (one shuffle) with the time interval as a
+# join-level range predicate; per-user groups are small and bounded, so
+# no single task inflates.
+# --------------------------------------------------------------------------
+
+FUNNEL_HOURS = 6
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("ts").cast("long").alias("p_sec"),
+                         F.col("event_id").alias("p_event")))
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select(F.col("user_id").alias("e_user"),
+                      F.col("ts").cast("long").alias("e_sec")))
+    cond = ((purchases.p_user == errors.e_user)
+            & (errors.e_sec >= purchases.p_sec)
+            & (errors.e_sec <= purchases.p_sec + FUNNEL_HOURS * 3600))
+    return (
+        purchases.join(errors, cond)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.countDistinct("p_event").cast("long").alias("compras_con_error"),
+             F.count(F.lit(1)).cast("long").alias("pares"))
+        .orderBy("user_id")
+    )
+
+
+SQL_EVENTS_FUNNEL = f"""
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec
+  FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS sec
+  FROM events WHERE event_type = 'error'
+)
+SELECT p.user_id,
+       count(DISTINCT p.event_id)::BIGINT AS compras_con_error,
+       count(*)::BIGINT AS pares
+FROM p JOIN e ON p.user_id = e.user_id
+              AND e.sec >= p.sec AND e.sec <= p.sec + {FUNNEL_HOURS * 3600}
+GROUP BY p.user_id ORDER BY p.user_id
+"""
+
+register("events_funnel", q_events_funnel, SQL_EVENTS_FUNNEL)
+
+
+# --------------------------------------------------------------------------
+# events_segment_value — stream-static enrichment, batch twin: events
+# joined to the customer dimension (broadcast — the dim is the small side
+# at any scale that fits a dim table) and rolled up by market segment.
+# The streaming twin is ``streaming.events.stream_enrich_segments``: the
+# same broadcast join applied to a micro-batched stream.
+# --------------------------------------------------------------------------
+
+def q_events_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    return (
+        ev.join(broadcast(dim), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_eventos"),
+             r2(F.sum("value")).alias("valor_total"),
+             F.countDistinct("user_id").cast("long").alias("usuarios"))
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_EVENTS_SEGMENT_VALUE = """
+SELECT c.c_mktsegment,
+       count(*)::BIGINT AS n_eventos,
+       floor((sum(e.value)) * 100 + 0.5) / 100 AS valor_total,
+       count(DISTINCT e.user_id)::BIGINT AS usuarios
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+register("events_segment_value", q_events_segment_value, SQL_EVENTS_SEGMENT_VALUE)

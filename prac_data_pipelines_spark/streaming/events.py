@@ -114,6 +114,23 @@ def stream_purchase_error_join(events: DataFrame) -> DataFrame:
         "p_user", "p_event", "e_event", "p_ts", "e_ts")
 
 
+def stream_enrich_segments(events: DataFrame, customer_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: each micro-batch broadcast-joins the static
+    customer dimension (re-read per batch, so a refreshed dim parquet is
+    picked up without restarting the query) and rolls up value by market
+    segment. Batch twin: ``queries.events.q_events_segment_value``. The dim
+    is the broadcast side at any scale where it fits an executor; the
+    stream side never shuffles for the join itself."""
+    dim = customer_dim.select(F.col("c_custkey").alias("user_id"),
+                              "c_mktsegment")
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_eventos"),
+             F.sum("value").alias("valor_total"))
+    )
+
+
 def stream_exact_dedup(events: DataFrame) -> DataFrame:
     """Streaming exact dedup on the event id — the streaming face of the
     batch dedup family: state holds one entry per id and the watermark

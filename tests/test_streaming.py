@@ -128,3 +128,26 @@ def test_stream_exact_dedup_matches_batch_distinct(spark, stream_dir, sf_dir):
         assert got.select("event_id").distinct().count() == n_batch
     finally:
         _sh.rmtree(dup_dir, ignore_errors=True)
+
+
+def test_stream_static_enrichment_matches_batch(spark, stream_dir, sf_dir):
+    from prac_data_pipelines_spark.queries.events import q_events_segment_value
+    from prac_data_pipelines_spark.sources import load_table
+    from prac_data_pipelines_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+        stream_enrich_segments,
+    )
+
+    dim = load_table(spark, sf_dir, "customer")
+    stream = stream_enrich_segments(read_event_stream(spark, stream_dir), dim)
+    run_to_memory(stream, "enrich_test", output_mode="complete")
+    got = {
+        r["c_mktsegment"]: (r["n_eventos"], round(r["valor_total"], 2))
+        for r in spark.table("enrich_test").collect()
+    }
+    want = {
+        r["c_mktsegment"]: (r["n_eventos"], round(r["valor_total"], 2))
+        for r in q_events_segment_value(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
