@@ -52,6 +52,10 @@ HEADLINE = [
     "knn_lsh",
     "doc_dup_clusters",
     "cxc_antiguedad_cliente",
+    "doc_decontaminate",
+    "tfidf_top_terms",
+    "doc_pack_sequences",
+    "events_funnel",
 ]
 
 

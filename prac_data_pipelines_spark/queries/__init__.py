@@ -43,7 +43,8 @@ _PRIORITY: tuple[str, ...] = (
     "waiting_suppliers", "kmeans_embeddings", "knn_lsh",
     "doc_simhash_pairs", "emb_near_dup", "knn_ivf",
     "multimodal_resize", "multimodal_frames", "events_funnel",
-    "events_segment_value",
+    "events_segment_value", "doc_decontaminate", "doc_pii_scrub",
+    "doc_pack_sequences", "tfidf_top_terms",
 )
 
 
@@ -71,5 +72,6 @@ def _load() -> None:
         return
     from . import (  # noqa: F401  (self-registering)
         core, cxc, text, vector, events, media, sqltext, extras, tpch,
+        corpus,
     )
     _LOADED = True

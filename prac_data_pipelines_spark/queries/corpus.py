@@ -1,0 +1,308 @@
+"""Corpus-preparation operators for LLM training pipelines: benchmark
+decontamination, PII scrubbing, token-budget sequence packing, and
+per-source TF-IDF terms.
+
+These extend the reference's text surface (the reference is a business
+reporting engine; SURVEY §2 has no corpus ops) with the remaining
+operations a 100 TB pretraining-data pipeline runs between raw scrape and
+tokenizer:
+
+- decontamination: drop documents sharing any K-word n-gram with a held
+  benchmark set (the standard train/test-overlap guard). The benchmark
+  n-gram set is small by construction (eval sets are thousands of docs,
+  not billions) → broadcast semi-join; the corpus never shuffles.
+- PII scrub: detect/redact emails and phone numbers with JVM-side regex —
+  per-row, embarrassingly parallel, no shuffle until the final per-source
+  rollup.
+- sequence packing: concatenate each source's docs in deterministic order
+  and chop into fixed token blocks (the concat-and-chunk packing used for
+  pretraining batches). One window cumsum per source partition.
+- TF-IDF: the explode→aggregate wordcount shape with partial aggregation,
+  then a tiny per-source top-k window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..operators.rounding import r4
+from ..sources import load_table
+from . import register
+from .text import SQL_WORDS, WORDS
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# doc_decontaminate — benchmark n-gram overlap removal. A document is
+# contaminated if it shares any DECON_K-word n-gram with the benchmark
+# set (here: doc_id % BENCH_MOD == 0, a deterministic stand-in for a held
+# eval set). 4-word grams on this corpus flag ~1.6% of docs — the
+# realistic operating point; real deployments use 8-13 word grams.
+# --------------------------------------------------------------------------
+
+DECON_K = 4
+BENCH_MOD = 97
+
+_KGRAM_TERMS = ", ".join(f"element_at(_ws, i+{j})" for j in range(1, DECON_K + 1))
+_KGRAMS = (
+    f"CASE WHEN size(_ws) >= {DECON_K} THEN "
+    f"transform(sequence(0, size(_ws) - {DECON_K}), "
+    f"i -> concat_ws(' ', {_KGRAM_TERMS})) "
+    f"ELSE array(trim(text)) END"
+)
+_SQL_KGRAM_TERMS = ", ".join(f"w[i+{j}]" for j in range(1, DECON_K + 1))
+_SQL_KGRAMS = (
+    f"CASE WHEN len(w) >= {DECON_K} THEN "
+    f"list_transform(range(0, len(w) - {DECON_K - 1}), "
+    f"i -> concat_ws(' ', {_SQL_KGRAM_TERMS})) "
+    f"ELSE [trim(text)] END"
+)
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    grams = (
+        docs.selectExpr("doc_id", "source", "text", f"{WORDS} AS _ws")
+        .selectExpr("doc_id", "source", f"explode({_KGRAMS}) AS grama"))
+    bench = (grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+             .select("grama").distinct())
+    corpus_grams = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    contaminated = (corpus_grams.join(broadcast(bench), "grama")
+                    .select("doc_id").distinct())
+    corpus = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    flagged = corpus.join(contaminated.withColumn("_c", F.lit(1)),
+                          "doc_id", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs_total"),
+             F.sum(F.coalesce("_c", F.lit(0))).cast("long")
+             .alias("docs_contaminados"),
+             F.sum(1 - F.coalesce("_c", F.lit(0))).cast("long")
+             .alias("docs_conservados"))
+        .orderBy("source")
+    )
+
+
+SQL_DOC_DECONTAMINATE = f"""
+WITH ws AS (
+  SELECT doc_id, source, text, str_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, unnest({_SQL_KGRAMS}) AS grama FROM ws
+), bench AS (
+  SELECT DISTINCT grama FROM grams WHERE doc_id % {BENCH_MOD} = 0
+), cont AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN bench b ON g.grama = b.grama
+  WHERE g.doc_id % {BENCH_MOD} <> 0
+)
+SELECT d.source,
+       count(*)::BIGINT AS docs_total,
+       sum(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+         AS docs_contaminados,
+       sum(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS docs_conservados
+FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+WHERE d.doc_id % {BENCH_MOD} <> 0
+GROUP BY d.source ORDER BY d.source
+"""
+
+register("doc_decontaminate", q_doc_decontaminate, SQL_DOC_DECONTAMINATE)
+
+
+# --------------------------------------------------------------------------
+# doc_pii_scrub — PII detection + redaction statistics. The synthetic
+# corpus carries no PII, so it is injected deterministically first (every
+# 7th doc an email, every 11th a phone number) — the same
+# synthesize-then-verify pattern as doc_exact_dedup. Detection and
+# redaction are JVM regex per row; both engines run the identical
+# pattern (Java regex and RE2 agree on this subset).
+# --------------------------------------------------------------------------
+
+# one regex, two embeddings: Spark SQL string literals consume one level
+# of backslash escaping, DuckDB standard strings do not
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,4}"
+_PHONE_RE = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+_EMAIL_RE_SPARK = _EMAIL_RE.replace("\\", "\\\\")
+_PHONE_RE_SPARK = _PHONE_RE.replace("\\", "\\\\")
+
+
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    with_pii = docs.selectExpr(
+        "doc_id", "source",
+        "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' contacto: user', doc_id,"
+        " '@example.com') ELSE text END AS text")
+    with_pii = with_pii.selectExpr(
+        "doc_id", "source",
+        "CASE WHEN doc_id % 11 = 0 THEN concat(text, ' tel: +52-555-',"
+        " lpad(cast(doc_id % 10000 as string), 4, '0')) ELSE text END AS text")
+    scrubbed = with_pii.selectExpr(
+        "doc_id", "source", "text",
+        f"regexp_count(text, '{_EMAIL_RE_SPARK}') AS n_emails",
+        f"regexp_count(text, '{_PHONE_RE_SPARK}') AS n_tels",
+        f"regexp_replace(regexp_replace(text, '{_EMAIL_RE_SPARK}', '[EMAIL]'),"
+        f" '{_PHONE_RE_SPARK}', '[TEL]') AS limpio")
+    return (
+        scrubbed.groupBy("source")
+        .agg(F.sum("n_emails").cast("long").alias("emails"),
+             F.sum("n_tels").cast("long").alias("telefonos"),
+             F.sum(((F.col("n_emails") + F.col("n_tels")) > 0).cast("int"))
+             .cast("long").alias("docs_con_pii"),
+             F.sum(F.length("text") - F.length("limpio")).cast("long")
+             .alias("chars_redactados"))
+        .orderBy("source")
+    )
+
+
+SQL_DOC_PII_SCRUB = f"""
+WITH pii AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 11 = 0 THEN concat(t1, ' tel: +52-555-',
+              lpad((doc_id % 10000)::VARCHAR, 4, '0')) ELSE t1 END AS text
+  FROM (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 7 = 0 THEN concat(text, ' contacto: user',
+                doc_id, '@example.com') ELSE text END AS t1
+    FROM documents)
+), scrubbed AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_tels,
+         len(text) - len(regexp_replace(regexp_replace(text, '{_EMAIL_RE}',
+             '[EMAIL]', 'g'), '{_PHONE_RE}', '[TEL]', 'g')) AS redactado
+  FROM pii
+)
+SELECT source, sum(n_emails)::BIGINT AS emails,
+       sum(n_tels)::BIGINT AS telefonos,
+       sum(CASE WHEN n_emails + n_tels > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS docs_con_pii,
+       sum(redactado)::BIGINT AS chars_redactados
+FROM scrubbed GROUP BY source ORDER BY source
+"""
+
+register("doc_pii_scrub", q_doc_pii_scrub, SQL_DOC_PII_SCRUB)
+
+
+# --------------------------------------------------------------------------
+# doc_pack_sequences — concat-and-chunk sequence packing: each source's
+# documents are concatenated in doc_id order and chopped into fixed
+# BLOCK_TOKENS blocks (how pretraining batches are formed). A document
+# whose token span crosses a block boundary is "cut". One cumsum window
+# per source; sources pack in parallel, and at 100 TB the same cumsum
+# runs per (source, shard) with shard offsets added in a second tiny
+# pass.
+# --------------------------------------------------------------------------
+
+BLOCK_TOKENS = 512
+
+
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.selectExpr(
+        "doc_id", "source", f"cast(size({WORDS}) as bigint) AS toks")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    spanned = (
+        toks.withColumn("_cum", F.sum("toks").over(w))
+        .selectExpr("source", "toks", "_cum",
+                    f"cast((_cum - toks) div {BLOCK_TOKENS} as bigint)"
+                    " AS _b_ini",
+                    f"cast((_cum - 1) div {BLOCK_TOKENS} as bigint) AS _b_fin"))
+    return (
+        spanned.groupBy("source")
+        .agg(F.max("_cum").cast("long").alias("tokens_total"),
+             ((F.max("_cum") + BLOCK_TOKENS - 1) / BLOCK_TOKENS)
+             .cast("long").alias("n_bloques"),
+             F.sum((F.col("_b_ini") != F.col("_b_fin")).cast("int"))
+             .cast("long").alias("docs_cortados"))
+        .orderBy("source")
+    )
+
+
+SQL_DOC_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id, source, len({SQL_WORDS})::BIGINT AS toks FROM documents
+), spanned AS (
+  SELECT source, toks,
+         sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS _cum
+  FROM toks
+)
+SELECT source, max(_cum)::BIGINT AS tokens_total,
+       ((max(_cum) + {BLOCK_TOKENS - 1}) // {BLOCK_TOKENS})::BIGINT
+         AS n_bloques,
+       sum(CASE WHEN (_cum - toks) // {BLOCK_TOKENS}
+                  <> (_cum - 1) // {BLOCK_TOKENS} THEN 1 ELSE 0 END)::BIGINT
+         AS docs_cortados
+FROM spanned GROUP BY source ORDER BY source
+"""
+
+register("doc_pack_sequences", q_doc_pack_sequences, SQL_DOC_PACK_SEQUENCES)
+
+
+# --------------------------------------------------------------------------
+# tfidf_top_terms — per-source characteristic terms. tf = term count in
+# the source (all its docs as one pseudo-document); df = number of
+# sources containing the term; score = tf * n_sources / df (the rational
+# idf variant — same ranking as log-idf, but exactly reproducible across
+# engines: no transcendental in the checked output). Shape: explode →
+# partially-aggregated wordcount (the canonical one-shuffle pattern),
+# a tiny df aggregate joined back, top-k per source by window.
+# --------------------------------------------------------------------------
+
+TFIDF_TOP = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    words = (docs.selectExpr("source", f"explode({WORDS}) AS termino")
+             .filter(F.col("termino") != ""))
+    tf = (words.groupBy("source", "termino")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    df = (tf.groupBy("termino")
+          .agg(F.count(F.lit(1)).cast("long").alias("df")))
+    n_sources = docs.select("source").distinct().count()
+    scored = (tf.join(broadcast(df), "termino")
+              .withColumn("puntaje",
+                          r4(F.col("tf") * F.lit(float(n_sources))
+                             / F.col("df"))))
+    w = (Window.partitionBy("source")
+         .orderBy(F.col("puntaje").desc(), F.col("termino").asc()))
+    return (
+        scored.withColumn("rango", F.row_number().over(w).cast("long"))
+        .filter(F.col("rango") <= TFIDF_TOP)
+        .select("source", "rango", "termino", "tf", "df", "puntaje")
+        .orderBy("source", "rango")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH words AS (
+  SELECT source, unnest({SQL_WORDS}) AS termino FROM documents
+), tf AS (
+  SELECT source, termino, count(*)::BIGINT AS tf
+  FROM words WHERE termino <> '' GROUP BY source, termino
+), df AS (
+  SELECT termino, count(*)::BIGINT AS df FROM tf GROUP BY termino
+), n AS (
+  SELECT count(DISTINCT source) AS n_sources FROM documents
+), scored AS (
+  SELECT t.source, t.termino, t.tf, d.df,
+         floor((t.tf * n.n_sources / d.df) * 10000 + 0.5) / 10000 AS puntaje
+  FROM tf t JOIN df d ON t.termino = d.termino CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+             ORDER BY puntaje DESC, termino ASC)::BIGINT AS rango
+  FROM scored
+)
+SELECT source, rango, termino, tf, df, puntaje
+FROM ranked WHERE rango <= {TFIDF_TOP} ORDER BY source, rango
+"""
+
+register("tfidf_top_terms", q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS)
