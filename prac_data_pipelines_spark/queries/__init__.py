@@ -44,7 +44,8 @@ _PRIORITY: tuple[str, ...] = (
     "doc_simhash_pairs", "emb_near_dup", "knn_ivf",
     "multimodal_resize", "multimodal_frames", "events_funnel",
     "events_segment_value", "doc_decontaminate", "doc_pii_scrub",
-    "doc_pack_sequences", "tfidf_top_terms",
+    "doc_pack_sequences", "tfidf_top_terms", "min_cost_supplier",
+    "important_stock", "top_supplier",
 )
 
 

@@ -363,3 +363,158 @@ ORDER BY ordenes_retrasadas DESC, l_suppkey ASC LIMIT 20
 """
 
 register("waiting_suppliers", q_waiting_suppliers, SQL_WAITING_SUPPLIERS)
+
+
+# --------------------------------------------------------------------------
+# min_cost_supplier — Q2 shape: for each part (of a type, in a region),
+# the supplier with the MINIMUM average sale price — the correlated-min
+# subquery re-expressed as a per-part min joined back on equality. The
+# testdata has no partsupp table, so the (part, supplier) price matrix is
+# derived from lineitem aggregates; the decisive plan property is
+# identical: the correlated min is one partial-aggregated shuffle, the
+# equality join-back reuses the same key partitioning, and the region
+# chain (supplier→nation→region) is all broadcast.
+# --------------------------------------------------------------------------
+
+_Q2_REGION = "EUROPE"
+_Q2_TYPE = "STANDARD"
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rsupp = (supp
+             .join(F.broadcast(nation),
+                   supp.s_nationkey == nation.n_nationkey)
+             .join(F.broadcast(region.filter(F.col("r_name") == _Q2_REGION)),
+                   nation.n_regionkey == region.r_regionkey)
+             .select("s_suppkey", "s_name", F.col("n_name").alias("nacion")))
+    tparts = part.filter(F.col("p_type") == _Q2_TYPE).select("p_partkey", "p_name")
+    price = (li.join(F.broadcast(tparts), li.l_partkey == F.col("p_partkey"))
+             .join(F.broadcast(rsupp), li.l_suppkey == F.col("s_suppkey"))
+             .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "nacion")
+             .agg(r2(F.avg("l_extendedprice")).alias("precio_medio")))
+    min_price = (price.groupBy("p_partkey")
+                 .agg(F.min("precio_medio").alias("_min_precio")))
+    return (
+        price.join(min_price, "p_partkey")
+        .filter(F.col("precio_medio") == F.col("_min_precio"))
+        .select("p_partkey", "p_name", "s_name", "nacion", "precio_medio")
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+SQL_MIN_COST_SUPPLIER = f"""
+WITH price AS (
+  SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name AS nacion,
+         floor(avg(l_extendedprice) * 100 + 0.5) / 100 AS precio_medio
+  FROM lineitem l
+  JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_type = '{_Q2_TYPE}'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+                  AND r.r_name = '{_Q2_REGION}'
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT p_partkey, p_name, s_name, nacion, precio_medio
+FROM price
+WHERE precio_medio = (SELECT min(precio_medio) FROM price p2
+                      WHERE p2.p_partkey = price.p_partkey)
+ORDER BY p_partkey, s_name
+"""
+
+register("min_cost_supplier", q_min_cost_supplier, SQL_MIN_COST_SUPPLIER)
+
+
+# --------------------------------------------------------------------------
+# important_stock — Q11 shape: per-supplier value filtered against a
+# fraction of the GLOBAL total (HAVING vs a scalar subquery). The global
+# total is a one-row aggregate attached via broadcast cross-join — never
+# a second scan of the fact, never a single-partition window (the
+# anti-pattern ADVICE flagged for zscore).
+# --------------------------------------------------------------------------
+
+_Q11_FRACTION = 0.005
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = (li.groupBy("l_suppkey")
+                .agg(F.sum(value).alias("_valor")))
+    total = per_supp.agg(F.sum("_valor").alias("_total"))
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .filter(F.col("_valor") > F.col("_total") * _Q11_FRACTION)
+        .select(F.col("l_suppkey").cast("long").alias("suppkey"),
+                r2(F.col("_valor")).alias("valor"))
+        .orderBy(F.col("valor").desc(), F.col("suppkey").asc())
+    )
+
+
+SQL_IMPORTANT_STOCK = f"""
+WITH per_supp AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS _valor
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey::BIGINT AS suppkey,
+       floor(_valor * 100 + 0.5) / 100 AS valor
+FROM per_supp
+WHERE _valor > (SELECT sum(_valor) FROM per_supp) * {_Q11_FRACTION}
+ORDER BY valor DESC, suppkey ASC
+"""
+
+register("important_stock", q_important_stock, SQL_IMPORTANT_STOCK)
+
+
+# --------------------------------------------------------------------------
+# top_supplier — Q15 shape: supplier(s) achieving the MAXIMUM quarterly
+# revenue (the view + scalar-max join). The max attaches as a broadcast
+# one-row aggregate; ties are kept, exactly as Q15 requires — an
+# unpartitioned row_number would drop them and serialize.
+# --------------------------------------------------------------------------
+
+_Q15_QUARTER_START = "1995-01-01"
+_Q15_QUARTER_END = "1995-04-01"
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter((F.col("l_shipdate") >= _Q15_QUARTER_START)
+                  & (F.col("l_shipdate") < _Q15_QUARTER_END))
+        .groupBy("l_suppkey")
+        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .alias("ingresos")))
+    max_rev = revenue.agg(F.max("ingresos").alias("_max"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("ingresos") == F.col("_max"))
+        .join(F.broadcast(supp), revenue.l_suppkey == supp.s_suppkey)
+        .select(F.col("s_suppkey").cast("long").alias("suppkey"),
+                "s_name", "ingresos")
+        .orderBy("suppkey")
+    )
+
+
+SQL_TOP_SUPPLIER = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+           AS ingresos
+  FROM lineitem
+  WHERE l_shipdate >= '{_Q15_QUARTER_START}'
+    AND l_shipdate < '{_Q15_QUARTER_END}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey::BIGINT AS suppkey, s_name, ingresos
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE ingresos = (SELECT max(ingresos) FROM revenue)
+ORDER BY suppkey
+"""
+
+register("top_supplier", q_top_supplier, SQL_TOP_SUPPLIER)
