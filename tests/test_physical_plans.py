@@ -86,3 +86,38 @@ def test_no_python_udfs_in_relational_queries(spark, sf_dir):
             continue
         plan = _plan(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """The benchmark n-gram set must broadcast — the corpus side must not
+    shuffle for the contamination semi-join."""
+    from prac_data_pipelines_spark.queries.corpus import q_doc_decontaminate
+
+    plan = _plan(q_doc_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scalar_threshold_queries_broadcast_the_scalar(spark, sf_dir):
+    """Q11/Q15 shapes: the global scalar attaches via a broadcast one-row
+    aggregate, never an unpartitioned window funnel."""
+    from prac_data_pipelines_spark.queries.tpch import (
+        q_important_stock,
+        q_top_supplier,
+    )
+
+    for q in (q_important_stock, q_top_supplier):
+        plan = _plan(q(spark, sf_dir))
+        # the threshold filter plans as BNLJ; the equality form collapses
+        # to a broadcast hash join — either way the scalar broadcasts
+        assert ("BroadcastNestedLoopJoin" in plan
+                or "BroadcastHashJoin" in plan)
+        assert "Window" not in plan
+
+
+def test_knn_lsh_buckets_join_broadcast(spark, sf_dir):
+    """The query batch (bucket keys and embeddings) broadcasts; the corpus
+    bucket frame and corpus embeddings never shuffle for the joins."""
+    from prac_data_pipelines_spark.queries.vector import q_knn_lsh
+
+    plan = _plan(q_knn_lsh(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
