@@ -53,6 +53,7 @@ HEADLINE = [
     "doc_dup_clusters",
     "cxc_antiguedad_cliente",
     "doc_decontaminate",
+    "doc_repetition",
     "tfidf_top_terms",
     "doc_pack_sequences",
     "events_funnel",

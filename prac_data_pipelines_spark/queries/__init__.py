@@ -45,7 +45,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_resize", "multimodal_frames", "events_funnel",
     "events_segment_value", "doc_decontaminate", "doc_pii_scrub",
     "doc_pack_sequences", "tfidf_top_terms", "min_cost_supplier",
-    "important_stock", "top_supplier",
+    "important_stock", "top_supplier", "doc_repetition",
 )
 
 

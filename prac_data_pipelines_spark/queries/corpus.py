@@ -306,3 +306,82 @@ FROM ranked WHERE rango <= {TFIDF_TOP} ORDER BY source, rango
 """
 
 register("tfidf_top_terms", q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS)
+
+
+# --------------------------------------------------------------------------
+# doc_repetition — Gopher-style repetition quality signals: the fraction
+# of duplicated word 2-grams per document and the share taken by the
+# single most frequent 2-gram. Highly repetitive documents (boilerplate,
+# generated spam) score high on both. Shape: explode → per-(doc, gram)
+# count with partial aggregation → one per-doc rollup → per-source
+# summary; two keyed shuffles, no windows, no collect.
+# --------------------------------------------------------------------------
+
+REP_DUP_THRESHOLD = 0.6   # flag: >60% of 2-gram occurrences are repeats
+REP_TOP_THRESHOLD = 0.2   # flag: one 2-gram is >20% of all occurrences
+
+_BIGRAMS = (
+    "CASE WHEN size(_ws) >= 2 THEN "
+    "transform(sequence(0, size(_ws) - 2), "
+    "i -> concat_ws(' ', element_at(_ws, i+1), element_at(_ws, i+2))) "
+    "ELSE array(trim(text)) END"
+)
+_SQL_BIGRAMS = (
+    "CASE WHEN len(w) >= 2 THEN "
+    "list_transform(range(0, len(w) - 1), "
+    "i -> concat_ws(' ', w[i+1], w[i+2])) "
+    "ELSE [trim(text)] END"
+)
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    grams = (docs.selectExpr("doc_id", "source", "text", f"{WORDS} AS _ws")
+             .selectExpr("doc_id", "source", f"explode({_BIGRAMS}) AS grama"))
+    per_gram = (grams.groupBy("doc_id", "source", "grama")
+                .agg(F.count(F.lit(1)).alias("_n")))
+    per_doc = (per_gram.groupBy("doc_id", "source")
+               .agg(F.sum("_n").alias("_total"),
+                    F.count(F.lit(1)).alias("_distintos"),
+                    F.max("_n").alias("_max")))
+    flagged = per_doc.select(
+        "source",
+        (1 - F.col("_distintos") / F.col("_total")).alias("_dup_ratio"),
+        (F.col("_max") / F.col("_total")).alias("_top_ratio"))
+    return (
+        flagged.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs_total"),
+             F.sum(((F.col("_dup_ratio") > REP_DUP_THRESHOLD)
+                    | (F.col("_top_ratio") > REP_TOP_THRESHOLD)).cast("int"))
+             .cast("long").alias("docs_repetitivos"),
+             r4(F.avg("_dup_ratio")).alias("dup_ratio_medio"),
+             r4(F.avg("_top_ratio")).alias("top_ratio_medio"))
+        .orderBy("source")
+    )
+
+
+SQL_DOC_REPETITION = f"""
+WITH ws AS (
+  SELECT doc_id, source, text, str_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, unnest({_SQL_BIGRAMS}) AS grama FROM ws
+), per_gram AS (
+  SELECT doc_id, source, grama, count(*) AS _n
+  FROM grams GROUP BY doc_id, source, grama
+), per_doc AS (
+  SELECT doc_id, source, sum(_n) AS _total, count(*) AS _distintos,
+         max(_n) AS _max
+  FROM per_gram GROUP BY doc_id, source
+)
+SELECT source, count(*)::BIGINT AS docs_total,
+       sum(CASE WHEN 1 - _distintos / _total > {REP_DUP_THRESHOLD}
+                  OR _max / _total > {REP_TOP_THRESHOLD}
+                THEN 1 ELSE 0 END)::BIGINT AS docs_repetitivos,
+       floor(avg(1 - _distintos / _total) * 10000 + 0.5) / 10000
+         AS dup_ratio_medio,
+       floor(avg(_max / _total) * 10000 + 0.5) / 10000 AS top_ratio_medio
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+register("doc_repetition", q_doc_repetition, SQL_DOC_REPETITION)
