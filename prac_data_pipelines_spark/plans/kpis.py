@@ -80,24 +80,27 @@ def kpi_rows(master: DataFrame, as_of: str,
     """(moneda, kpi, valor, interpretacion) — the reference's 3-row summary
     (``src/kpis.py:95-114``)."""
     s = kpi_scalars(master, as_of, charges=charges)
-    dso_i = (F.when(F.col("dso") <= 45, "EXCELENTE")
-              .when(F.col("dso") <= 75, "ACEPTABLE").otherwise("CRITICO"))
-    cei_i = (F.when(F.col("cei") >= 0.9, "EXCELENTE")
-              .when(F.col("cei") >= 0.7, "ACEPTABLE").otherwise("CRITICO"))
-    mor_i = (F.when(F.col("morosidad") <= 0.05, "SANA")
-              .when(F.col("morosidad") <= 0.15, "VIGILAR").otherwise("CRITICA"))
-    rows = [
-        s.select("MONEDA", F.lit("DSO").alias("kpi"),
-                 F.col("dso").alias("valor"), dso_i.alias("interpretacion")),
-        s.select("MONEDA", F.lit("CEI").alias("kpi"),
-                 F.col("cei").alias("valor"), cei_i.alias("interpretacion")),
-        s.select("MONEDA", F.lit("MOROSIDAD").alias("kpi"),
-                 F.col("morosidad").alias("valor"), mor_i.alias("interpretacion")),
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    # unpivot with stack() instead of a 3-branch union: each union branch
+    # re-executes the whole kpi_scalars subtree (master assembly included —
+    # Spark reuses no mid-plan results across union arms), tripling the
+    # query; stack is a projection over the one-row-per-currency aggregate
+    stacked = s.selectExpr(
+        "MONEDA",
+        "stack(3, 'DSO', dso, 'CEI', cei, 'MOROSIDAD', morosidad)"
+        " AS (kpi, valor)")
+    k, v = F.col("kpi"), F.col("valor")
+    interp = (
+        F.when((k == "DSO") & (v <= 45), "EXCELENTE")
+        .when((k == "DSO") & (v <= 75), "ACEPTABLE")
+        .when(k == "DSO", "CRITICO")
+        .when((k == "CEI") & (v >= 0.9), "EXCELENTE")
+        .when((k == "CEI") & (v >= 0.7), "ACEPTABLE")
+        .when(k == "CEI", "CRITICO")
+        .when((k == "MOROSIDAD") & (v <= 0.05), "SANA")
+        .when((k == "MOROSIDAD") & (v <= 0.15), "VIGILAR")
+        .otherwise("CRITICA"))
+    return stacked.select("MONEDA", "kpi", "valor",
+                          interp.alias("interpretacion"))
 
 
 def concentracion_abc(master: DataFrame, moneda: str = "MXN",
