@@ -24,7 +24,14 @@ def with_total_row(df: DataFrame, label_col: str, sum_cols: list[str],
     ``sum_cols`` are money columns (summed, rounded 2); ``int_sum_cols`` are
     count columns (summed as long). Columns not covered are nulled on the
     TOTAL row unless ``const`` supplies a literal override.
+
+    The parent is cached: Spark shares no mid-plan results across union
+    arms, so without it the TOTAL arm re-executes the entire detail
+    aggregation subtree — one extra base-table scan per report at scale.
+    Callers pass post-aggregation frames (bucket/summary rows), so the
+    pinned footprint is the report itself, not the fact table.
     """
+    df = df.cache()
     aggs = [r2(F.sum(F.col(c))).alias(c) for c in sum_cols]
     aggs += [F.sum(F.col(c)).cast("long").alias(c) for c in (int_sum_cols or [])]
     total = df.agg(*aggs) if aggs else df.limit(1).select()
