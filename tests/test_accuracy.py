@@ -137,3 +137,64 @@ def test_simhash_hamming_separates_duplicates(spark, acc_dir):
     # pairs sit well below the 14-bit random-28-bit mean; require clear
     # separation, not a fixed absolute gap
     assert dup_mean < rand_mean * 0.7, (dup_mean, rand_mean)
+
+
+def test_knn_ivf_recall_and_lift(spark, acc_dir):
+    """Multi-probe IVF measured against exact brute force over the SAME
+    query/corpus split (qid < 40, corpus = rest). As with LSH, the
+    near-structureless synthetic embeddings put a low ceiling on any
+    sub-linear method, so the quality bar is lift over random scanning:
+    recall divided by the fraction of (query, corpus) pairs scored."""
+    from pyspark.sql import Window
+    from prac_data_pipelines_spark.operators.similarity import cosine_expr
+    from prac_data_pipelines_spark.queries.vector import IVF_TOP_K, q_knn_ivf
+    from prac_data_pipelines_spark.sources import load_table
+
+    emb = load_table(spark, acc_dir, "embeddings")
+    q = emb.filter("vec_id < 40").selectExpr("vec_id qid", "embedding qe")
+    c = emb.filter("vec_id >= 40").selectExpr("vec_id cid", "embedding ce")
+    n_pairs = q.count() * c.count()
+    scored = q.crossJoin(c).selectExpr("qid", "cid",
+                                       f"{cosine_expr('qe', 'ce')} cos")
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(),
+                                          F.col("cid").asc())
+    truth = {(r.qid, r.cid) for r in
+             scored.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= IVF_TOP_K).collect()}
+
+    ivf_rows = q_knn_ivf(spark, acc_dir).collect()
+    ivf = {(r.qid, r.cid) for r in ivf_rows}
+    recall = len(ivf & truth) / len(truth)
+
+    # pairs scored = every (query, corpus) pair sharing a probed list;
+    # the top-k output undercounts, so recount from the probe structure
+    from prac_data_pipelines_spark.queries.vector import (
+        IVF_NPROBE,
+        KMEANS_ITERS,
+        KMEANS_K,
+        _assign_to,
+        _recenter,
+    )
+    from pyspark.sql import functions as SF
+    embd = emb.selectExpr(
+        "vec_id", "transform(embedding, v -> cast(v as double)) AS embedding")
+    cents = (embd.filter(SF.col("vec_id") < KMEANS_K)
+             .selectExpr("vec_id AS centroid_id", "embedding AS ce"))
+    for _ in range(KMEANS_ITERS):
+        cents = _recenter(_assign_to(embd, cents))
+    sc = (embd.crossJoin(SF.broadcast(cents))
+          .selectExpr("vec_id", "centroid_id",
+                      f"{cosine_expr('embedding', 'ce')} AS _sim"))
+    wa = Window.partitionBy("vec_id").orderBy(SF.col("_sim").desc(),
+                                              SF.col("centroid_id").asc())
+    rk = sc.withColumn("_rn", SF.row_number().over(wa))
+    qs = (rk.filter((SF.col("vec_id") < 40) & (SF.col("_rn") <= IVF_NPROBE))
+          .selectExpr("vec_id qid", "centroid_id"))
+    cs = (rk.filter((SF.col("vec_id") >= 40) & (SF.col("_rn") == 1))
+          .selectExpr("vec_id cid", "centroid_id"))
+    n_scored = qs.join(cs, "centroid_id").select("qid", "cid").distinct().count()
+    frac = n_scored / n_pairs
+
+    assert recall >= 0.15, f"IVF recall collapsed: {recall:.2f}"
+    assert frac <= 0.6, f"IVF probes too much of the corpus: {frac:.2f}"
+    assert recall / frac >= 1.2, f"IVF no better than random: {recall/frac:.2f}"
