@@ -214,3 +214,50 @@ GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 """
 
 register("events_segment_value", q_events_segment_value, SQL_EVENTS_SEGMENT_VALUE)
+
+
+# --------------------------------------------------------------------------
+# events_rolling — time-RANGE rolling window: for each event, the count
+# and mean value of SAME-TYPE events in the trailing 24 hours (RANGE
+# BETWEEN interval, not ROWS — the frame is defined by timestamps, so
+# ties and gaps behave correctly). Partitioned by event_type → parallel;
+# summarised per type to keep the checked output small while the window
+# still computes per event.
+# --------------------------------------------------------------------------
+
+ROLLING_SECONDS = 24 * 3600
+
+
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.col("ts").cast("long"))
+         .rangeBetween(-ROLLING_SECONDS, 0))
+    rolled = (ev
+              .withColumn("n_24h", F.count(F.lit(1)).over(w).cast("long"))
+              .withColumn("media_24h", F.avg("value").over(w)))
+    return (
+        rolled.groupBy("event_type")
+        .agg(F.max("n_24h").cast("long").alias("max_n_24h"),
+             r2(F.avg("media_24h")).alias("media_de_medias"),
+             F.count(F.lit(1)).cast("long").alias("n_eventos"))
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_ROLLING = f"""
+WITH rolled AS (
+  SELECT event_type, value,
+         count(*) OVER w AS n_24h,
+         avg(value) OVER w AS media_24h
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts) // 1000000
+               RANGE BETWEEN {ROLLING_SECONDS} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, max(n_24h)::BIGINT AS max_n_24h,
+       floor((avg(media_24h)) * 100 + 0.5) / 100 AS media_de_medias,
+       count(*)::BIGINT AS n_eventos
+FROM rolled GROUP BY event_type ORDER BY event_type
+"""
+
+register("events_rolling", q_events_rolling, SQL_EVENTS_ROLLING)

@@ -331,3 +331,40 @@ GROUP BY l.bloque ORDER BY l.bloque
 """
 
 register("fuzzy_name_blocks", q_fuzzy_name_blocks, SQL_FUZZY_NAME_BLOCKS)
+
+
+# --------------------------------------------------------------------------
+# cube_summary — CUBE grouping sets (rollup_summary covers ROLLUP; CUBE
+# adds the cross-dimensional subtotals). One shuffled aggregation computes
+# all four grouping sets; nulls from the cube are labelled explicitly so
+# the cross-engine hash is stable.
+# --------------------------------------------------------------------------
+
+def q_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (cust.join(F.broadcast(nation),
+                      cust.c_nationkey == nation.n_nationkey)
+            .select("n_name", "c_mktsegment", "c_acctbal"))
+    return (
+        base.cube("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clientes"),
+             r2(F.sum("c_acctbal")).alias("saldo_total"))
+        .select(F.coalesce("n_name", F.lit("(todas)")).alias("nacion"),
+                F.coalesce("c_mktsegment", F.lit("(todos)")).alias("segmento"),
+                "n_clientes", "saldo_total")
+        .orderBy("nacion", "segmento")
+    )
+
+
+SQL_CUBE_SUMMARY = """
+SELECT coalesce(n_name, '(todas)') AS nacion,
+       coalesce(c_mktsegment, '(todos)') AS segmento,
+       count(*)::BIGINT AS n_clientes,
+       floor((sum(c_acctbal)) * 100 + 0.5) / 100 AS saldo_total
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (n_name, c_mktsegment)
+ORDER BY nacion, segmento
+"""
+
+register("cube_summary", q_cube_summary, SQL_CUBE_SUMMARY)
