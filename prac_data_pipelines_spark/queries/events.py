@@ -220,9 +220,17 @@ register("events_segment_value", q_events_segment_value, SQL_EVENTS_SEGMENT_VALU
 # events_rolling — time-RANGE rolling window: for each event, the count
 # and mean value of SAME-TYPE events in the trailing 24 hours (RANGE
 # BETWEEN interval, not ROWS — the frame is defined by timestamps, so
-# ties and gaps behave correctly). Partitioned by event_type → parallel;
-# summarised per type to keep the checked output small while the window
-# still computes per event.
+# ties and gaps behave correctly). Summarised per type to keep the
+# checked output small while the window still computes per event.
+#
+# Scale note: partitioning by event_type alone bounds parallelism at the
+# type cardinality. At 100 TB the deployment shape is (event_type,
+# day-bucket) partitions with each shard also reading the trailing 24 h
+# of the PREVIOUS bucket (boundary overlap), so shards scale with time
+# while every event still sees its full window; the streaming twin
+# (stream_hourly_rollup's watermarked state) is the other standard
+# answer. At report cardinality the single-key window is the simpler
+# correct plan.
 # --------------------------------------------------------------------------
 
 ROLLING_SECONDS = 24 * 3600
