@@ -46,7 +46,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_segment_value", "doc_decontaminate", "doc_pii_scrub",
     "doc_pack_sequences", "tfidf_top_terms", "min_cost_supplier",
     "important_stock", "top_supplier", "doc_repetition",
-    "events_rolling", "cube_summary",
+    "events_rolling", "cube_summary", "events_retention",
 )
 
 

@@ -269,3 +269,45 @@ FROM rolled GROUP BY event_type ORDER BY event_type
 """
 
 register("events_rolling", q_events_rolling, SQL_EVENTS_ROLLING)
+
+
+# --------------------------------------------------------------------------
+# events_retention — cohort retention matrix: users bucketed by first-seen
+# week (the cohort), then counted per (cohort, week-offset) if active in
+# that later week. Weeks are integer epoch-weeks (floor(epoch/604800)) —
+# engine-neutral, no calendar-week-start disagreements. Shape: one
+# per-user min-aggregate (the cohort), one distinct (user, week) frame,
+# one join on user_id — all keyed shuffles; the matrix itself is tiny.
+# --------------------------------------------------------------------------
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    weeks = ev.select("user_id",
+                      (F.col("ts").cast("long") / 604800).cast("long")
+                      .alias("semana")).distinct()
+    cohorts = (weeks.groupBy("user_id")
+               .agg(F.min("semana").alias("cohorte")))
+    return (
+        weeks.join(cohorts, "user_id")
+        .select("user_id", "cohorte",
+                (F.col("semana") - F.col("cohorte")).alias("offset"))
+        .groupBy("cohorte", "offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("usuarios"))
+        .orderBy("cohorte", "offset")
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH weeks AS (
+  SELECT DISTINCT user_id, (epoch_us(ts) // 1000000) // 604800 AS semana
+  FROM events
+), cohorts AS (
+  SELECT user_id, min(semana) AS cohorte FROM weeks GROUP BY user_id
+)
+SELECT c.cohorte, w.semana - c.cohorte AS offset,
+       count(DISTINCT w.user_id)::BIGINT AS usuarios
+FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+register("events_retention", q_events_retention, SQL_EVENTS_RETENTION)
