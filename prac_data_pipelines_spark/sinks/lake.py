@@ -79,3 +79,57 @@ def bucketed_join_no_shuffle(spark: SparkSession, left_table: str,
     left = spark.table(left_table).hint("merge")
     right = spark.table(right_table)
     return left.join(right, left[key_left] == right[key_right])
+
+
+def compact_partitions(spark: SparkSession, path: str,
+                       target_file_mb: int = 128,
+                       partition_cols: list[str] | None = None) -> dict:
+    """Small-file compaction: rewrite a parquet directory so files land
+    near ``target_file_mb``. Streaming micro-batches and over-parallel
+    writes leave thousands of KB-sized files; at 100 TB that turns every
+    scan into a file-listing + task-scheduling storm (one task per tiny
+    file). Compaction is the standing maintenance op of any lake.
+
+    The rewrite stages into ``<path>.__compact__`` then atomically swaps,
+    so a failed compaction never corrupts the live table. Returns
+    before/after file counts for observability.
+
+    Sizing: parquet on-disk bytes inflate ~2-4x in memory; coalescing to
+    ``ceil(total_bytes / target)`` parquet-sized outputs is the standard
+    heuristic. ``coalesce`` (not ``repartition``) avoids a shuffle when
+    reducing file count; with ``partition_cols`` the rewrite instead
+    repartitions on those keys so each directory partition compacts to
+    its own file set.
+    """
+    import math
+    import os
+
+    def _count_files(p: str) -> int:
+        n = 0
+        for _root, _dirs, files in os.walk(p):
+            n += sum(1 for f in files
+                     if f.endswith(".parquet") and not f.startswith("."))
+        return n
+
+    def _total_bytes(p: str) -> int:
+        total = 0
+        for _root, _dirs, files in os.walk(p):
+            total += sum(os.path.getsize(os.path.join(_root, f))
+                         for f in files if f.endswith(".parquet"))
+        return total
+
+    before = _count_files(path)
+    n_out = max(1, math.ceil(_total_bytes(path) / (target_file_mb << 20)))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".__compact__"
+    if partition_cols:
+        (df.repartition(n_out, *partition_cols).write
+         .partitionBy(*partition_cols).mode("overwrite").parquet(staging))
+    else:
+        df.coalesce(n_out).write.mode("overwrite").parquet(staging)
+    backup = path.rstrip("/") + ".__old__"
+    shutil.move(path, backup)
+    shutil.move(staging, path)
+    shutil.rmtree(backup)
+    return {"files_before": before, "files_after": _count_files(path),
+            "target_files": n_out}

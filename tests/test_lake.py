@@ -97,3 +97,44 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     # and the join still returns the full fan-out
     li = load_table(spark, sf_dir, "lineitem")
     assert joined.count() == li.count()
+
+
+def test_compact_partitions_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    from prac_data_pipelines_spark.sinks.lake import compact_partitions
+    from prac_data_pipelines_spark.sources import load_table
+
+    path = str(tmp_path / "fragmented")
+    orders = load_table(spark, sf_dir, "orders")
+    # simulate micro-batch fragmentation: 64 tiny files
+    orders.repartition(64).write.parquet(path)
+    want = orders.count()
+
+    stats = compact_partitions(spark, path, target_file_mb=128)
+    assert stats["files_before"] >= 64
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= stats["target_files"] * 2
+    got = spark.read.parquet(path)
+    assert got.count() == want
+    assert set(got.columns) == set(orders.columns)
+
+
+def test_compact_partitions_keeps_directory_partitions(spark, sf_dir, tmp_path):
+    from prac_data_pipelines_spark.sinks.lake import compact_partitions
+    from prac_data_pipelines_spark.sources import load_table
+
+    path = str(tmp_path / "fragmented_parts")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "prio", orders_prio())
+    orders.repartition(32).write.partitionBy("prio").parquet(path)
+    want = spark.read.parquet(path).count()
+
+    compact_partitions(spark, path, target_file_mb=128,
+                       partition_cols=["prio"])
+    got = spark.read.parquet(path)
+    assert got.count() == want
+    assert "prio" in got.columns
+
+
+def orders_prio():
+    from pyspark.sql import functions as F
+    return F.substring("o_orderpriority", 1, 1)
