@@ -1,0 +1,67 @@
+"""Persisted IVF index: the probe over the partitioned layout must match
+the inline-trained q_knn_ivf results exactly (same quantizer constants),
+and the probe scan must prune unprobed list partitions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_index_probe_matches_inline_ivf(spark, sf_dir, tmp_path):
+    from prac_data_pipelines_spark.operators.ann_index import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+    from prac_data_pipelines_spark.queries.vector import (
+        IVF_NPROBE,
+        IVF_TOP_K,
+        KMEANS_ITERS,
+        KMEANS_K,
+        q_knn_ivf,
+    )
+    from prac_data_pipelines_spark.sources import load_table
+
+    index_dir = str(tmp_path / "ivf")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # q_knn_ivf trains on the full collection but serves only the corpus
+    # side (vec_id >= 40) — mirror that split exactly
+    build_ivf_index(emb, index_dir, k=KMEANS_K, iters=KMEANS_ITERS,
+                    corpus=emb.filter(F.col("vec_id") >= 40))
+
+    queries = (emb.filter(F.col("vec_id") < 40)
+               .selectExpr("vec_id AS qid",
+                           "transform(embedding, v -> cast(v as double)) AS qe"))
+    got = probe_ivf_index(spark, index_dir, queries,
+                          nprobe=IVF_NPROBE, top_k=IVF_TOP_K)
+    want = q_knn_ivf(spark, sf_dir)
+
+    got_rows = [(r.qid, r.cid, r.rango, round(r.cos, 6))
+                for r in got.collect()]
+    want_rows = [(r.qid, r.cid, r.rango, round(r.cos, 6))
+                 for r in want.collect()]
+    assert got_rows == want_rows and len(got_rows) > 0
+
+
+def test_probe_scan_prunes_list_partitions(spark, sf_dir, tmp_path):
+    from prac_data_pipelines_spark.operators.ann_index import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+    from prac_data_pipelines_spark.sources import load_table
+
+    index_dir = str(tmp_path / "ivf_prune")
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ivf_index(emb, index_dir, k=8, iters=1)
+
+    one_query = (emb.filter(F.col("vec_id") == 0)
+                 .selectExpr("vec_id AS qid",
+                             "transform(embedding, v -> cast(v as double)) AS qe"))
+    probed = probe_ivf_index(spark, index_dir, one_query, nprobe=2, top_k=3)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # the lists scan must carry a static IN PartitionFilter on centroid_id
+    # — directory pruning at the filesystem level, not a post-scan filter
+    # (match on the filter itself — long tmp paths get truncated out of
+    # the rendered Location field)
+    assert any("FileScan" in l and "PartitionFilters: [centroid_id" in l
+               and " IN " in l for l in plan.splitlines()), plan
+    assert probed.count() > 0
