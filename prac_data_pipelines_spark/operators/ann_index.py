@@ -88,3 +88,22 @@ def probe_ivf_index(spark: SparkSession, index_dir: str, queries: DataFrame,
         .filter(F.col("rango") <= top_k)
         .orderBy("qid", "rango")
     )
+
+
+def append_to_ivf_index(spark: SparkSession, new_emb: DataFrame,
+                        index_dir: str) -> None:
+    """Incremental maintenance: assign new vectors to the EXISTING
+    centroids and append them into their list partitions (dynamic
+    partition append — only touched list directories gain files). The
+    quantizer is not retrained; periodic full rebuilds (plus
+    ``sinks.lake.compact_partitions`` on the list directories) absorb
+    drift — the standard IVF maintenance split."""
+    from ..queries.vector import _assign_to
+
+    cents = (spark.read.parquet(f"{index_dir}/centroids")
+             .selectExpr("centroid_id", "ce"))
+    new_emb = new_emb.selectExpr(
+        "vec_id", "transform(embedding, v -> cast(v as double)) AS embedding")
+    assigned = _assign_to(new_emb, cents)
+    (assigned.write.mode("append").partitionBy("centroid_id")
+     .parquet(f"{index_dir}/lists"))

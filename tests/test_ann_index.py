@@ -65,3 +65,34 @@ def test_probe_scan_prunes_list_partitions(spark, sf_dir, tmp_path):
     assert any("FileScan" in l and "PartitionFilters: [centroid_id" in l
                and " IN " in l for l in plan.splitlines()), plan
     assert probed.count() > 0
+
+
+def test_append_then_probe_finds_new_vectors(spark, sf_dir, tmp_path):
+    from prac_data_pipelines_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        probe_ivf_index,
+    )
+    from prac_data_pipelines_spark.sources import load_table
+
+    index_dir = str(tmp_path / "ivf_inc")
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ivf_index(emb, index_dir, k=8, iters=1)
+    n_before = spark.read.parquet(f"{index_dir}/lists").count()
+
+    # append exact copies of vectors 0..4 under new ids: each copy lands
+    # in its original's list and probes at cosine 1.0
+    copies = (emb.filter(F.col("vec_id") < 5)
+              .withColumn("vec_id", F.col("vec_id") + 5000000))
+    append_to_ivf_index(spark, copies, index_dir)
+    assert (spark.read.parquet(f"{index_dir}/lists").count()
+            == n_before + 5)
+
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .selectExpr("vec_id AS qid",
+                           "transform(embedding, v -> cast(v as double)) AS qe"))
+    top1 = (probe_ivf_index(spark, index_dir, queries, nprobe=2, top_k=1)
+            .collect())
+    for r in top1:
+        assert r.cos == 1.0
+        assert r.cid in (r.qid, r.qid + 5000000)
