@@ -449,7 +449,10 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sh = (docs.selectExpr("doc_id", "text", f"{WORDS} AS _ws")
           .selectExpr("doc_id", f"array_distinct({_SHINGLES_WS}) AS sh"))
-    bands = _band_guard(_with_sigs(docs).selectExpr("doc_id", _BANDS_EXPR))
+    # narrow (doc_id, banda) frame feeds both sides of the self-join —
+    # cache it, or the signature computation (one md5 per shingle) runs
+    # twice over the full corpus
+    bands = _band_guard(_with_sigs(docs).selectExpr("doc_id", _BANDS_EXPR)).cache()
     cand = (
         bands.select(F.col("doc_id").alias("d1"), "banda")
         .join(bands.select(F.col("doc_id").alias("d2"), "banda"), "banda")
