@@ -138,3 +138,48 @@ def test_compact_partitions_keeps_directory_partitions(spark, sf_dir, tmp_path):
 def orders_prio():
     from pyspark.sql import functions as F
     return F.substring("o_orderpriority", 1, 1)
+
+
+def test_zorder_tightens_per_file_ranges_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-ordered files must cover tighter min/max ranges than a random
+    layout on BOTH sort columns — the property that makes parquet footer
+    stats prune multi-column filters."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from prac_data_pipelines_spark.sinks.lake import write_zordered
+    from prac_data_pipelines_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    naive = str(tmp_path / "naive")
+    zord = str(tmp_path / "zorder")
+    orders.repartition(8).write.parquet(naive)
+    write_zordered(orders, zord, ["o_custkey", "o_totalprice"], n_files=8)
+
+    def mean_width(path: str, col: str) -> float:
+        widths = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                widths.append(float(hi) - float(lo))
+        assert widths
+        return sum(widths) / len(widths)
+
+    got = spark.read.parquet(zord)
+    assert got.count() == orders.count()
+    for col in ("o_custkey", "o_totalprice"):
+        w_naive = mean_width(naive, col)
+        w_z = mean_width(zord, col)
+        # each z-file covers a compact rectangle: expect clearly tighter
+        # ranges than random files (which span nearly the full domain)
+        assert w_z < w_naive * 0.75, (col, w_z, w_naive)
