@@ -1,0 +1,70 @@
+"""Expectations operator: one-pass row rules, uniqueness, referential
+integrity, and the gate barrier."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_row_rules_single_pass_and_counts(spark, sf_dir):
+    from prac_data_pipelines_spark.operators.expectations import check_rows
+    from prac_data_pipelines_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    rep = check_rows(orders, {
+        "orderkey_not_null": F.col("o_orderkey").isNotNull(),
+        "price_positive": F.col("o_totalprice") > 0,
+        "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+        "never_true": F.lit(False),
+    })
+    got = {r.regla: (r.violaciones, r.total) for r in rep.collect()}
+    n = orders.count()
+    assert got["orderkey_not_null"] == (0, n)
+    assert got["price_positive"] == (0, n)
+    assert got["status_known"] == (0, n)
+    assert got["never_true"] == (n, n)
+    # single aggregation pass: exactly one Aggregate pair, no join
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_unique_and_references(spark, sf_dir):
+    from prac_data_pipelines_spark.operators.expectations import (
+        check_references,
+        check_unique,
+    )
+    from prac_data_pipelines_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    uniq = check_unique(orders, ["o_orderkey"]).collect()[0]
+    assert uniq.violaciones == 0
+
+    dup = orders.unionByName(orders.limit(5))
+    assert check_unique(dup, ["o_orderkey"]).collect()[0].violaciones == 5
+
+    ref = check_references(orders, "o_custkey", cust, "c_custkey").collect()[0]
+    assert ref.violaciones == 0
+
+    broken = orders.withColumn(
+        "o_custkey", F.when(F.col("o_orderkey") % 100 == 0, F.lit(-1))
+        .otherwise(F.col("o_custkey")))
+    bad = check_references(broken, "o_custkey", cust, "c_custkey").collect()[0]
+    assert bad.violaciones == broken.filter("o_custkey = -1").count()
+
+
+def test_gate_raises_on_violations(spark, sf_dir):
+    from prac_data_pipelines_spark.operators.expectations import (
+        check_rows,
+        gate,
+    )
+    from prac_data_pipelines_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    ok = check_rows(orders, {"never_null": F.col("o_orderkey").isNotNull()})
+    gate(ok)  # no raise
+    bad = check_rows(orders, {"always_false": F.lit(False)})
+    with pytest.raises(ValueError, match="always_false"):
+        gate(ok, bad)
