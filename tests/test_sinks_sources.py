@@ -80,3 +80,26 @@ def test_pdf_text_alignment_and_rotation():
     assert "1 0 0 1 89.60 50.00 Tm" in c.ops[-1]  # x - len*size*0.52/2
     c.text(100, 50, "abcd", size=10, rotate_deg=45)
     assert "0.7071 0.7071 -0.7071 0.7071" in c.ops[-1]
+
+
+def test_orc_avro_format_breadth(spark, sf_dir, tmp_path):
+    """Format breadth beyond parquet/csv/json: ORC round-trips natively;
+    Avro requires the external spark-avro package — assert the clean
+    error seam rather than silently skipping the format."""
+    from prac_data_pipelines_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    orc_path = str(tmp_path / "orders_orc")
+    orders.write.format("orc").save(orc_path)
+    back = spark.read.format("orc").load(orc_path)
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)
+    # predicate pushdown reaches the ORC scan too
+    plan = (back.filter("o_custkey = 1")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters" in plan and "o_custkey" in plan
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="[Aa]vro"):
+        orders.write.format("avro").save(str(tmp_path / "orders_avro"))
