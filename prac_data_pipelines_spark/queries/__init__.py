@@ -47,6 +47,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_pack_sequences", "tfidf_top_terms", "min_cost_supplier",
     "important_stock", "top_supplier", "doc_repetition",
     "events_rolling", "cube_summary", "events_retention",
+    "doc_stratified_sample",
 )
 
 

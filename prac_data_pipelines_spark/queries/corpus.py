@@ -385,3 +385,54 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 register("doc_repetition", q_doc_repetition, SQL_DOC_REPETITION)
+
+
+# --------------------------------------------------------------------------
+# doc_stratified_sample — deterministic stratified sampling: EXACTLY
+# ceil(frac * n) documents per source, chosen by md5-hash order (seed-free
+# and engine-portable, like doc_sample's hash-threshold variant — but
+# with exact per-stratum quotas, which threshold sampling cannot
+# guarantee). One window per source partition; at 100 TB the same
+# row_number runs per (source, shard) with shard quotas allocated
+# proportionally in a first tiny count pass.
+# --------------------------------------------------------------------------
+
+SAMPLE_FRAC = 0.1
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    h = "md5(cast(doc_id as string))"
+    w = (Window.partitionBy("source")
+         .orderBy(F.expr(h), F.col("doc_id")))
+    n_w = Window.partitionBy("source")
+    sampled = (
+        docs.select("doc_id", "source")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(n_w))
+        .filter(F.col("_rn") <= F.ceil(F.col("_n") * SAMPLE_FRAC)))
+    return (
+        sampled.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("muestra"),
+             F.min("doc_id").cast("long").alias("min_doc"),
+             F.max("doc_id").cast("long").alias("max_doc"))
+        .orderBy("source")
+    )
+
+
+SQL_DOC_STRATIFIED_SAMPLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS _rn,
+         count(*) OVER (PARTITION BY source) AS _n
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS muestra,
+       min(doc_id)::BIGINT AS min_doc, max(doc_id)::BIGINT AS max_doc
+FROM ranked WHERE _rn <= ceil(_n * {SAMPLE_FRAC})
+GROUP BY source ORDER BY source
+"""
+
+register("doc_stratified_sample", q_doc_stratified_sample,
+         SQL_DOC_STRATIFIED_SAMPLE)
