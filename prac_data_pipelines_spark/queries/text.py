@@ -627,9 +627,20 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (q_doc_minhash_pairs(spark, sf_dir)
              .filter(F.col("jaccard_est") >= CLUSTER_MIN_EST)
              .select("d1", "d2"))
-    edges = (pairs.unionByName(pairs.select(F.col("d2").alias("d1"),
-                                            F.col("d1").alias("d2")))
-             .distinct().cache())
+    edges0 = (pairs.unionByName(pairs.select(F.col("d2").alias("d1"),
+                                             F.col("d1").alias("d2")))
+              .distinct().cache())
+    # right-size the loop's parallelism to the graph: the pair graph is a
+    # small fraction of the corpus (near-dups), and every round shuffles
+    # it several times — at the session's default partition count most
+    # loop tasks are empty scheduling overhead (measured 2x the wall of a
+    # sized loop at sf0.1). localCheckpoint pins partitioning across
+    # rounds, so AQE cannot coalesce it away; size it once up front.
+    n_part = max(4, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                        edges0.count() // 50_000 + 1))
+    edges = edges0.repartition(n_part, "d1").cache()
+    edges.count()  # materialize before dropping the pre-repartition cache
+    edges0.unpersist()
     labels = (edges.select(F.col("d1").alias("doc_id")).distinct()
               .withColumn("etiqueta", F.col("doc_id")).cache())
     converged = False
