@@ -57,6 +57,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "doc_pack_sequences",
     "events_funnel",
+    "events_retention",
+    "cube_summary",
 ]
 
 
