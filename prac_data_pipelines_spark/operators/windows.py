@@ -18,6 +18,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -61,6 +63,57 @@ def pareto_abc(df: DataFrame, amount_col: str, key_order: list[Column] | None = 
              .when(cum100 <= ABC_UMBRAL_B, "B")
              .otherwise("C"))
     return out.withColumn(abc_col, abc).drop("_RN")
+
+
+def sharded_range_window(df: DataFrame, partition_cols: list[str], ts_col: str,
+                         range_seconds: int,
+                         window_cols: dict[str, "Callable[[Window], Column]"],
+                         bucket_seconds: int | None = None) -> DataFrame:
+    """Trailing time-RANGE window whose parallelism scales with TIME, not
+    with the partition-key cardinality.
+
+    A plain ``Window.partitionBy(key).rangeBetween(-R, 0)`` bounds
+    parallelism at ``|key|`` — with single-digit event types, one hot type
+    is one task at any data size. This operator shards each key by time
+    bucket and heals the boundary with overlap rows:
+
+    1. every row goes to its home shard ``(key, floor(sec / bucket))``;
+    2. rows in the trailing ``range_seconds`` of a bucket are ALSO copied
+       into the next shard as context-only rows (``_home = false``) — a
+       single-scan ``explode`` of 1-or-2 shard entries, not a self-union;
+    3. the RANGE window runs per ``(key, bucket)`` shard — every home row
+       sees its complete trailing window because ``bucket >= range``
+       guarantees the window never reaches past the previous bucket;
+    4. context rows are dropped after the window computes.
+
+    Cost: duplicated fraction = ``range/bucket`` (default 1/7 with weekly
+    buckets over a 24 h window); parallelism = ``|key| x |buckets|``.
+    ``window_cols`` maps output column name -> ``lambda w: <expr>.over(w)``.
+    """
+    bucket_seconds = int(bucket_seconds or 7 * range_seconds)
+    if bucket_seconds < range_seconds:
+        raise ValueError("bucket_seconds must be >= range_seconds "
+                         "(the overlap only carries one bucket back)")
+    sec = F.col(ts_col).cast("long")
+    base = (df.withColumn("_sec", sec)
+              .withColumn("_bucket",
+                          F.floor(F.col("_sec") / bucket_seconds).cast("long")))
+    near_edge = (F.col("_sec")
+                 >= (F.col("_bucket") + 1) * bucket_seconds - range_seconds)
+    home = F.struct(F.col("_bucket").alias("b"), F.lit(True).alias("h"))
+    carry = F.struct((F.col("_bucket") + 1).alias("b"),
+                     F.lit(False).alias("h"))
+    shards = F.when(near_edge, F.array(home, carry)).otherwise(F.array(home))
+    exploded = (base.withColumn("_shard", F.explode(shards))
+                .withColumn("_bucket", F.col("_shard.b"))
+                .withColumn("_home", F.col("_shard.h"))
+                .drop("_shard"))
+    w = (Window.partitionBy(*partition_cols, "_bucket")
+         .orderBy("_sec").rangeBetween(-range_seconds, 0))
+    out = exploded
+    for name, fn in window_cols.items():
+        out = out.withColumn(name, fn(w))
+    return out.filter(F.col("_home")).drop("_home", "_bucket", "_sec")
 
 
 def band_groups(df: DataFrame, group_key: Column, order_by: list[Column],

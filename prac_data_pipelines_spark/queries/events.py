@@ -272,6 +272,37 @@ register("events_rolling", q_events_rolling, SQL_EVENTS_ROLLING)
 
 
 # --------------------------------------------------------------------------
+# events_rolling_sharded — the 100 TB deployment shape of events_rolling:
+# the same per-event trailing-24 h RANGE window, but sharded by
+# (event_type, weekly time bucket) with boundary-overlap rows so every
+# event still sees its complete window (operators/windows.py
+# ``sharded_range_window``). Output is identical to events_rolling — the
+# oracle is the same single-key window SQL, which IS the semantic
+# definition; the sharding is purely a physical-plan choice. Parallelism
+# scales with |types| x |weeks| instead of |types|.
+# --------------------------------------------------------------------------
+
+def q_events_rolling_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import sharded_range_window
+
+    ev = load_table(spark, sf_dir, "events")
+    rolled = sharded_range_window(
+        ev, ["event_type"], "ts", ROLLING_SECONDS,
+        {"n_24h": lambda w: F.count(F.lit(1)).over(w).cast("long"),
+         "media_24h": lambda w: F.avg("value").over(w)})
+    return (
+        rolled.groupBy("event_type")
+        .agg(F.max("n_24h").cast("long").alias("max_n_24h"),
+             r2(F.avg("media_24h")).alias("media_de_medias"),
+             F.count(F.lit(1)).cast("long").alias("n_eventos"))
+        .orderBy("event_type")
+    )
+
+
+register("events_rolling_sharded", q_events_rolling_sharded, SQL_EVENTS_ROLLING)
+
+
+# --------------------------------------------------------------------------
 # events_retention — cohort retention matrix: users bucketed by first-seen
 # week (the cohort), then counted per (cohort, week-offset) if active in
 # that later week. Weeks are integer epoch-weeks (floor(epoch/604800)) —

@@ -100,3 +100,59 @@ def test_tune_for_input_scales_with_volume(spark, sf_dir):
         assert int(spark.conf.get("spark.sql.shuffle.partitions")) == many
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_sharded_range_window_matches_single_key_window(spark):
+    """The time-sharded RANGE window must agree row-for-row with the plain
+    single-key window, including rows in the boundary-overlap region and
+    exact bucket-edge timestamps."""
+    from pyspark.sql import Window
+
+    from prac_data_pipelines_spark.operators.windows import sharded_range_window
+
+    # timestamps engineered around bucket edges: bucket=20s, range=10s
+    rows = [("a", s, float(s)) for s in
+            [0, 3, 9, 10, 11, 19, 20, 21, 29, 30, 31, 39, 40, 55, 60]]
+    rows += [("b", s, float(s * 2)) for s in [5, 18, 20, 22, 38, 40, 41]]
+    df = spark.createDataFrame(rows, "k string, sec long, v double") \
+        .withColumn("ts", F.col("sec").cast("timestamp"))
+
+    sharded = sharded_range_window(
+        df, ["k"], "ts", 10,
+        {"n": lambda w: F.count(F.lit(1)).over(w).cast("long"),
+         "s": lambda w: F.sum("v").over(w)},
+        bucket_seconds=20)
+
+    w = (Window.partitionBy("k").orderBy(F.col("ts").cast("long"))
+         .rangeBetween(-10, 0))
+    plain = (df.withColumn("n", F.count(F.lit(1)).over(w).cast("long"))
+               .withColumn("s", F.sum("v").over(w)))
+
+    key = lambda r: (r["k"], r["sec"])
+    got = sorted(sharded.select("k", "sec", "n", "s").collect(), key=key)
+    want = sorted(plain.select("k", "sec", "n", "s").collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_sharded_range_window_rejects_small_bucket(spark):
+    from prac_data_pipelines_spark.operators.windows import sharded_range_window
+
+    df = spark.range(1).selectExpr("'a' AS k", "cast(id as timestamp) AS ts")
+    try:
+        sharded_range_window(df, ["k"], "ts", 100,
+                             {"n": lambda w: F.count(F.lit(1)).over(w)},
+                             bucket_seconds=50)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_events_rolling_sharded_equals_events_rolling(spark, sf_dir):
+    from prac_data_pipelines_spark.queries.events import (
+        q_events_rolling,
+        q_events_rolling_sharded,
+    )
+
+    plain = q_events_rolling(spark, sf_dir).collect()
+    sharded = q_events_rolling_sharded(spark, sf_dir).collect()
+    assert [tuple(r) for r in plain] == [tuple(r) for r in sharded]

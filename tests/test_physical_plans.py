@@ -121,3 +121,15 @@ def test_knn_lsh_buckets_join_broadcast(spark, sf_dir):
 
     plan = _plan(q_knn_lsh(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_events_rolling_sharded_window_keys_include_time_bucket(spark, sf_dir):
+    """The deployment-shape rolling window must partition its Window by
+    (event_type, time bucket) — never by the low-cardinality type alone —
+    so parallelism grows with time at fixed type count."""
+    from prac_data_pipelines_spark.queries.events import q_events_rolling_sharded
+
+    plan = _plan(q_events_rolling_sharded(spark, sf_dir))
+    window_lines = [ln for ln in plan.split("\n") if "Window [" in ln]
+    assert window_lines, plan
+    assert all("_bucket" in ln for ln in window_lines), window_lines

@@ -84,15 +84,55 @@ def probe_llm(spark, sf_dir: str, k: int) -> None:
     shutil.rmtree(scratch, ignore_errors=True)
 
 
+def probe_events_rolling(spark, sf_dir: str, k: int) -> None:
+    """Replicate events k x with TIME-SHIFTED copies (the realistic growth
+    axis: more history, same handful of types) and time the single-key
+    rolling window against the sharded deployment shape. The single-key
+    plan's parallelism is |types| regardless of k; the sharded plan's is
+    |types| x |weeks| and should hold near-flat per-row cost."""
+    import shutil
+    import tempfile
+
+    from prac_data_pipelines_spark.queries.events import (
+        q_events_rolling,
+        q_events_rolling_sharded,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    span_days = 370  # beyond any source span so replicas never overlap
+    parts = []
+    for i in range(k):
+        parts.append(ev.withColumn("event_id", F.col("event_id") + i * 100_000_000)
+                       .withColumn("ts", F.timestamp_seconds(
+                           F.col("ts").cast("long") + i * span_days * 86400)))
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    scratch = tempfile.mkdtemp(prefix="scale_probe_events_")
+    big.write.mode("overwrite").parquet(f"{scratch}/events.parquet")
+    n = spark.read.parquet(f"{scratch}/events.parquet").count()
+    print(f"replicated events: {n:,} rows (k={k}, time-shifted)")
+    for name, fn in (("events_rolling(single-key)", q_events_rolling),
+                     ("events_rolling_sharded", q_events_rolling_sharded)):
+        t0 = time.time()
+        fn(spark, scratch).write.format("noop").mode("overwrite").save()
+        print(f"{name} at {k}x: {time.time()-t0:.2f}s")
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     k = int(args[0]) if args else 8
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     only_llm = "--llm" in sys.argv
+    only_events = "--events" in sys.argv
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     if only_llm:
         probe_llm(spark, sf_dir, k)
+        return
+    if only_events:
+        probe_events_rolling(spark, sf_dir, k)
         return
 
     span = 100_000_000
@@ -135,6 +175,7 @@ def main() -> None:
      .write.format("noop").mode("overwrite").save())
     print(f"running_balance-shape at {k}x: {time.time()-t0:.2f}s")
 
+    probe_events_rolling(spark, sf_dir, k)
     probe_llm(spark, sf_dir, k)
 
 
