@@ -47,7 +47,8 @@ _PRIORITY: tuple[str, ...] = (
     "doc_bpe_tokens", "doc_quality", "doc_lang_id", "doc_fingerprint",
     "doc_simhash", "doc_sample", "knn_brute", "embedding_norms",
     # new or re-implemented in round 3 — needs a first driver verdict:
-    "events_rolling_sharded", "fuzzy_name_blocks", "events_rolling",
+    "events_rolling_sharded", "fuzzy_name_blocks", "fuzzy_block_stats",
+    "events_rolling",
 )
 
 

