@@ -107,20 +107,22 @@ def curate(spark: SparkSession, sf_dir: str,
 
 def export(spark: SparkSession, views: dict[str, DataFrame], out_dir: str,
            sf_dir: str, build_index: bool = True) -> None:
-    from .operators.expectations import check_rows, check_unique, gate
+    from .operators.expectations import check_all, gate
 
     # quality gate BEFORE anything is published: a curated corpus with
-    # null ids, duplicate ids, or out-of-range scores must never land
+    # null ids, duplicate ids, or out-of-range scores must never land.
+    # check_all fuses all four rules into one aggregation job.
     curado = views["curado"]
-    gate(
-        check_rows(curado, {
+    gate(check_all(
+        curado,
+        rules={
             "doc_id_not_null": F.col("doc_id").isNotNull(),
             "calidad_en_rango": (F.col("calidad") >= 0)
             & (F.col("calidad") <= 1),
             "idioma_presente": F.col("idioma").isNotNull(),
-        }),
-        check_unique(curado, ["doc_id"]),
-    )
+        },
+        unique=["doc_id"],
+    ))
     os.makedirs(out_dir, exist_ok=True)
     views["curado"].write.mode("overwrite").parquet(f"{out_dir}/curado")
     for name in ("descartados", "stats_fuente", "repeticion_fuente"):

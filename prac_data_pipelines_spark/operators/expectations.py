@@ -4,13 +4,18 @@ Generalizes the reference's null audit (``src/analytics.py`` null counts;
 re-expressed here as P9/`cxc_auditoria_nulos`) into the standard
 expectations surface a production pipeline gates on:
 
-- row rules (not-null, range, set membership, regex …) — ALL evaluated in
-  ONE aggregation pass over the frame: each rule is a conditional sum, so
-  ten rules cost the same scan as one.
-- ``unique`` rules — each needs its own keyed aggregation (a shuffle per
-  rule; there is no single-pass distributed uniqueness check).
-- ``references`` rules — left-anti join against the referenced dimension
-  (broadcast when small).
+- row rules (not-null, range, set membership, regex …) — conditional sums;
+- ``unique`` rules — ``count(*) - count(distinct struct(keys))`` (equal to
+  the sum of per-key excess rows, with null keys grouping like groupBy);
+- ``references`` rules — a broadcast left join adds a match flag per
+  dimension, violations are a conditional sum over the flag.
+
+``check_all`` fuses EVERY family into ONE aggregation job over the gated
+frame (round-3: previously each unique/reference rule ran its own
+count()+agg jobs): the only extra jobs are the broadcast builds of the
+(small) reference dimensions. The per-family ``check_rows`` /
+``check_unique`` / ``check_references`` remain for composing reports
+across different frames.
 
 Returns a tidy (regla, violaciones, total) frame; ``gate()`` raises when
 any rule fails, for use as a pipeline barrier.
@@ -21,6 +26,58 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+
+
+def check_all(df: DataFrame,
+              rules: dict[str, Column] | None = None,
+              unique: list[list[str] | str] | None = None,
+              references: list[tuple[str, DataFrame, str]] | None = None,
+              ) -> DataFrame:
+    """Evaluate every expectation family over ``df`` in ONE aggregation.
+
+    ``rules`` maps rule name -> boolean Column (True = row satisfies);
+    ``unique`` lists key columns (string or list per rule);
+    ``references`` lists ``(col, dim, dim_col)`` referential checks —
+    each dimension is deduplicated and broadcast, never shuffled.
+    """
+    rules = dict(rules or {})
+    unique = [[u] if isinstance(u, str) else list(u) for u in (unique or [])]
+    references = list(references or [])
+
+    work = df
+    ref_names: list[tuple[str, str]] = []
+    for i, (col, dim, dim_col) in enumerate(references):
+        flag = f"_ref_match_{i}"
+        d = (dim.select(F.col(dim_col).alias(col)).distinct()
+             .withColumn(flag, F.lit(1)))
+        work = work.join(broadcast(d), col, "left")
+        ref_names.append((f"ref_{col}", flag))
+
+    names: list[str] = []
+    aggs = [F.count(F.lit(1)).cast("long").alias("_total")]
+    for name, cond in rules.items():
+        aggs.append(
+            F.sum(F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0))
+            .cast("long").alias(name))
+        names.append(name)
+    for cols in unique:
+        name = "unique_" + "_".join(cols)
+        aggs.append(
+            (F.count(F.lit(1))
+             - F.countDistinct(F.struct(*[F.col(c) for c in cols])))
+            .cast("long").alias(name))
+        names.append(name)
+    for name, flag in ref_names:
+        aggs.append(
+            F.sum(F.when(F.col(flag).isNull(), 1).otherwise(0))
+            .cast("long").alias(name))
+        names.append(name)
+
+    row = work.agg(*aggs)
+    stacked = ", ".join(f"'{n}', `{n}`" for n in names)
+    return (row.selectExpr(
+        "_total", f"stack({len(names)}, {stacked}) AS (regla, violaciones)")
+        .select("regla", "violaciones", F.col("_total").alias("total")))
 
 
 def check_rows(df: DataFrame, rules: dict[str, Column]) -> DataFrame:

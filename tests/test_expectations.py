@@ -68,3 +68,64 @@ def test_gate_raises_on_violations(spark, sf_dir):
     bad = check_rows(orders, {"always_false": F.lit(False)})
     with pytest.raises(ValueError, match="always_false"):
         gate(ok, bad)
+
+
+def test_check_all_single_job_gate(spark, sf_dir):
+    """The fused gate must cost ONE aggregation job over the gated frame
+    (plus the broadcast build of the reference dimension) — not a pair of
+    count() jobs per unique/reference rule."""
+    from prac_data_pipelines_spark.operators.expectations import check_all
+    from prac_data_pipelines_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    dup = orders.unionByName(orders.limit(5))
+    broken = dup.withColumn(
+        "o_custkey", F.when(F.col("o_orderkey") % 100 == 0, F.lit(-1))
+        .otherwise(F.col("o_custkey")))
+
+    rep = check_all(
+        broken,
+        rules={"price_positive": F.col("o_totalprice") > 0,
+               "never_true": F.lit(False)},
+        unique=["o_orderkey", ["o_orderkey", "o_custkey"]],
+        references=[("o_custkey", cust, "c_custkey")],
+    )
+
+    sc = spark.sparkContext
+    sc.setJobGroup("gate-single-pass", "expectations fused gate")
+    rows = rep.collect()
+    sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("gate-single-pass")
+    assert len(jobs) <= 2, f"expected <=2 jobs (broadcast + agg), got {jobs}"
+
+    got = {r.regla: r.violaciones for r in rows}
+    n = broken.count()
+    n_orphan = broken.filter("o_custkey = -1").count()
+    assert {r.total for r in rows} == {n}
+    assert got["price_positive"] == 0
+    assert got["never_true"] == n
+    assert got["unique_o_orderkey"] == 5
+    assert got["unique_o_orderkey_o_custkey"] == 5
+    assert got["ref_o_custkey"] == n_orphan
+
+
+def test_check_all_matches_per_family_checks(spark, sf_dir):
+    from prac_data_pipelines_spark.operators.expectations import (
+        check_all,
+        check_references,
+        check_unique,
+    )
+    from prac_data_pipelines_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    fused = {r.regla: r.violaciones
+             for r in check_all(orders, unique=["o_orderkey"],
+                                references=[("o_custkey", cust, "c_custkey")]
+                                ).collect()}
+    assert fused["unique_o_orderkey"] == \
+        check_unique(orders, ["o_orderkey"]).collect()[0].violaciones
+    assert fused["ref_o_custkey"] == \
+        check_references(orders, "o_custkey", cust,
+                         "c_custkey").collect()[0].violaciones
