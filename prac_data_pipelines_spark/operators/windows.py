@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..config import ABC_UMBRAL_A, ABC_UMBRAL_B
 from .rounding import r6, rn
+from .timeops import epoch_sec
 
 
 def running_balance(df: DataFrame, partition_by: list[str], order_by: list[Column],
@@ -94,7 +95,7 @@ def sharded_range_window(df: DataFrame, partition_cols: list[str], ts_col: str,
     if bucket_seconds < range_seconds:
         raise ValueError("bucket_seconds must be >= range_seconds "
                          "(the overlap only carries one bucket back)")
-    sec = F.col(ts_col).cast("long")
+    sec = epoch_sec(ts_col)
     base = (df.withColumn("_sec", sec)
               .withColumn("_bucket",
                           F.floor(F.col("_sec") / bucket_seconds).cast("long")))

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.rounding import r2
+from ..operators.timeops import epoch_sec
 from ..sources import load_table
 from . import register
 
@@ -62,7 +63,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap_sec = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap_sec = epoch_sec("ts") - F.lag(epoch_sec("ts")).over(w)
     new_session = (gap_sec.isNull() | (gap_sec > SESSION_GAP_MIN * 60)).cast("int")
     sessioned = ev.withColumn("session_id", F.sum(new_session).over(wc).cast("long"))
     return (
@@ -70,7 +71,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_eventos"),
             r2(F.sum("value")).alias("valor"),
-            ((F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))))
+            ((F.max(epoch_sec("ts")) - F.min(epoch_sec("ts"))))
             .cast("long").alias("duracion_seg"),
         )
     )
@@ -144,11 +145,11 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     purchases = (ev.filter(F.col("event_type") == "purchase")
                  .select(F.col("user_id").alias("p_user"),
-                         F.col("ts").cast("long").alias("p_sec"),
+                         epoch_sec("ts").alias("p_sec"),
                          F.col("event_id").alias("p_event")))
     errors = (ev.filter(F.col("event_type") == "error")
               .select(F.col("user_id").alias("e_user"),
-                      F.col("ts").cast("long").alias("e_sec")))
+                      epoch_sec("ts").alias("e_sec")))
     cond = ((purchases.p_user == errors.e_user)
             & (errors.e_sec >= purchases.p_sec)
             & (errors.e_sec <= purchases.p_sec + FUNNEL_HOURS * 3600))
@@ -239,7 +240,7 @@ ROLLING_SECONDS = 24 * 3600
 def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (Window.partitionBy("event_type")
-         .orderBy(F.col("ts").cast("long"))
+         .orderBy(epoch_sec("ts"))
          .rangeBetween(-ROLLING_SECONDS, 0))
     rolled = (ev
               .withColumn("n_24h", F.count(F.lit(1)).over(w).cast("long"))
@@ -314,7 +315,7 @@ register("events_rolling_sharded", q_events_rolling_sharded, SQL_EVENTS_ROLLING)
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     weeks = ev.select("user_id",
-                      (F.col("ts").cast("long") / 604800).cast("long")
+                      (epoch_sec("ts") / 604800).cast("long")
                       .alias("semana")).distinct()
     cohorts = (weeks.groupBy("user_id")
                .agg(F.min("semana").alias("cohorte")))

@@ -54,14 +54,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts arrives as nanosecond epoch (read as long via nanosAsLong):
-        # truncate to microseconds with INTEGER division — `/` would go
-        # through double, whose 2^53 exact range epoch-ns values exceed
-        # (ulp = 256 ns → 1 µs drift vs the oracle's exact truncation).
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # ts has shipped as int64-nanos AND as timestamp[us] (TIMESTAMP_NTZ)
+        # across harness versions — normalize every representation to the
+        # engine's UTC TIMESTAMP contract at this seam (operators/timeops.py).
+        from ..operators.timeops import normalize_ts
+        df = normalize_ts(df, "ts")
     return df
 
 

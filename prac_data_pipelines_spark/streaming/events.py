@@ -28,8 +28,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# ts arrives as nanosecond epoch (INT64) in the harness feed; normalized to
-# a microsecond timestamp on read, same as the batch source layer.
+# Raw-feed schema for sources that ship ts as int64 epoch-NANOseconds
+# (e.g. a Kafka topic of fixed-width records). File sources instead take
+# their schema from the files themselves in ``read_event_stream`` — the
+# harness's parquet has shipped both int64-nanos and timestamp[us], and a
+# hard-coded schema silently corrupts whichever one it doesn't match.
 EVENTS_SCHEMA = StructType([
     StructField("event_id", LongType()),
     StructField("ts", LongType()),
@@ -45,13 +48,22 @@ SESSION_GAP = "30 minutes"
 
 def read_event_stream(spark: SparkSession, source_dir: str,
                       fmt: str = "parquet") -> DataFrame:
+    """File-source event stream normalized to the engine's UTC TIMESTAMP
+    contract. Structured Streaming requires an explicit schema, so it is
+    taken from the existing files' footers (one driver-side metadata read —
+    no data scan) rather than hard-coded; the same ``normalize_ts`` seam as
+    the batch loader (``sources/registry.load_table``) then handles whatever
+    physical ts representation the files use."""
+    from ..operators.timeops import normalize_ts
+    from ..sources.registry import ensure_session_confs
+
+    ensure_session_confs(spark)
+    schema = spark.read.format(fmt).load(source_dir).schema
     raw = (spark.readStream.format(fmt)
-           .schema(EVENTS_SCHEMA)
+           .schema(schema)
            .option("path", source_dir)
            .load())
-    # integer division — `/` loses exactness for epoch-ns beyond double's
-    # 2^53 range (see sources/registry.py)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(raw, "ts")
 
 
 def stream_hourly_rollup(events: DataFrame) -> DataFrame:
