@@ -10,12 +10,15 @@ expectations surface a production pipeline gates on:
 - ``references`` rules — a broadcast left join adds a match flag per
   dimension, violations are a conditional sum over the flag.
 
-``check_all`` fuses EVERY family into ONE aggregation job over the gated
+``check_all`` fuses EVERY family into ONE aggregation over the gated
 frame (round-3: previously each unique/reference rule ran its own
-count()+agg jobs): the only extra jobs are the broadcast builds of the
-(small) reference dimensions. The per-family ``check_rows`` /
-``check_unique`` / ``check_references`` remain for composing reports
-across different frames.
+count()+agg jobs): the frame is scanned once and the Spark-job count is
+constant in the number of rules. (It is not literally one JOB — under AQE
+each materialized shuffle stage runs as its own job, and the broadcast
+builds of the small reference dimensions add theirs; what matters at
+scale is that none of that grows with the rule list.) The per-family
+``check_rows`` / ``check_unique`` / ``check_references`` remain for
+composing reports across different frames.
 
 Returns a tidy (regla, violaciones, total) frame; ``gate()`` raises when
 any rule fails, for use as a pipeline barrier.
