@@ -29,26 +29,29 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # not yet received a driver-green row first so every operator accumulates a
 # driver verdict across rounds; the remainder keeps registration order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-3 rotation: the 43 queries whose last driver-green row dates
-    # from round 1.  Round 2 changed shared layers underneath them
-    # (operators/totals.py caching, plans/kpis.py stack unpivot,
-    # operators/stats.py broadcast), so they need fresh CORRECTNESS_r03
-    # rows; the judge-mirror run already says green.
-    "pricing_summary", "master_denorm", "order_balance", "order_last_ship",
-    "open_order_lines", "flag_full_outer", "customer_first_order",
-    "aging_buckets", "aging_pivot", "customer_metrics", "running_balance",
-    "pareto_abc", "top_customers", "band_groups", "scalar_suite",
-    "cancelled_filter", "union_views", "column_profile", "distinct_counts",
-    "cxc_master_summary", "cxc_saldo_factura", "cxc_antiguedad",
-    "cxc_cartera", "cxc_resumen_concepto", "cxc_cancelados", "cxc_ajustes",
-    "cxc_auditoria_nulos", "cxc_kpis", "cxc_concentracion",
-    "cxc_limite_credito", "cxc_morosidad_cliente", "cxc_saldo_cliente",
-    "cxc_movimientos_abiertos", "doc_exact_dedup", "doc_token_stats",
-    "doc_bpe_tokens", "doc_quality", "doc_lang_id", "doc_fingerprint",
-    "doc_simhash", "doc_sample", "knn_brute", "embedding_norms",
-    # new or re-implemented in round 3 — needs a first driver verdict:
-    "events_rolling_sharded", "fuzzy_name_blocks", "fuzzy_block_stats",
-    "events_rolling",
+    # Round-4 rotation. Head: the five events queries broken by the
+    # TIMESTAMP_NTZ representation change and repaired this round — they
+    # need fresh driver-green rows first.
+    "events_sessionize", "events_funnel", "events_retention",
+    "events_rolling", "events_rolling_sharded",
+    # Then the 40 remaining queries whose last driver row dates from
+    # round 2 (round 3's gate covered the r01-era half of the registry;
+    # keep every query's driver verdict <=2 rounds old).
+    "events_hourly", "events_json", "events_segment_value",
+    "doc_minhash_pairs", "doc_ngram_jaccard", "doc_curation",
+    "doc_dup_clusters", "doc_simhash_pairs", "knn_lsh", "kmeans_embeddings",
+    "knn_ivf", "emb_near_dup",
+    "multimodal_features", "multimodal_resize", "multimodal_frames",
+    "sql_text", "distinct_values", "quantiles", "window_suite",
+    "rollup_summary", "set_ops", "asof_latest_order",
+    "order_vs_customer_avg", "distribution_windows", "cube_summary",
+    "priority_late_lines", "customer_order_distribution",
+    "large_quantity_orders", "parts_never_ordered",
+    "rich_inactive_customers", "volume_shipping", "market_share",
+    "waiting_suppliers", "min_cost_supplier", "important_stock",
+    "top_supplier",
+    "doc_decontaminate", "doc_pii_scrub", "doc_pack_sequences",
+    "tfidf_top_terms", "doc_repetition", "doc_stratified_sample",
 )
 
 

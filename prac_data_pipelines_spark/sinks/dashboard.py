@@ -19,9 +19,11 @@ from __future__ import annotations
 import html
 import math
 import threading
+import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 AZUL, VERDE, AMARILLO, ROJO = "#4472C4", "#548235", "#FFC000", "#C00000"
 GRIS, FONDO, BORDE = "#A6A6A6", "#F2F2F2", "#B4C6E7"
@@ -54,7 +56,50 @@ tr.total td {{ background: {GRIS}; color: white; font-weight: bold; }}
         padding: 10px 16px; min-width: 150px; }}
 .card .v {{ font-size: 22px; font-weight: bold; }}
 .card .l {{ font-size: 12px; color: #666; }}
+.filters {{ background: {FONDO}; border: 1px solid {BORDE}; padding: 8px 12px;
+           display: flex; gap: 10px; align-items: center; font-size: 13px; }}
+.filters input[type=text], .filters input:not([type]) {{ padding: 3px 6px; }}
 """
+
+
+def apply_view_filters(df: DataFrame | None,
+                       filters: dict[str, list[str]] | None) -> DataFrame | None:
+    """Interactive filters applied ENGINE-side, before the bounded collect —
+    Catalyst pushes the predicates into the scan instead of pandas trimming
+    an already-collected head.
+
+    Mirrors the reference dashboard's sidebar filters
+    (``dashboard/data_loader.py:149-186`` client/vendor ``isin``;
+    ``dashboard/pages/02_cartera.py:232-238`` case-insensitive substring
+    search; ``dashboard/pages/03_clientes.py:94-117`` mora-category and
+    saldo>0 filters), including its defensive degradation: a filter whose
+    column the view lacks is silently skipped.
+    """
+    if df is None or not filters:
+        return df
+    cols = set(df.columns)
+    clientes = filters.get("cliente") or []
+    if clientes and "NOMBRE_CLIENTE" in cols:
+        df = df.filter(F.col("NOMBRE_CLIENTE").isin(clientes))
+    vendedores = filters.get("vendedor") or []
+    if vendedores and "VENDEDOR" in cols:
+        df = df.filter(F.col("VENDEDOR").isin(vendedores))
+    buscar = (filters.get("buscar") or [""])[0]
+    if buscar and "NOMBRE_CLIENTE" in cols:
+        df = df.filter(
+            F.lower(F.col("NOMBRE_CLIENTE")).contains(buscar.lower()))
+    moras = filters.get("mora") or []
+    if moras and "CATEGORIA_MORA" in cols:
+        df = df.filter(F.col("CATEGORIA_MORA").isin(moras))
+    if (filters.get("solo_saldo") or ["0"])[0] in ("1", "true", "on"):
+        for c in ("SALDO_TOTAL", "SALDO_PENDIENTE", "SALDO_FACTURA"):
+            if c in cols:
+                df = df.filter(F.col(c) > 0)
+                break
+    return df
+
+
+FILTER_KEYS = ("cliente", "vendedor", "buscar", "mora", "solo_saldo")
 
 
 def _fmt(v) -> str:
@@ -189,17 +234,61 @@ class Dashboard:
 
     def __init__(self, views: dict[str, DataFrame]) -> None:
         self._views = views
-        self._cache: dict[str, object] = {}
+        self._cache: dict[tuple, object] = {}
+        self._filters: dict[str, list[str]] = {}
+
+    def _filter_key(self) -> tuple:
+        return tuple((k, tuple(v)) for k, v in sorted(self._filters.items()))
 
     def _pdf(self, name: str, limit: int = 500):
-        if name not in self._cache:
-            df = self._views.get(name)
-            self._cache[name] = (df.limit(limit).toPandas()
-                                 if df is not None else None)
-        return self._cache[name]
+        key = (name, self._filter_key())
+        if key not in self._cache:
+            df = apply_view_filters(self._views.get(name), self._filters)
+            self._cache[key] = (df.limit(limit).toPandas()
+                                if df is not None else None)
+        return self._cache[key]
 
     def refresh(self) -> None:
         self._cache.clear()
+
+    def _filter_form(self, page: str) -> str:
+        """GET form preserving current filter state (the widget layer of the
+        reference's sidebar; distinct-value suggestion lists are the O6
+        operator collected bounded)."""
+        buscar = html.escape((self._filters.get("buscar") or [""])[0])
+        solo = ((self._filters.get("solo_saldo") or ["0"])[0]
+                in ("1", "true", "on"))
+        cliente = html.escape((self._filters.get("cliente") or [""])[0])
+        vendedor = html.escape((self._filters.get("vendedor") or [""])[0])
+        options = "".join(
+            f'<option value="{html.escape(str(v))}"/>'
+            for v in self._distinct("NOMBRE_CLIENTE"))
+        return (
+            f'<form method="get" action="/{page}" class="filters">'
+            f'<input name="buscar" value="{buscar}" placeholder="Buscar cliente…"/>'
+            f'<input name="cliente" value="{cliente}" list="dl_clientes" '
+            f'placeholder="Cliente exacto"/>'
+            f'<datalist id="dl_clientes">{options}</datalist>'
+            f'<input name="vendedor" value="{vendedor}" placeholder="Vendedor"/>'
+            f'<label><input type="checkbox" name="solo_saldo" value="1" '
+            f'{"checked" if solo else ""}/> solo con saldo</label>'
+            f'<button>Filtrar</button> <a href="/{page}">limpiar</a></form>')
+
+    def _distinct(self, col: str, limit: int = 200) -> list[str]:
+        """Alphabetical distinct list for filter widgets (reference
+        ``dashboard/data_loader.py:121-146``; SURVEY O6) — engine-side
+        distinct + orderBy, bounded collect, cached unfiltered."""
+        key = ("_distinct", col)
+        if key not in self._cache:
+            vals: list[str] = []
+            for df in self._views.values():
+                if col in df.columns:
+                    vals = [r[0] for r in (df.select(col).where(
+                        F.col(col).isNotNull()).distinct().orderBy(col)
+                        .limit(limit).collect())]
+                    break
+            self._cache[key] = vals
+        return self._cache[key]  # type: ignore[return-value]
 
     # -- page renderers -----------------------------------------------------
 
@@ -287,7 +376,10 @@ class Dashboard:
         out.append(table_html(self._pdf("importes_atipicos")))
         return "".join(out)
 
-    def render(self, page: str) -> str:
+    def render(self, page: str,
+               filters: dict[str, list[str]] | None = None) -> str:
+        self._filters = {k: v for k, v in (filters or {}).items()
+                         if k in FILTER_KEYS and any(v)}
         body = {
             "resumen": self.page_resumen,
             "cartera": self.page_cartera,
@@ -299,9 +391,10 @@ class Dashboard:
             f'<a href="/{slug}" class="{"active" if slug == page else ""}">'
             f"{title}</a>" for slug, title in PAGES)
         nav += '<a href="/refresh">Refrescar datos</a>'
+        form = self._filter_form(page)
         return (f"<!DOCTYPE html><html><head><meta charset='utf-8'>"
                 f"<title>Dashboard CxC</title><style>{_CSS}</style></head>"
-                f"<body><nav>{nav}</nav><main>{body}</main></body></html>")
+                f"<body><nav>{nav}</nav><main>{form}{body}</main></body></html>")
 
 
 def serve_dashboard(views: dict[str, DataFrame], port: int = 0
@@ -312,7 +405,8 @@ def serve_dashboard(views: dict[str, DataFrame], port: int = 0
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self) -> None:  # noqa: N802 (http.server API)
-            path = self.path.split("?")[0].strip("/") or "resumen"
+            parsed = urllib.parse.urlparse(self.path)
+            path = parsed.path.strip("/") or "resumen"
             if path == "refresh":
                 dash.refresh()
                 self.send_response(303)
@@ -323,7 +417,8 @@ def serve_dashboard(views: dict[str, DataFrame], port: int = 0
                 self.send_response(404)
                 self.end_headers()
                 return
-            payload = dash.render(path).encode()
+            filters = urllib.parse.parse_qs(parsed.query)
+            payload = dash.render(path, filters).encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/html; charset=utf-8")
             self.send_header("Content-Length", str(len(payload)))
