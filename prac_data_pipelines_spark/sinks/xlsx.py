@@ -125,6 +125,40 @@ def legacy_sheet_password_hash(password: str) -> str:
     return format(h ^ len(password) ^ 0xCE4B, "04X")
 
 
+class _SharedStrings:
+    """Workbook-global shared-string table: each distinct string is stored
+    once in ``xl/sharedStrings.xml`` and cells reference it by index
+    (``t="s"``). Report sheets repeat the same customer/concept/bucket
+    labels thousands of times — interning them shrinks the file roughly
+    by the duplication factor vs per-cell inline strings."""
+
+    def __init__(self) -> None:
+        self._idx: dict[str, int] = {}
+        self._order: list[str] = []
+        self.refs = 0  # total string-cell count (the <sst count> attribute)
+
+    def index(self, text: str) -> int:
+        self.refs += 1
+        if text not in self._idx:
+            self._idx[text] = len(self._order)
+            self._order.append(text)
+        return self._idx[text]
+
+    def __len__(self) -> int:
+        return len(self._order)
+
+    def to_xml(self) -> str:
+        items = "".join(
+            f'<si><t xml:space="preserve">{escape(t)}</t></si>'
+            for t in self._order)
+        return (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/'
+            f'2006/main" count="{self.refs}" uniqueCount="{len(self._order)}">'
+            f"{items}</sst>"
+        )
+
+
 class _Styles:
     """Interns (numFmt, font, fill, align) combos into cellXfs indices."""
 
@@ -237,7 +271,8 @@ def _excel_serial(v: Any) -> float:
     return (v - _dt.date(1899, 12, 30)).days
 
 
-def _cell_xml(ref: str, v: Any, s: int) -> str:
+def _cell_xml(ref: str, v: Any, s: int,
+              sst: _SharedStrings | None = None) -> str:
     if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
         return f'<c r="{ref}" s="{s}"/>'
     if isinstance(v, bool):
@@ -247,7 +282,9 @@ def _cell_xml(ref: str, v: Any, s: int) -> str:
     if isinstance(v, (int, float)):
         return f'<c r="{ref}" s="{s}"><v>{v!r}</v></c>'
     if hasattr(v, "item"):  # numpy scalars
-        return _cell_xml(ref, v.item(), s)
+        return _cell_xml(ref, v.item(), s, sst)
+    if sst is not None:
+        return f'<c r="{ref}" s="{s}" t="s"><v>{sst.index(str(v))}</v></c>'
     text = escape(str(v))
     return (f'<c r="{ref}" s="{s}" t="inlineStr"><is><t xml:space="preserve">'
             f"{text}</t></is></c>")
@@ -273,7 +310,8 @@ def _display_len(v: Any, numfmt: int) -> int:
 
 
 def _sheet_xml(df: pd.DataFrame, styles: _Styles, protected: bool,
-               password: str, calc_cols: set[str] | None) -> str:
+               password: str, calc_cols: set[str] | None,
+               sst: _SharedStrings | None = None) -> str:
     band_data = None
     if BAND_COL in df.columns:
         band_data = df[BAND_COL].tolist()
@@ -304,7 +342,7 @@ def _sheet_xml(df: pd.DataFrame, styles: _Styles, protected: bool,
         fill = FILL_CALC if col.upper() in calc_upper else FILL_HEADER
         align = AL_WRAP if col.upper() in _COLS_WRAP else AL_CENTER
         s = styles.xf(NF_NONE, F_HEADER, fill, align)
-        header_cells.append(_cell_xml(f"{_col_letter(c_idx)}1", col, s))
+        header_cells.append(_cell_xml(f"{_col_letter(c_idx)}1", col, s, sst))
     rows_xml.append(f'<row r="1">{"".join(header_cells)}</row>')
 
     for i, row in enumerate(records):
@@ -338,7 +376,7 @@ def _sheet_xml(df: pd.DataFrame, styles: _Styles, protected: bool,
             align = AL_WRAP if col.upper() in _COLS_WRAP else AL_NONE
             s = styles.xf(_numfmt_for(col, row), font, fill, align)
             cells.append(_cell_xml(f"{_col_letter(c_idx)}{r_idx}",
-                                   row.get(col), s))
+                                   row.get(col), s, sst))
         rows_xml.append(f'<row r="{r_idx}">{"".join(cells)}</row>')
 
     protection = ""
@@ -375,6 +413,7 @@ def write_styled_workbook(
     protected_sheets = protected_sheets or set()
     calc_cols_by_sheet = calc_cols_by_sheet or {}
     styles = _Styles()
+    sst = _SharedStrings()
     parts: list[tuple[str, str]] = []
     names: list[str] = []
     for name, df in sheets:
@@ -385,7 +424,7 @@ def write_styled_workbook(
         parts.append((
             f"xl/worksheets/sheet{len(names)}.xml",
             _sheet_xml(df, styles, name in protected_sheets, password,
-                       calc_cols_by_sheet.get(name)),
+                       calc_cols_by_sheet.get(name), sst),
         ))
     if not names:
         raise ValueError("write_styled_workbook: no non-empty sheets")
@@ -413,6 +452,9 @@ def write_styled_workbook(
         + f'<Relationship Id="rId{len(names) + 1}" '
           'Type="http://schemas.openxmlformats.org/officeDocument/2006/'
           'relationships/styles" Target="styles.xml"/>'
+        + f'<Relationship Id="rId{len(names) + 2}" '
+          'Type="http://schemas.openxmlformats.org/officeDocument/2006/'
+          'relationships/sharedStrings" Target="sharedStrings.xml"/>'
         "</Relationships>"
     )
     root_rels = (
@@ -434,6 +476,8 @@ def write_styled_workbook(
         'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
         '<Override PartName="/xl/styles.xml" ContentType="application/vnd.'
         'openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
+        '<Override PartName="/xl/sharedStrings.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
         + "".join(
             f'<Override PartName="/xl/worksheets/sheet{i}.xml" '
             'ContentType="application/vnd.openxmlformats-officedocument.'
@@ -448,6 +492,7 @@ def write_styled_workbook(
         zf.writestr("xl/workbook.xml", workbook)
         zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
         zf.writestr("xl/styles.xml", styles.to_xml())
+        zf.writestr("xl/sharedStrings.xml", sst.to_xml())
         for part_name, xml in parts:
             zf.writestr(part_name, xml)
     return path

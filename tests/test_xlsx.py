@@ -175,8 +175,54 @@ def test_dates_written_as_excel_serials(workbook_path):
 
 
 def test_string_escaping(workbook_path):
-    raw = _part(workbook_path, "xl/worksheets/sheet1.xml")
+    # strings are interned in the shared table; the cell carries its index
+    raw = _part(workbook_path, "xl/sharedStrings.xml")
     assert "Ana's &lt;Shop&gt;" in raw
+
+
+def _sst_strings(path):
+    root = ET.fromstring(_part(path, "xl/sharedStrings.xml"))
+    return [t.text or "" for t in root.findall(".//m:si/m:t", NS)]
+
+
+def test_shared_strings_dedup_and_resolution(workbook_path):
+    root = ET.fromstring(_part(workbook_path, "xl/sharedStrings.xml"))
+    assert int(root.get("uniqueCount")) < int(root.get("count"))
+
+    strings = _sst_strings(workbook_path)
+    assert len(strings) == len(set(strings))  # each stored once
+
+    # every string cell's index resolves, and A2 resolves to TOTAL
+    for i in (1, 2, 3):
+        sheet = ET.fromstring(
+            _part(workbook_path, f"xl/worksheets/sheet{i}.xml"))
+        for cell in sheet.findall(".//m:c[@t='s']", NS):
+            idx = int(cell.find("m:v", NS).text)
+            assert 0 <= idx < len(strings)
+    sheet1 = ET.fromstring(_part(workbook_path, "xl/worksheets/sheet1.xml"))
+    a2 = sheet1.find(".//m:row[@r='2']/m:c[@r='A2']", NS)
+    assert a2.get("t") == "s"
+    assert strings[int(a2.find("m:v", NS).text)] == "TOTAL"
+
+
+def test_shared_strings_shrink_repetitive_workbook():
+    import os
+    import tempfile
+
+    rep = pd.DataFrame({
+        "NOMBRE_CLIENTE": ["DISTRIBUIDORA DEL CENTRO SA DE CV"] * 400,
+        "CONCEPTO": ["FACTURA DE VENTA MOSTRADOR"] * 400,
+        "IMPORTE": [float(i) for i in range(400)],
+    })
+    d = tempfile.mkdtemp(prefix="xlsx_sst_")
+    path = os.path.join(d, "rep.xlsx")
+    write_styled_workbook(path, [("hoja", rep)])
+    root = ET.fromstring(_part(path, "xl/sharedStrings.xml"))
+    # 800 string cells (+3 headers) intern to 5 distinct strings
+    assert int(root.get("uniqueCount")) == 5
+    assert int(root.get("count")) == 803
+    # and the sheet part itself carries no inline text at all
+    assert "inlineStr" not in _part(path, "xl/worksheets/sheet1.xml")
 
 
 def test_column_widths_clamped(workbook_path):
