@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..operators.rounding import r4
+from ..operators.rounding import r4, r6
 from ..sources import load_table
 from . import register
 from .text import SQL_WORDS, WORDS
@@ -436,3 +436,109 @@ GROUP BY source ORDER BY source
 
 register("doc_stratified_sample", q_doc_stratified_sample,
          SQL_DOC_STRATIFIED_SAMPLE)
+
+
+# --------------------------------------------------------------------------
+# vocab_top_terms — tokenizer-prep vocabulary build: corpus-wide term
+# frequency, document frequency, and cumulative corpus coverage of the
+# top-V terms (the coverage curve is how a vocab size V is chosen).
+# Shape: the canonical explode → partially-aggregated wordcount (one
+# shuffle over term keys), a one-row total broadcast back, and a top-k —
+# no per-doc state, so the plan is identical at 100 TB with the term-key
+# shuffle as the only scaling axis (Zipf skew is absorbed by map-side
+# partial aggregation: hot terms combine within each task first).
+# --------------------------------------------------------------------------
+
+VOCAB_TOP = 30
+
+
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    words = (docs.selectExpr("doc_id", f"explode({WORDS}) AS termino")
+             .filter(F.col("termino") != ""))
+    counts = (words.groupBy("termino")
+              .agg(F.count(F.lit(1)).cast("long").alias("frecuencia"),
+                   F.countDistinct("doc_id").cast("long").alias("docs")))
+    total = counts.agg(F.sum("frecuencia").alias("_total"))
+    w = Window.orderBy(F.col("frecuencia").desc(), F.col("termino").asc())
+    return (
+        counts.crossJoin(broadcast(total))
+        .withColumn("rango", F.row_number().over(w).cast("long"))
+        .filter(F.col("rango") <= VOCAB_TOP)
+        .withColumn("cobertura_acum",
+                    r4(F.sum(F.col("frecuencia")).over(
+                        w.rowsBetween(Window.unboundedPreceding, 0))
+                       / F.col("_total")))
+        .select("rango", "termino", "frecuencia", "docs", "cobertura_acum")
+        .orderBy("rango")
+    )
+
+
+SQL_VOCAB_TOP_TERMS = f"""
+WITH words AS (
+  SELECT doc_id, unnest({SQL_WORDS}) AS termino FROM documents
+), counts AS (
+  SELECT termino, count(*)::BIGINT AS frecuencia,
+         count(DISTINCT doc_id)::BIGINT AS docs
+  FROM words WHERE termino <> '' GROUP BY termino
+), total AS (
+  SELECT sum(frecuencia) AS _total FROM counts
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY frecuencia DESC, termino ASC)::BIGINT
+            AS rango
+  FROM counts CROSS JOIN total
+)
+SELECT rango, termino, frecuencia, docs,
+       floor((sum(frecuencia) OVER (ORDER BY rango
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / _total)
+             * 10000 + 0.5) / 10000 AS cobertura_acum
+FROM ranked WHERE rango <= {VOCAB_TOP} ORDER BY rango
+"""
+
+register("vocab_top_terms", q_vocab_top_terms, SQL_VOCAB_TOP_TERMS)
+
+
+# --------------------------------------------------------------------------
+# source_mix — training-mixture report: per (source) document/char
+# volume, corpus share, and the sqrt-temperature sampling weight the
+# mixture would use (sqrt dampening is the standard low-resource upweight;
+# rational arithmetic only, so both engines reproduce it bit-for-bit
+# after the shared rounding). One tiny aggregate over the corpus (sources
+# are low-cardinality) plus a one-row total broadcast.
+# --------------------------------------------------------------------------
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    per_source = (docs.groupBy("source")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                       F.sum("n_chars").cast("long").alias("n_chars"),
+                       F.countDistinct("lang").cast("long").alias("idiomas")))
+    totals = per_source.agg(
+        F.sum("n_chars").alias("_chars"),
+        F.sum(F.sqrt(F.col("n_chars"))).alias("_sqrt_sum"))
+    return (
+        per_source.crossJoin(broadcast(totals))
+        .select("source", "n_docs", "n_chars", "idiomas",
+                r6(F.col("n_chars") / F.col("_chars")).alias("parte"),
+                r6(F.sqrt(F.col("n_chars")) / F.col("_sqrt_sum"))
+                .alias("peso_sqrt"))
+        .orderBy("source")
+    )
+
+
+SQL_SOURCE_MIX = """
+WITH per_source AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars,
+         count(DISTINCT lang)::BIGINT AS idiomas
+  FROM documents GROUP BY source
+), totals AS (
+  SELECT sum(n_chars) AS _chars, sum(sqrt(n_chars)) AS _sqrt_sum
+  FROM per_source
+)
+SELECT source, n_docs, n_chars, idiomas,
+       floor((n_chars / _chars) * 1000000 + 0.5) / 1000000 AS parte,
+       floor((sqrt(n_chars) / _sqrt_sum) * 1000000 + 0.5) / 1000000 AS peso_sqrt
+FROM per_source CROSS JOIN totals ORDER BY source
+"""
+
+register("source_mix", q_source_mix, SQL_SOURCE_MIX)

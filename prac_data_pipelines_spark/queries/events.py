@@ -307,24 +307,32 @@ register("events_rolling_sharded", q_events_rolling_sharded, SQL_EVENTS_ROLLING)
 # events_retention — cohort retention matrix: users bucketed by first-seen
 # week (the cohort), then counted per (cohort, week-offset) if active in
 # that later week. Weeks are integer epoch-weeks (floor(epoch/604800)) —
-# engine-neutral, no calendar-week-start disagreements. Shape: one
-# per-user min-aggregate (the cohort), one distinct (user, week) frame,
-# one join on user_id — all keyed shuffles; the matrix itself is tiny.
+# engine-neutral, no calendar-week-start disagreements.
+#
+# Plan shape (round 4): ONE keyed shuffle on user_id building the per-user
+# active-week set (map-side partial collect_set dedupes within partitions),
+# then cohort = array_min and offsets by explode — the
+# distinct→agg→self-join chain this replaces cost 4 keyed shuffles for the
+# same result. After the explode each user contributes each (cohort,
+# offset) exactly once (it came from a set), so the final rollup is a
+# plain count — no distinct-expand. Per-user state is bounded by the
+# calendar (52 entries/user/year), not by event volume, so the set
+# aggregate holds at 100 TB.
 # --------------------------------------------------------------------------
 
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    weeks = ev.select("user_id",
-                      (epoch_sec("ts") / 604800).cast("long")
-                      .alias("semana")).distinct()
-    cohorts = (weeks.groupBy("user_id")
-               .agg(F.min("semana").alias("cohorte")))
+    per_user = (ev.select("user_id",
+                          (epoch_sec("ts") / 604800).cast("long")
+                          .alias("semana"))
+                .groupBy("user_id")
+                .agg(F.collect_set("semana").alias("semanas")))
     return (
-        weeks.join(cohorts, "user_id")
-        .select("user_id", "cohorte",
-                (F.col("semana") - F.col("cohorte")).alias("offset"))
-        .groupBy("cohorte", "offset")
-        .agg(F.countDistinct("user_id").cast("long").alias("usuarios"))
+        per_user
+        .select(F.array_min("semanas").alias("cohorte"),
+                F.explode("semanas").alias("semana"))
+        .groupBy("cohorte", (F.col("semana") - F.col("cohorte")).alias("offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("usuarios"))
         .orderBy("cohorte", "offset")
     )
 

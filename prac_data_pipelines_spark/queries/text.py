@@ -700,8 +700,10 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cluster_id", "doc_id"))
 
 
-SQL_DOC_DUP_CLUSTERS = f"""
-WITH RECURSIVE hs AS (
+# Recursive-CTE twin of the cluster labeling, shared by doc_dup_clusters
+# and doc_dedup_keep_best: `labeled` = (doc_id, cluster_id) for every doc
+# that appears in the near-dup pair graph.
+SQL_CLUSTERS_CTE = f"""WITH RECURSIVE hs AS (
   SELECT doc_id, list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}) AS hs
   FROM documents
 ), sigs AS (
@@ -721,7 +723,10 @@ WITH RECURSIVE hs AS (
 ), labeled AS (
   SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
   FROM reach GROUP BY src
-)
+)"""
+
+SQL_DOC_DUP_CLUSTERS = f"""
+{SQL_CLUSTERS_CTE}
 SELECT doc_id::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id,
        (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS tam_cluster
 FROM labeled
@@ -729,6 +734,53 @@ ORDER BY cluster_id, doc_id
 """
 
 register("doc_dup_clusters", q_doc_dup_clusters, SQL_DOC_DUP_CLUSTERS)
+
+
+# --------------------------------------------------------------------------
+# doc_dedup_keep_best — canonical-representative selection: the step after
+# cluster detection in a dedup pipeline. Every document gets a keep/drop
+# verdict: singletons (not in any near-dup cluster) are kept; within a
+# cluster the "best" document wins — longest text (n_chars desc), doc_id
+# as the deterministic tiebreak. Shape: the cluster labels join the
+# corpus on doc_id (left — the label frame only covers near-dup docs, a
+# small fraction by construction), then one row_number window per
+# cluster; windows partition by cluster_id, so parallelism is |clusters|-
+# wide and no partition exceeds the largest cluster.
+# --------------------------------------------------------------------------
+
+def q_doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = (q_doc_dup_clusters(spark, sf_dir)
+                .select("doc_id", "cluster_id"))
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    labeled = (docs.join(clusters, "doc_id", "left")
+               .withColumn("cluster_id",
+                           F.coalesce("cluster_id", F.col("doc_id"))))
+    w = (Window.partitionBy("cluster_id")
+         .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()))
+    return (
+        labeled.withColumn("mantener", F.row_number().over(w) == 1)
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("cluster_id").cast("long").alias("cluster_id"),
+                "mantener")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_DEDUP_KEEP_BEST = f"""
+{SQL_CLUSTERS_CTE},
+todos AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN labeled l ON d.doc_id = l.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id,
+       (row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY n_chars DESC, doc_id ASC) = 1) AS mantener
+FROM todos
+ORDER BY doc_id
+"""
+
+register("doc_dedup_keep_best", q_doc_dedup_keep_best,
+         SQL_DOC_DEDUP_KEEP_BEST)
 
 
 # --------------------------------------------------------------------------

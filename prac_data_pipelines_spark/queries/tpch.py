@@ -159,7 +159,7 @@ def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_bal = customer.filter("c_acctbal > 0").agg(
         F.avg("c_acctbal").alias("_avg"))
     return (
-        customer.crossJoin(avg_bal)
+        customer.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("_avg"))
         .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
