@@ -263,6 +263,14 @@ class Dashboard:
         options = "".join(
             f'<option value="{html.escape(str(v))}"/>'
             for v in self._distinct("NOMBRE_CLIENTE"))
+        moras_sel = set(self._filters.get("mora") or [])
+        mora_opts = "".join(
+            f'<option value="{html.escape(str(v))}" '
+            f'{"selected" if str(v) in moras_sel else ""}>'
+            f"{html.escape(str(v))}</option>"
+            for v in self._distinct("CATEGORIA_MORA", limit=20))
+        mora_sel = (f'<select name="mora" multiple size="1">{mora_opts}'
+                    "</select>") if mora_opts else ""
         return (
             f'<form method="get" action="/{page}" class="filters">'
             f'<input name="buscar" value="{buscar}" placeholder="Buscar cliente…"/>'
@@ -270,6 +278,7 @@ class Dashboard:
             f'placeholder="Cliente exacto"/>'
             f'<datalist id="dl_clientes">{options}</datalist>'
             f'<input name="vendedor" value="{vendedor}" placeholder="Vendedor"/>'
+            f"{mora_sel}"
             f'<label><input type="checkbox" name="solo_saldo" value="1" '
             f'{"checked" if solo else ""}/> solo con saldo</label>'
             f'<button>Filtrar</button> <a href="/{page}">limpiar</a></form>')
