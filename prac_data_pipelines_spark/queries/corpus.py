@@ -443,10 +443,13 @@ register("doc_stratified_sample", q_doc_stratified_sample,
 # frequency, document frequency, and cumulative corpus coverage of the
 # top-V terms (the coverage curve is how a vocab size V is chosen).
 # Shape: the canonical explode → partially-aggregated wordcount (one
-# shuffle over term keys), a one-row total broadcast back, and a top-k —
-# no per-doc state, so the plan is identical at 100 TB with the term-key
-# shuffle as the only scaling axis (Zipf skew is absorbed by map-side
-# partial aggregation: hot terms combine within each task first).
+# shuffle over term keys), then a DISTRIBUTED top-k (orderBy+limit plans
+# as TakeOrdered: per-partition heads merged on the driver — never a
+# global sort or an unpartitioned window over the full vocabulary, which
+# is millions of terms at corpus scale). Rank and the cumulative coverage
+# window run only over the V returned rows; the one-row corpus total
+# broadcasts. Zipf skew is absorbed by map-side partial aggregation: hot
+# terms combine within each task before the term-key shuffle.
 # --------------------------------------------------------------------------
 
 VOCAB_TOP = 30
@@ -460,11 +463,12 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).cast("long").alias("frecuencia"),
                    F.countDistinct("doc_id").cast("long").alias("docs")))
     total = counts.agg(F.sum("frecuencia").alias("_total"))
+    top = (counts.orderBy(F.col("frecuencia").desc(), F.col("termino").asc())
+           .limit(VOCAB_TOP))
     w = Window.orderBy(F.col("frecuencia").desc(), F.col("termino").asc())
     return (
-        counts.crossJoin(broadcast(total))
+        top.crossJoin(broadcast(total))
         .withColumn("rango", F.row_number().over(w).cast("long"))
-        .filter(F.col("rango") <= VOCAB_TOP)
         .withColumn("cobertura_acum",
                     r4(F.sum(F.col("frecuencia")).over(
                         w.rowsBetween(Window.unboundedPreceding, 0))

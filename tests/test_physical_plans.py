@@ -123,6 +123,42 @@ def test_knn_lsh_buckets_join_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3
 
 
+def test_events_retention_two_keyed_shuffles(spark, sf_dir):
+    """The retention matrix must keep its round-4 plan: ONE keyed shuffle
+    on user_id (collect_set partial-aggregated map-side), one rollup
+    shuffle, plus the output sort — the old distinct→agg→self-join chain
+    cost 4 keyed shuffles and a join for the same result."""
+    import re
+
+    from prac_data_pipelines_spark.queries.events import q_events_retention
+
+    plan = _plan(q_events_retention(spark, sf_dir))
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash <= 2, plan
+    assert "Join" not in plan
+    # partial collect_set before the exchange = map-side dedup of weeks
+    assert "partial_collect_set" in plan or "ObjectHashAggregate" in plan
+
+
+def test_vocab_top_terms_distributed_topk(spark, sf_dir):
+    """The top-V selection must plan as TakeOrdered (per-partition heads,
+    driver merge) with the one-row corpus total broadcast back; the only
+    windows allowed are over the V returned rows, AFTER the limit — never
+    an unpartitioned window/sort over the full vocabulary."""
+    from prac_data_pipelines_spark.queries.corpus import q_vocab_top_terms
+
+    plan = _plan(q_vocab_top_terms(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert ("BroadcastNestedLoopJoin" in plan
+            or "BroadcastHashJoin" in plan)
+    # the window must consume the limited frame, not the raw counts:
+    # below the Window node there must be no Aggregate (the wordcount),
+    # only the take-ordered result
+    win_at = plan.find("Window [")
+    assert win_at != -1
+    assert "TakeOrderedAndProject" in plan[win_at:]
+
+
 def test_events_rolling_sharded_window_keys_include_time_bucket(spark, sf_dir):
     """The deployment-shape rolling window must partition its Window by
     (event_type, time bucket) — never by the low-cardinality type alone —
