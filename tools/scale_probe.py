@@ -75,9 +75,11 @@ def probe_llm(spark, sf_dir: str, k: int) -> None:
 
     queries = all_queries()
     for name in ("doc_minhash_pairs", "doc_ngram_jaccard", "doc_simhash",
-                 "doc_dup_clusters", "doc_curation", "knn_lsh", "knn_ivf",
-                 "embedding_norms", "doc_decontaminate", "doc_repetition",
-                 "doc_pack_sequences", "tfidf_top_terms", "doc_pii_scrub"):
+                 "doc_dup_clusters", "doc_dedup_keep_best", "doc_curation",
+                 "knn_lsh", "knn_ivf", "embedding_norms",
+                 "doc_decontaminate", "doc_repetition", "doc_pack_sequences",
+                 "tfidf_top_terms", "vocab_top_terms", "source_mix",
+                 "doc_pii_scrub"):
         t0 = time.time()
         queries[name](spark, scratch).write.format("noop").mode("overwrite").save()
         print(f"{name} at {k}x: {time.time()-t0:.2f}s")
@@ -112,8 +114,14 @@ def probe_events_rolling(spark, sf_dir: str, k: int) -> None:
     big.write.mode("overwrite").parquet(f"{scratch}/events.parquet")
     n = spark.read.parquet(f"{scratch}/events.parquet").count()
     print(f"replicated events: {n:,} rows (k={k}, time-shifted)")
+    from prac_data_pipelines_spark.queries.events import (
+        q_events_retention,
+        q_events_sessionize,
+    )
     for name, fn in (("events_rolling(single-key)", q_events_rolling),
-                     ("events_rolling_sharded", q_events_rolling_sharded)):
+                     ("events_rolling_sharded", q_events_rolling_sharded),
+                     ("events_sessionize", q_events_sessionize),
+                     ("events_retention", q_events_retention)):
         t0 = time.time()
         fn(spark, scratch).write.format("noop").mode("overwrite").save()
         print(f"{name} at {k}x: {time.time()-t0:.2f}s")
