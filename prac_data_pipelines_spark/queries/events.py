@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.rounding import r2
+from ..operators.rounding import r2, r4, r6
 from ..operators.timeops import epoch_sec
 from ..sources import load_table
 from . import register
@@ -335,6 +335,63 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("usuarios"))
         .orderBy("cohorte", "offset")
     )
+
+
+# --------------------------------------------------------------------------
+# events_anomaly — batch twin of the streaming Welford monitor
+# (streaming/stateful.py): per-type mean/stddev_samp and the count of
+# events whose |z| crosses the configured threshold. Batch semantics use
+# the FINAL statistics (every event judged against the full-period
+# stats), where the streaming twin judges each event against the running
+# prior — the standard batch/online difference, documented here so the
+# twins are compared on shape, not values. The per-type stats are a
+# 5-row broadcast; the engine's round-then-compare convention (|z|
+# rounded to 4 before the threshold test, operators/stats.py) makes the
+# flag engine-portable.
+# --------------------------------------------------------------------------
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..config import ANOMALIAS
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = (ev.groupBy("event_type")
+             .agg(F.avg("value").alias("_mean"),
+                  F.stddev_samp("value").alias("_std"),
+                  F.count(F.lit(1)).alias("_n")))
+    ok = ((F.col("_n") >= ANOMALIAS["MIN_OBSERVACIONES"])
+          & (F.col("_std") > 0))
+    z = F.when(ok, r4(F.abs((F.col("value") - F.col("_mean")) / F.col("_std"))))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("_z", z)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_eventos"),
+             r6(F.avg("value")).alias("media"),
+             r6(F.stddev_samp("value")).alias("desviacion"),
+             F.sum(F.when(F.col("_z") >= ANOMALIAS["Z_SCORE_UMBRAL"], 1)
+                   .otherwise(0)).cast("long").alias("n_anomalos"))
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_ANOMALY = f"""
+WITH stats AS (
+  SELECT event_type, avg(value) AS _mean, stddev_samp(value) AS _std,
+         count(*) AS _n
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*)::BIGINT AS n_eventos,
+       floor((avg(e.value)) * 1000000 + 0.5) / 1000000 AS media,
+       floor((stddev_samp(e.value)) * 1000000 + 0.5) / 1000000 AS desviacion,
+       sum(CASE WHEN s._n >= 3 AND s._std > 0
+                 AND floor(abs((e.value - s._mean) / s._std) * 10000 + 0.5)
+                     / 10000 >= 3.0
+            THEN 1 ELSE 0 END)::BIGINT AS n_anomalos
+FROM events e JOIN stats s USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+register("events_anomaly", q_events_anomaly, SQL_EVENTS_ANOMALY)
 
 
 SQL_EVENTS_RETENTION = """
