@@ -831,11 +831,14 @@ SIMHASH_MAX_HAMMING = 3
 
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = q_doc_simhash(spark, sf_dir)
+    # cache: the banded frame feeds BOTH sides of the self-join — without
+    # it the fingerprint computation (one md5 per word) runs twice over
+    # the corpus (same pattern as doc_ngram_jaccard's band cache)
     bands = sim.selectExpr(
         "doc_id", "simhash",
         f"explode(transform(sequence(0, {SIMHASH_BANDS - 1}), b -> "
         f"concat(b, ':', (shiftright(simhash, b * {SIMHASH_BAND_BITS}) "
-        f"& {2 ** SIMHASH_BAND_BITS - 1})))) AS banda")
+        f"& {2 ** SIMHASH_BAND_BITS - 1})))) AS banda").cache()
     left = bands.select(F.col("doc_id").alias("d1"),
                         F.col("simhash").alias("s1"), "banda")
     right = bands.select(F.col("doc_id").alias("d2"),
@@ -843,9 +846,13 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         left.join(right, "banda")
         .filter(F.col("d1") < F.col("d2"))
-        .dropDuplicates(["d1", "d2"])
+        # hamming filter BEFORE the pair dedup: bit_count is per-row and
+        # deterministic, so filtering first is identical — and the dedup
+        # shuffle then carries only the pairs within threshold instead of
+        # every banded candidate (a pair can appear in up to 4 bands)
         .withColumn("hamming", F.expr("bit_count(s1 ^ s2)").cast("long"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .dropDuplicates(["d1", "d2"])
         .select("d1", "d2", "hamming")
         .orderBy("d1", "d2")
     )
