@@ -390,18 +390,20 @@ def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
     left = bands.select(F.col("doc_id").alias("d1"), F.col("sigs").alias("s1"), "banda")
     right = bands.select(F.col("doc_id").alias("d2"), F.col("sigs").alias("s2"), "banda")
-    pairs = (
-        left.join(right, "banda")
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", "s1", "s2")
-        .dropDuplicates(["d1", "d2"])
-    )
     est = F.expr(
         f"size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v)) / cast({MINHASH_K} as double)"
     )
+    # estimate + threshold BEFORE the pair dedup: the estimate is a pure
+    # function of the pair's signatures, so every banded duplicate of a
+    # pair yields the same value — and the dedup shuffle then carries only
+    # (d1, d2, est) for above-threshold pairs instead of two K-element
+    # signature arrays for every banded candidate
     return (
-        pairs.select("d1", "d2", r4(est).alias("jaccard_est"))
+        left.join(right, "banda")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", r4(est).alias("jaccard_est"))
         .filter(F.col("jaccard_est") >= 0.25)
+        .dropDuplicates(["d1", "d2"])
         .orderBy("d1", "d2")
     )
 
