@@ -422,20 +422,28 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = (emb.filter(F.col("vec_id") < 30)
               .withColumn("vec_id", F.col("vec_id") + 1000000))
     union = emb.unionByName(copies)
+    # cache: the bucketed frame (with its hyperplane dot products) feeds
+    # both sides of the self-join
     bucketed = (
         union.selectExpr("vec_id", "embedding", f"{_BITS_EXPR} AS _bits")
-        .selectExpr("vec_id", "embedding", f"explode({_KEYS_EXPR}) AS cubo"))
+        .selectExpr("vec_id", "embedding", f"explode({_KEYS_EXPR}) AS cubo")
+        .cache())
     left = bucketed.selectExpr("vec_id AS d1", "embedding AS e1", "cubo")
     right = bucketed.selectExpr("vec_id AS d2", "embedding AS e2", "cubo")
+    # cosine + threshold BEFORE the pair dedup: the cosine is a pure
+    # function of the pair's embeddings (identical in every bucket the
+    # pair collides in), so the dedup shuffle carries only (d1, d2, cos)
+    # survivors instead of two dim-length float arrays per banded
+    # candidate
     return (
         left.join(right, "cubo")
         .filter(F.col("d1") < F.col("d2"))
-        .dropDuplicates(["d1", "d2"])
         .selectExpr("d1", "d2", f"{cosine_expr('e1', 'e2')} AS _cos")
         .select(F.col("d1").cast("long").alias("d1"),
                 F.col("d2").cast("long").alias("d2"),
                 r6(F.col("_cos")).alias("cos"))
         .filter(F.col("cos") >= NEAR_DUP_COS)
+        .dropDuplicates(["d1", "d2"])
         .orderBy("d1", "d2")
     )
 
