@@ -73,6 +73,28 @@ HEADLINE = [
 ]
 
 
+def run_queries(spark, queries, names, sf_dir: str, reps: int
+                ) -> tuple[dict[str, float], dict[str, str]]:
+    """Time each query min-of-``reps`` with per-query fault isolation: one
+    broken query is ONE ``errors`` entry, never an aborted run (round 3
+    lost its whole bench to a single analysis error)."""
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            try:
+                queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 - record and keep going
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                break
+            best = min(best, time.time() - t0)
+        if name not in errors:
+            timings[name] = round(best, 3)
+    return timings, errors
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -86,23 +108,7 @@ def main() -> None:
     # The host shows sporadic multi-second stalls unrelated to the workload;
     # min-of-N isolates actual engine cost from environment noise.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    for name in names:
-        # Fault isolation: one broken query must cost ONE {"err": ...}
-        # entry, never the round's whole perf record (round 3 lost its
-        # bench to a single analysis error aborting the run).
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.time()
-            try:
-                queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            except Exception as exc:  # noqa: BLE001 - record and keep going
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                break
-            best = min(best, time.time() - t0)
-        if name not in errors:
-            timings[name] = round(best, 3)
+    timings, errors = run_queries(spark, queries, names, sf_dir, reps)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

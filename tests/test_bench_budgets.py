@@ -49,6 +49,28 @@ def test_per_query_budget(headline_timings):
     assert not over, f"queries over {PER_QUERY_BUDGET_SEC}s budget: {over}"
 
 
+def test_bench_isolates_a_broken_query(spark, sf_dir):
+    """One failing query = one error entry; every other query still times.
+    This property IS the bench gate's crash-proofing — round 3 lost its
+    perf record to a single analysis error."""
+    import bench
+    from prac_data_pipelines_spark.queries import all_queries
+
+    real = all_queries()
+
+    def boom(_spark, _sf):
+        raise RuntimeError("synthetic analysis failure")
+
+    queries = {"pricing_summary": real["pricing_summary"], "broken": boom,
+               "distinct_counts": real["distinct_counts"]}
+    timings, errors = bench.run_queries(
+        spark, queries, ["pricing_summary", "broken", "distinct_counts"],
+        sf_dir, reps=1)
+    assert set(timings) == {"pricing_summary", "distinct_counts"}
+    assert set(errors) == {"broken"}
+    assert "RuntimeError" in errors["broken"]
+
+
 def test_total_budget(headline_timings):
     total = sum(headline_timings.values())
     assert total <= TOTAL_BUDGET_SEC, (
