@@ -36,6 +36,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_rolling", "events_rolling_sharded",
     # New in round 4 — first driver verdict needed:
     "doc_dedup_keep_best", "vocab_top_terms", "source_mix", "events_anomaly",
+    "doc_quality_quantiles",
     # Then the 40 remaining queries whose last driver row dates from
     # round 2 (round 3's gate covered the r01-era half of the registry;
     # keep every query's driver verdict <=2 rounds old).

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.rounding import r4
+from ..operators.rounding import r4, r6
 from ..sources import load_table
 from . import register
 
@@ -279,6 +279,64 @@ FROM scored
 """
 
 register("doc_quality", q_doc_quality, SQL_DOC_QUALITY)
+
+
+# --------------------------------------------------------------------------
+# doc_quality_quantiles — per-source quality-score percentiles (p10/p50/
+# p90): the threshold-selection step of a curation pipeline (pick the
+# cutoff for each source from its distribution, not a global constant).
+# Exact linear-interpolated percentiles (Spark `percentile` == DuckDB
+# `quantile_cont`, probed bit-equal on rounded inputs); the input score
+# is the already-rounded r4 `calidad`, so both engines interpolate over
+# identical values. At 100 TB the same query swaps `percentile` for
+# `approx_percentile` (t-digest, mergeable, no per-group sort) — the
+# exact form is the oracle-checkable semantic definition.
+# --------------------------------------------------------------------------
+
+def q_doc_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    scored = (q_doc_quality(spark, sf_dir)
+              .join(docs.select("doc_id", "source"), "doc_id"))
+    pct = F.expr("percentile(calidad, array(0.1, 0.5, 0.9))")
+    return (
+        scored.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             pct.alias("_p"))
+        .select("source", "n_docs",
+                r6(F.col("_p")[0]).alias("p10"),
+                r6(F.col("_p")[1]).alias("p50"),
+                r6(F.col("_p")[2]).alias("p90"))
+        .orderBy("source")
+    )
+
+
+SQL_DOC_QUALITY_QUANTILES = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         len({SQL_WORDS})::DOUBLE AS _n,
+         len(list_distinct({SQL_WORDS}))::DOUBLE AS _u,
+         len(list_filter({SQL_WORDS}, w -> w IN ({_STOPWORDS})))::DOUBLE AS _s,
+         strlen(text)::DOUBLE AS _c
+  FROM documents
+), scored AS (
+  SELECT source,
+         floor((least(_c / 400, 1.0) * 0.4 + (_u / _n) * 0.4
+                + (1 - abs(_s / _n - 0.2)) * 0.2) * 10000 + 0.5) / 10000 AS calidad
+  FROM base
+), q AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         quantile_cont(calidad, [0.1, 0.5, 0.9]) AS _p
+  FROM scored GROUP BY source
+)
+SELECT source, n_docs,
+       floor(_p[1] * 1000000 + 0.5) / 1000000 AS p10,
+       floor(_p[2] * 1000000 + 0.5) / 1000000 AS p50,
+       floor(_p[3] * 1000000 + 0.5) / 1000000 AS p90
+FROM q ORDER BY source
+"""
+
+register("doc_quality_quantiles", q_doc_quality_quantiles,
+         SQL_DOC_QUALITY_QUANTILES)
 
 
 # --------------------------------------------------------------------------
