@@ -70,6 +70,12 @@ HEADLINE = [
     "multimodal_resize",
     "multimodal_frames",
     "events_rolling_sharded",
+    # Round-4 operators:
+    "doc_dedup_keep_best",
+    "vocab_top_terms",
+    "source_mix",
+    "events_anomaly",
+    "doc_quality_quantiles",
 ]
 
 
