@@ -876,29 +876,53 @@ register("doc_sample", q_doc_sample, SQL_DOC_SAMPLE)
 
 
 # --------------------------------------------------------------------------
-# doc_simhash_pairs — SimHash near-dup candidates: 28-bit fingerprints
-# banded into 4 x 7-bit keys; a pair within Hamming distance 3 differs in
-# at most 3 bands, so by pigeonhole it agrees EXACTLY on at least one
-# band — the band join has guaranteed recall at the threshold, and the
-# quadratic work is confined to band buckets (same structure as MinHash
-# LSH, integer keys instead of signature slices).
+# doc_simhash_pairs — SimHash near-dup candidates over a 56-BIT
+# fingerprint banded into 4 x 14-bit keys; a pair within Hamming
+# distance 3 differs in at most 3 bands, so by pigeonhole it agrees
+# EXACTLY on at least one band — guaranteed recall at the threshold with
+# the quadratic work confined to band buckets.
+#
+# Why 56 bits and not the display query's 28 (q_doc_simhash): band-key
+# cardinality IS the scale axis of this join. 4 x 7-bit bands give at
+# most 512 distinct keys corpus-wide — at 160 k docs the in-bucket
+# self-join is quadratic no matter how the corpus is distributed
+# (measured 94 s at the 32x probe). 14-bit bands give 65 k keys per
+# band; the same probe runs in seconds. The hot-band guard (same
+# MAX_BAND_DOCS trade as MinHash LSH, enforced identically in the
+# oracle) backstops boilerplate-degenerate fingerprints.
 # --------------------------------------------------------------------------
 
-SIMHASH_BANDS = 4
-SIMHASH_BAND_BITS = 7  # 4 x 7 = 28 bits
+SIMHASH_P_BITS = 56     # 14 hex chars of md5 — fits a signed int64
+SIMHASH_P_BANDS = 4
+SIMHASH_P_BAND_BITS = 14
 SIMHASH_MAX_HAMMING = 3
+
+_VOTES56 = (
+    f"aggregate(_hs, transform(sequence(0, {SIMHASH_P_BITS - 1}), b -> 0L), "
+    f"(acc, h) -> zip_with(acc, sequence(0, {SIMHASH_P_BITS - 1}), (v, b) -> "
+    f"v + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1L ELSE -1L END))"
+)
+_SIM56 = (
+    f"aggregate(zip_with(_votes, sequence(0, {SIMHASH_P_BITS - 1}), (v, b) -> "
+    f"CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END), 0L, (acc, x) -> acc + x)"
+)
 
 
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sim = q_doc_simhash(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    h56 = "cast(conv(substring(md5(w), 1, 14), 16, 10) as bigint)"
+    sim = (docs.selectExpr("doc_id",
+                           f"transform({WORDS}, w -> {h56}) AS _hs")
+           .selectExpr("doc_id", f"{_VOTES56} AS _votes")
+           .selectExpr("doc_id", f"{_SIM56} AS simhash"))
     # cache: the banded frame feeds BOTH sides of the self-join — without
     # it the fingerprint computation (one md5 per word) runs twice over
     # the corpus (same pattern as doc_ngram_jaccard's band cache)
-    bands = sim.selectExpr(
+    bands = _band_guard(sim.selectExpr(
         "doc_id", "simhash",
-        f"explode(transform(sequence(0, {SIMHASH_BANDS - 1}), b -> "
-        f"concat(b, ':', (shiftright(simhash, b * {SIMHASH_BAND_BITS}) "
-        f"& {2 ** SIMHASH_BAND_BITS - 1})))) AS banda").cache()
+        f"explode(transform(sequence(0, {SIMHASH_P_BANDS - 1}), b -> "
+        f"concat(b, ':', (shiftright(simhash, b * {SIMHASH_P_BAND_BITS}) "
+        f"& {2 ** SIMHASH_P_BAND_BITS - 1})))) AS banda")).cache()
     left = bands.select(F.col("doc_id").alias("d1"),
                         F.col("simhash").alias("s1"), "banda")
     right = bands.select(F.col("doc_id").alias("d2"),
@@ -920,24 +944,29 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_SIMHASH_PAIRS = f"""
 WITH hs AS (
-  SELECT doc_id, list_transform({SQL_WORDS}, w -> {_sql_h('w')}) AS hs
+  SELECT doc_id, list_transform({SQL_WORDS},
+         w -> ('0x' || substr(md5(w), 1, 14))::BIGINT) AS hs
   FROM documents
 ), sim AS (
   SELECT doc_id,
-         list_sum(list_transform(range(0, {SIMHASH_BITS}), b ->
+         list_sum(list_transform(range(0, {SIMHASH_P_BITS}), b ->
            CASE WHEN list_sum(list_transform(hs, h ->
                   CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
                 THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
   FROM hs
-), bands AS (
+), sbands0 AS (
   SELECT doc_id, simhash,
-         concat(b, ':', (simhash >> (b * {SIMHASH_BAND_BITS}))
-                        & {2 ** SIMHASH_BAND_BITS - 1}) AS banda
-  FROM sim CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BANDS})) AS b)
+         concat(b, ':', (simhash >> (b * {SIMHASH_P_BAND_BITS}))
+                        & {2 ** SIMHASH_P_BAND_BITS - 1}) AS banda
+  FROM sim CROSS JOIN (SELECT unnest(range(0, {SIMHASH_P_BANDS})) AS b)
+), sbands AS (
+  SELECT doc_id, simhash, banda FROM (
+    SELECT *, count(*) OVER (PARTITION BY banda) AS _n FROM sbands0)
+  WHERE _n <= {MAX_BAND_DOCS}
 )
 SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
        bit_count(xor(l.simhash, r.simhash))::BIGINT AS hamming
-FROM bands l JOIN bands r ON l.banda = r.banda AND l.doc_id < r.doc_id
+FROM sbands l JOIN sbands r ON l.banda = r.banda AND l.doc_id < r.doc_id
 WHERE bit_count(xor(l.simhash, r.simhash)) <= {SIMHASH_MAX_HAMMING}
 ORDER BY d1, d2
 """

@@ -403,18 +403,35 @@ register("knn_ivf", q_knn_ivf, SQL_KNN_IVF)
 
 
 # --------------------------------------------------------------------------
-# emb_near_dup — embedding-cosine near-duplicate detection: candidates
-# from the SAME multi-table hyperplane buckets as knn_lsh, exact cosine
-# verify at NEAR_DUP_COS, keep-lowest-id winner per pair. Duplicates are
-# synthesized deterministically (a re-keyed copy of vec_id < 30, the
-# doc_exact_dedup pattern) so the operator is demonstrable on the
-# near-structureless synthetic corpus; identical vectors share EVERY
-# bucket, so recall at cos=1 is guaranteed. At scale this is the
-# embedding-space member of the dedup family: bucket-join + verify,
-# never all-pairs.
+# emb_near_dup — embedding-cosine near-duplicate detection: hyperplane
+# bucket candidates, exact cosine verify at NEAR_DUP_COS, keep-lowest-id
+# winner per pair. Duplicates are synthesized deterministically (a
+# re-keyed copy of vec_id < 30, the doc_exact_dedup pattern) so the
+# operator is demonstrable on the near-structureless synthetic corpus;
+# identical vectors share EVERY bucket, so recall at cos=1 is guaranteed.
+#
+# Bucket keys are DEDICATED near-dup keys — 6 tables x 12 bits (4096
+# buckets per table, the same 72 hyperplanes as knn_lsh re-sliced) — not
+# knn's 12 x 6-bit keys: near-dup needs far fewer, far finer buckets
+# (candidates at cos >= 0.98 agree on almost every bit: P[12-bit band
+# agrees] ~ 0.45, six tables -> ~0.97 recall at the threshold boundary),
+# while 6-bit keys give only 64 buckets per table and the in-bucket
+# self-join goes quadratic with corpus size (measured 569 s at the 32x
+# clone probe; seconds with these keys). The hot-bucket guard
+# (MAX_BUCKET_VECS, enforced identically in the oracle) backstops
+# degenerate embedding collapse. At scale this is the embedding-space
+# member of the dedup family: bucket-join + verify, never all-pairs.
 # --------------------------------------------------------------------------
 
 NEAR_DUP_COS = 0.98
+ND_TABLES = 6
+ND_BITS = 12  # 6 x 12 = 72 = all available hyperplanes
+MAX_BUCKET_VECS = 1000
+
+_ND_KEYS_EXPR = (
+    f"transform(sequence(0, {ND_TABLES - 1}), t -> concat(t, ':', "
+    f"aggregate(transform(slice(_bits, t * {ND_BITS} + 1, {ND_BITS}), "
+    f"b -> CASE WHEN b THEN 1L ELSE 0L END), 0L, (acc, x) -> acc * 2 + x)))")
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -424,9 +441,12 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = emb.unionByName(copies)
     # cache: the bucketed frame (with its hyperplane dot products) feeds
     # both sides of the self-join
+    w_cubo = Window.partitionBy("cubo")
     bucketed = (
         union.selectExpr("vec_id", "embedding", f"{_BITS_EXPR} AS _bits")
-        .selectExpr("vec_id", "embedding", f"explode({_KEYS_EXPR}) AS cubo")
+        .selectExpr("vec_id", "embedding", f"explode({_ND_KEYS_EXPR}) AS cubo")
+        .withColumn("_n", F.count(F.lit(1)).over(w_cubo))
+        .filter(F.col("_n") <= MAX_BUCKET_VECS).drop("_n")
         .cache())
     left = bucketed.selectExpr("vec_id AS d1", "embedding AS e1", "cubo")
     right = bucketed.selectExpr("vec_id AS d2", "embedding AS e2", "cubo")
@@ -459,14 +479,18 @@ WITH unioned AS (
            list_sum(list_transform(list_zip(embedding, h),
                     x -> (x[1]::DOUBLE) * x[2])) >= 0) AS _bits
   FROM unioned
-), bucketed AS (
+), bucketed0 AS (
   SELECT vec_id, embedding,
          concat(t, ':', list_reduce(list_prepend(0,
-           list_transform(list_slice(_bits, t * {LSH_BITS} + 1,
-                                     t * {LSH_BITS} + {LSH_BITS}),
+           list_transform(list_slice(_bits, t * {ND_BITS} + 1,
+                                     t * {ND_BITS} + {ND_BITS}),
                           b -> CASE WHEN b THEN 1 ELSE 0 END)),
            (acc, x) -> acc * 2 + x)) AS cubo
-  FROM bits CROSS JOIN (SELECT unnest(range(0, {LSH_TABLES})) AS t)
+  FROM bits CROSS JOIN (SELECT unnest(range(0, {ND_TABLES})) AS t)
+), bucketed AS (
+  SELECT vec_id, embedding, cubo FROM (
+    SELECT *, count(*) OVER (PARTITION BY cubo) AS _n FROM bucketed0)
+  WHERE _n <= {MAX_BUCKET_VECS}
 ), cand AS (
   SELECT DISTINCT l.vec_id AS d1, r.vec_id AS d2,
          l.embedding AS e1, r.embedding AS e2
