@@ -198,3 +198,16 @@ def test_knn_ivf_recall_and_lift(spark, acc_dir):
     assert recall >= 0.15, f"IVF recall collapsed: {recall:.2f}"
     assert frac <= 0.6, f"IVF probes too much of the corpus: {frac:.2f}"
     assert recall / frac >= 1.2, f"IVF no better than random: {recall/frac:.2f}"
+
+
+def test_emb_near_dup_finds_every_clone(spark, acc_dir):
+    """Identical vectors share every bucket, so recall at cos=1 is
+    structural — all 30 synthesized clone pairs must surface regardless
+    of the bucket-key scheme (this pinned the 6x12-bit re-keying)."""
+    from prac_data_pipelines_spark.queries.vector import q_emb_near_dup
+
+    pairs = q_emb_near_dup(spark, acc_dir)
+    clones = (pairs.filter((F.col("d2") >= 1000000)
+                           & (F.col("d2") - 1000000 == F.col("d1")))
+              .count())
+    assert clones == 30, f"clone recall broke: {clones}/30"
