@@ -87,7 +87,14 @@ def test_stream_to_parquet_publish(spark, stream_dir, sf_dir):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
-def test_stream_sessionize(spark, stream_dir):
+def test_stream_sessionize_matches_batch(spark, stream_dir, sf_dir):
+    """The built-in session_window state store must produce the SAME
+    session multiset as the batch gaps-and-islands query: same session
+    count, same (user, n_events, value) triples. (The two definitions
+    could diverge only on a gap of exactly the 30-min boundary —
+    session_window's half-open [start, start+gap) vs the batch strict
+    `gap > 30min` — which the microsecond-grain testdata never hits.)"""
+    from prac_data_pipelines_spark.queries.events import q_events_sessionize
     from prac_data_pipelines_spark.streaming.events import (
         read_event_stream,
         run_to_memory,
@@ -101,6 +108,12 @@ def test_stream_sessionize(spark, stream_dir):
     for r in rows:
         assert r["fin"] >= r["inicio"]
         assert r["n_eventos"] >= 1
+
+    got = sorted((r["user_id"], r["n_eventos"], round(r["valor"], 2))
+                 for r in rows)
+    want = sorted((r["user_id"], r["n_eventos"], round(r["valor"], 2))
+                  for r in q_events_sessionize(spark, sf_dir).collect())
+    assert got == want
 
 
 def test_stream_exact_dedup_matches_batch_distinct(spark, stream_dir, sf_dir):
