@@ -75,11 +75,12 @@ def probe_llm(spark, sf_dir: str, k: int) -> None:
 
     queries = all_queries()
     for name in ("doc_minhash_pairs", "doc_ngram_jaccard", "doc_simhash",
+                 "doc_simhash_pairs", "emb_near_dup",
                  "doc_dup_clusters", "doc_dedup_keep_best", "doc_curation",
                  "knn_lsh", "knn_ivf", "embedding_norms",
                  "doc_decontaminate", "doc_repetition", "doc_pack_sequences",
                  "tfidf_top_terms", "vocab_top_terms", "source_mix",
-                 "doc_pii_scrub"):
+                 "doc_quality_quantiles", "doc_pii_scrub"):
         t0 = time.time()
         queries[name](spark, scratch).write.format("noop").mode("overwrite").save()
         print(f"{name} at {k}x: {time.time()-t0:.2f}s")
