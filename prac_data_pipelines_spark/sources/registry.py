@@ -94,6 +94,21 @@ def load_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def load_text(spark: SparkSession, path: str,
+              wholetext: bool = False) -> DataFrame:
+    """Raw text ingestion for corpus pipelines: one row per line (or per
+    file with ``wholetext=True``) plus file provenance — the entry format
+    of a scrape→curation flow before documents get ids and metadata.
+    Splitting is per-file (line reads split large files at newline
+    boundaries; wholetext reads are one task per file), so ingestion
+    parallelism scales with the file listing."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.text(path, wholetext=wholetext)
+    return df.select(F.input_file_name().alias("archivo"),
+                     F.col("value").alias("texto"))
+
+
 def load_jdbc_table(spark: SparkSession, url: str, query: str,
                     properties: dict[str, str] | None = None) -> DataFrame:
     """JDBC scan (parity with the reference's database extraction,

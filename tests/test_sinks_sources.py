@@ -82,6 +82,31 @@ def test_pdf_text_alignment_and_rotation():
     assert "0.7071 0.7071 -0.7071 0.7071" in c.ops[-1]
 
 
+def test_text_source_lines_and_wholetext(spark, tmp_path):
+    """Raw-corpus ingestion: line mode yields one row per line with file
+    provenance; wholetext yields one row per file."""
+    from prac_data_pipelines_spark.sources.registry import load_text
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("uno\ndos\ntres\n")
+    (d / "b.txt").write_text("cuatro\n")
+
+    lines = load_text(spark, str(d))
+    assert lines.columns == ["archivo", "texto"]
+    assert lines.count() == 4
+    got = {r["texto"] for r in lines.collect()}
+    assert got == {"uno", "dos", "tres", "cuatro"}
+    by_file = {r["archivo"].rsplit("/", 1)[-1]
+               for r in lines.select("archivo").distinct().collect()}
+    assert by_file == {"a.txt", "b.txt"}
+
+    whole = load_text(spark, str(d), wholetext=True)
+    assert whole.count() == 2
+    texts = sorted(r["texto"] for r in whole.collect())
+    assert texts == ["cuatro\n", "uno\ndos\ntres\n"]
+
+
 def test_orc_avro_format_breadth(spark, sf_dir, tmp_path):
     """Format breadth beyond parquet/csv/json: ORC round-trips natively;
     Avro requires the external spark-avro package — assert the clean
