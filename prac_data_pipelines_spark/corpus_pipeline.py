@@ -29,6 +29,32 @@ from .session import get_spark
 from .sources import load_table
 
 
+def ingest_text_dir(spark: SparkSession, text_dir: str, out_dir: str,
+                    wholetext: bool = True) -> str:
+    """Raw scrape → documents table: read a directory of text files
+    (``load_text``; one doc per file by default, per line otherwise) and
+    publish a ``documents.parquet`` with the engine's documents schema —
+    doc_id (deterministic content hash, so re-ingestion is idempotent),
+    text, lang placeholder ('und' until the lang-id stage), source (the
+    file name), n_chars. Returns the directory usable as ``sf_dir`` for
+    ``curate`` (with the index build skipped, which needs embeddings)."""
+    from .sources.registry import load_text
+
+    raw = load_text(spark, text_dir, wholetext=wholetext)
+    docs = (raw.filter(F.length(F.trim("texto")) > 0)
+            .select(
+                F.pmod(F.xxhash64("archivo", "texto"),
+                       F.lit(2 ** 62)).cast("long").alias("doc_id"),
+                F.col("texto").alias("text"),
+                F.lit("und").alias("lang"),
+                F.element_at(F.split("archivo", "/"), -1).alias("source"),
+                F.length("texto").cast("long").alias("n_chars"),
+            ))
+    os.makedirs(out_dir, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    return out_dir
+
+
 def curate(spark: SparkSession, sf_dir: str,
            min_quality: float | None = None) -> dict[str, DataFrame]:
     """Build the named-view dictionary of the curation flow."""
@@ -139,11 +165,19 @@ def main() -> int:
     ap.add_argument("--out", default="corpus_output")
     ap.add_argument("--min-quality", type=float, default=None)
     ap.add_argument("--skip-index", action="store_true")
+    ap.add_argument("--ingest-text", metavar="DIR", default=None,
+                    help="ingest a raw text directory as the corpus "
+                         "(one doc per file) instead of --sf-dir")
     args = ap.parse_args()
     spark = get_spark("corpus_pipeline")
-    views = curate(spark, args.sf_dir, args.min_quality)
-    export(spark, views, args.out, args.sf_dir,
-           build_index=not args.skip_index)
+    sf_dir = args.sf_dir
+    build_index = not args.skip_index
+    if args.ingest_text:
+        sf_dir = ingest_text_dir(spark, args.ingest_text,
+                                 f"{args.out}/ingested")
+        build_index = False  # a raw text corpus has no embeddings table
+    views = curate(spark, sf_dir, args.min_quality)
+    export(spark, views, args.out, sf_dir, build_index=build_index)
     n = spark.read.parquet(f"{args.out}/curado").count()
     print(f"curated corpus: {n} docs -> {args.out}")
     return 0

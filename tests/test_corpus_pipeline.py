@@ -45,3 +45,43 @@ def test_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
                      "transform(embedding, v -> cast(v as double)) AS qe"))
     top = probe_ivf_index(spark, f"{out}/ann_index", q, nprobe=2, top_k=3)
     assert top.count() > 0
+
+
+def test_ingest_text_dir_to_curated(spark, tmp_path):
+    """Raw text files → documents schema → full curation run. One doc
+    per file, deterministic content-hash ids (re-ingestion idempotent),
+    file-name provenance as source."""
+    from prac_data_pipelines_spark.corpus_pipeline import (
+        curate,
+        ingest_text_dir,
+    )
+
+    raw = tmp_path / "scrape"
+    raw.mkdir()
+    texts = {
+        "a.txt": "the quick brown fox jumps over the lazy dog " * 12,
+        "b.txt": "la rapida zorra marron salta sobre el perro " * 12,
+        "c.txt": "short",
+        "empty.txt": "   ",
+    }
+    for name, body in texts.items():
+        (raw / name).write_text(body)
+
+    out = str(tmp_path / "ingested")
+    sf_dir = ingest_text_dir(spark, str(raw), out)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert docs.count() == 3  # blank file dropped
+    assert set(docs.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+    assert {r["source"] for r in docs.collect()} == {"a.txt", "b.txt", "c.txt"}
+
+    # idempotent: same content, same ids
+    ids1 = sorted(r["doc_id"] for r in docs.collect())
+    ingest_text_dir(spark, str(raw), out)
+    ids2 = sorted(r["doc_id"] for r in
+                  spark.read.parquet(f"{sf_dir}/documents.parquet").collect())
+    assert ids1 == ids2
+
+    views = curate(spark, sf_dir)
+    curated = views["curado"]
+    assert curated.count() >= 1
+    assert {r["source"] for r in curated.collect()} <= set(texts)
