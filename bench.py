@@ -76,6 +76,9 @@ HEADLINE = [
     "source_mix",
     "events_anomaly",
     "doc_quality_quantiles",
+    "shipping_priority",
+    "local_supplier_volume",
+    "returned_items",
 ]
 
 

@@ -36,7 +36,8 @@ _PRIORITY: tuple[str, ...] = (
     "events_rolling", "events_rolling_sharded",
     # New in round 4 — first driver verdict needed:
     "doc_dedup_keep_best", "vocab_top_terms", "source_mix", "events_anomaly",
-    "doc_quality_quantiles",
+    "doc_quality_quantiles", "shipping_priority", "local_supplier_volume",
+    "returned_items", "promo_revenue_share", "discounted_bulk_revenue",
     # Then the 40 remaining queries whose last driver row dates from
     # round 2 (round 3's gate covered the r01-era half of the registry;
     # keep every query's driver verdict <=2 rounds old).

@@ -518,3 +518,231 @@ ORDER BY suppkey
 """
 
 register("top_supplier", q_top_supplier, SQL_TOP_SUPPLIER)
+
+
+# --------------------------------------------------------------------------
+# shipping_priority — Q3 shape: selective dimension filter (market
+# segment) broadcast into the fact join chain, revenue aggregation per
+# order, distributed top-k (TakeOrdered — never a global sort of the
+# aggregate). Citation: reference has no such query; this is engine
+# surface for the decision-support idiom.
+# --------------------------------------------------------------------------
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (_t(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("date"))
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    lines = (_t(spark, sf_dir, "lineitem")
+             .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("date"))
+             .select("l_orderkey", "l_extendedprice", "l_discount"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lines.join(orders, lines.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi")
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(r2(F.sum(revenue)).alias("ingreso"))
+        .orderBy(F.col("ingreso").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(F.col("l_orderkey").cast("long").alias("l_orderkey"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                "ingreso")
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey::BIGINT AS l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS ingreso
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
+  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY l_orderkey, o_orderdate
+ORDER BY ingreso DESC, l_orderkey ASC LIMIT 10
+"""
+
+register("shipping_priority", q_shipping_priority, SQL_SHIPPING_PRIORITY)
+
+
+# --------------------------------------------------------------------------
+# local_supplier_volume — Q5 shape: the 6-way join with the co-location
+# condition (customer and supplier in the SAME nation). Dimension chain
+# (region → nation) broadcasts; the only big-big join is
+# lineitem ⋈ orders on the order key; the supplier dim broadcasts with a
+# composite (s_suppkey, s_nationkey) key so the nation equality rides the
+# hash join instead of a post-filter.
+# --------------------------------------------------------------------------
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = (_t(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey")).select(
+        "n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+                      & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date")))
+              .select("o_orderkey", "o_custkey"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    lines = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        lines.join(orders, lines.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), lines.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust.join(F.broadcast(nation),
+                                    cust.c_nationkey == nation.n_nationkey)),
+              (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(r2(F.sum(revenue)).alias("ingreso"))
+        .orderBy(F.col("ingreso").desc(), F.col("n_name").asc())
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name, floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS ingreso
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name ORDER BY ingreso DESC, n_name ASC
+"""
+
+register("local_supplier_volume", q_local_supplier_volume,
+         SQL_LOCAL_SUPPLIER_VOLUME)
+
+
+# --------------------------------------------------------------------------
+# returned_items — Q10 shape: returned-lineitem revenue attributed back
+# to customers, top-20. The fact side filters on the return flag before
+# any join (pushed to the scan); customer and nation broadcast.
+# --------------------------------------------------------------------------
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    returned = (_t(spark, sf_dir, "lineitem")
+                .filter(F.col("l_returnflag") == "R")
+                .select("l_orderkey", "l_extendedprice", "l_discount"))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1996-10-01").cast("date"))
+                      & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date")))
+              .select("o_orderkey", "o_custkey"))
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        returned.join(orders, returned.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(r2(F.sum(revenue)).alias("ingreso"))
+        .orderBy(F.col("ingreso").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(F.col("c_custkey").cast("long").alias("c_custkey"),
+                "c_name", r2(F.col("c_acctbal")).alias("c_acctbal"),
+                "n_name", "ingreso")
+    )
+
+
+SQL_RETURNED_ITEMS = """
+SELECT c_custkey::BIGINT AS c_custkey, c_name,
+       floor(c_acctbal * 100 + 0.5) / 100 AS c_acctbal, n_name,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS ingreso
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY ingreso DESC, c_custkey ASC LIMIT 20
+"""
+
+register("returned_items", q_returned_items, SQL_RETURNED_ITEMS)
+
+
+# --------------------------------------------------------------------------
+# promo_revenue_share — Q14 shape: conditional-aggregate ratio over a
+# fact ⋈ dim join (share of revenue from promo-typed parts in one
+# month). Part broadcasts; the ratio is one map-side-combined aggregate —
+# no second pass for the denominator.
+# --------------------------------------------------------------------------
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    lines = (_t(spark, sf_dir, "lineitem")
+             .filter((F.col("l_shipdate") >= F.lit("1995-09-01").cast("date"))
+                     & (F.col("l_shipdate") < F.lit("1995-10-01").cast("date")))
+             .select("l_partkey", "l_extendedprice", "l_discount"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), revenue).otherwise(0.0)
+    return (
+        lines.join(F.broadcast(part), lines.l_partkey == part.p_partkey)
+        .agg((F.sum(promo) * 100.0 / F.sum(revenue)).alias("_pct"))
+        .select(F.expr("floor(_pct * 10000 + 0.5) / 10000").alias("promo_pct"))
+    )
+
+
+SQL_PROMO_REVENUE_SHARE = """
+SELECT floor((100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+              / sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000
+       AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+"""
+
+register("promo_revenue_share", q_promo_revenue_share, SQL_PROMO_REVENUE_SHARE)
+
+
+# --------------------------------------------------------------------------
+# discounted_bulk_revenue — Q19 shape: disjunction of conjunctive
+# brand/size/quantity predicates across the join. Catalyst extracts the
+# common l_partkey = p_partkey conjunct so the OR rides a single
+# broadcast hash join with the residual disjunction as the join filter —
+# never a nested-loop.
+# --------------------------------------------------------------------------
+
+def q_discounted_bulk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    lines = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    joined = lines.join(F.broadcast(part),
+                        lines.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 10))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 15))
+           & (F.col("l_quantity").between(20, 30)))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (joined.filter(cond)
+            .agg(r2(F.sum(revenue)).alias("ingreso"),
+                 F.count(F.lit(1)).cast("long").alias("n_lineas")))
+
+
+SQL_DISCOUNTED_BULK_REVENUE = """
+SELECT floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS ingreso,
+       count(*)::BIGINT AS n_lineas
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+register("discounted_bulk_revenue", q_discounted_bulk_revenue,
+         SQL_DISCOUNTED_BULK_REVENUE)
