@@ -746,3 +746,229 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1
 
 register("discounted_bulk_revenue", q_discounted_bulk_revenue,
          SQL_DISCOUNTED_BULK_REVENUE)
+
+
+# --------------------------------------------------------------------------
+# revenue_change — Q6 shape: the pure scan-side aggregate. Every predicate
+# (ship year, discount band, quantity cap) pushes into the parquet scan;
+# the whole query is one map-side-combined agg with NO shuffle of fact
+# rows — the canonical "filters must reach the scan" probe.
+# --------------------------------------------------------------------------
+
+def q_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+                  & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+                  & (F.col("l_discount").between(0.05, 0.07))
+                  & (F.col("l_quantity") < 24))
+        .agg(r2(F.sum(F.col("l_extendedprice") * F.col("l_discount")))
+             .alias("ingreso_descuento"),
+             F.count(F.lit(1)).cast("long").alias("n_lineas"))
+    )
+
+
+SQL_REVENUE_CHANGE = """
+SELECT floor(sum(l_extendedprice * l_discount) * 100 + 0.5) / 100
+         AS ingreso_descuento,
+       count(*)::BIGINT AS n_lineas
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+register("revenue_change", q_revenue_change, SQL_REVENUE_CHANGE)
+
+
+# --------------------------------------------------------------------------
+# product_profit — Q9 shape: profit per (supplier nation, order year) for
+# one part family. The testdata has no partsupp table, so unit cost is
+# proxied by 60% of p_retailprice (deterministic, documented adaptation).
+# Plan: part filter broadcasts into the fact scan, supplier→nation is a
+# broadcast chain, and the only big-big join is lineitem ⋈ orders on the
+# order key — one fact shuffle, then a small keyed rollup.
+# --------------------------------------------------------------------------
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_name").contains("red"))
+            .select("p_partkey", "p_retailprice"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nacion"),
+                 F.year("o_orderdate").cast("long").alias("anio"))
+        .agg(r2(F.sum(profit)).alias("ganancia"))
+        .orderBy(F.col("nacion").asc(), F.col("anio").desc())
+    )
+
+
+SQL_PRODUCT_PROFIT = """
+SELECT n_name AS nacion, year(o_orderdate)::BIGINT AS anio,
+       floor(sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity) * 100 + 0.5) / 100
+         AS ganancia
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY nacion, anio ORDER BY nacion ASC, anio DESC
+"""
+
+register("product_profit", q_product_profit, SQL_PRODUCT_PROFIT)
+
+
+# --------------------------------------------------------------------------
+# line_priority_mix — Q12 shape: conditional priority counts per category
+# for lines shipped in one year. The testdata has no l_shipmode column,
+# so the category is l_linestatus (same conditional-count idiom). The
+# orders side projects two columns and the rollup output is 2 rows; the
+# big-big join on the order key is the only shuffle.
+# --------------------------------------------------------------------------
+
+def q_line_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date")))
+          .select("l_orderkey", "l_linestatus"))
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(F.sum(is_high.cast("int")).cast("long").alias("n_alta"),
+             F.sum((~is_high).cast("int")).cast("long").alias("n_baja"))
+        .orderBy("l_linestatus")
+    )
+
+
+SQL_LINE_PRIORITY_MIX = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS n_alta,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS n_baja
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+register("line_priority_mix", q_line_priority_mix, SQL_LINE_PRIORITY_MIX)
+
+
+# --------------------------------------------------------------------------
+# small_qty_revenue — Q17 shape: the correlated per-part average. For one
+# brand, average yearly revenue from lines whose quantity is under 20% of
+# that part's own average quantity. Plan: the brand filter broadcasts into
+# the fact scan (lineitem read ONCE), then the per-part average is a
+# whole-partition window over the brand subset — one keyed shuffle of
+# ~1/|brands| of the fact, never a second scan, never a self-join of the
+# full fact. At 100 TB the window partition (one part's lines) is bounded
+# by part cardinality × order velocity, not corpus size.
+# --------------------------------------------------------------------------
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    brand_parts = (_t(spark, sf_dir, "part")
+                   .filter(F.col("p_brand") == "Brand#23")
+                   .select("p_partkey"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey)
+        .withColumn("_avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(r2(F.sum("l_extendedprice") / 7.0).alias("ingreso_anual"),
+             F.count(F.lit(1)).cast("long").alias("n_lineas"))
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+SELECT floor((sum(l_extendedprice) / 7.0) * 100 + 0.5) / 100 AS ingreso_anual,
+       count(*)::BIGINT AS n_lineas
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+register("small_qty_revenue", q_small_qty_revenue, SQL_SMALL_QTY_REVENUE)
+
+
+# --------------------------------------------------------------------------
+# dominant_part_suppliers — Q20 shape: nested quantified subqueries →
+# semi-join chain. Suppliers who shipped more than 25% of the 1996 volume
+# of some 'red' part. The testdata has no partsupp/availqty, so the
+# quantified predicate is per-part volume share (same nesting, adapted
+# measure). Plan: part-name filter broadcasts into the fact scan; one
+# keyed shuffle to (part, supplier) grain; the per-part total is a window
+# over the already-reduced grain (|parts|×|suppliers| rows, not fact
+# rows); supplier names broadcast-join at the end.
+# --------------------------------------------------------------------------
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    red_parts = (_t(spark, sf_dir, "part")
+                 .filter(F.col("p_name").startswith("red"))
+                 .select("p_partkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+                  & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date")))
+          .select("l_partkey", "l_suppkey", "l_quantity"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_pair = (
+        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        per_pair.withColumn("_total", F.sum("_qty").over(w))
+        .filter(F.col("_qty") > 0.25 * F.col("_total"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_partes_dominadas"))
+    )
+    return (
+        dominant.join(F.broadcast(supp), dominant.l_suppkey == supp.s_suppkey)
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name",
+                "n_partes_dominadas")
+        .orderBy(F.col("n_partes_dominadas").desc(), F.col("s_suppkey").asc())
+    )
+
+
+SQL_DOMINANT_PART_SUPPLIERS = """
+WITH pair AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY l_partkey, l_suppkey
+), shared AS (
+  SELECT l_suppkey, count(*)::BIGINT AS n_partes_dominadas
+  FROM (SELECT *, sum(qty) OVER (PARTITION BY l_partkey) AS total FROM pair)
+  WHERE qty > 0.25 * total
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey::BIGINT AS s_suppkey, s_name, n_partes_dominadas
+FROM shared JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY n_partes_dominadas DESC, s_suppkey ASC
+"""
+
+register("dominant_part_suppliers", q_dominant_part_suppliers,
+         SQL_DOMINANT_PART_SUPPLIERS)
