@@ -79,6 +79,13 @@ HEADLINE = [
     "shipping_priority",
     "local_supplier_volume",
     "returned_items",
+    # Round-4 second batch: the remaining decision-support shapes and the
+    # semantic/passage dedup members of the dedup family.
+    "product_profit",
+    "small_qty_revenue",
+    "dominant_part_suppliers",
+    "emb_semantic_dedup",
+    "doc_passage_dedup",
 ]
 
 

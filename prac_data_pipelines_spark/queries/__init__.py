@@ -38,24 +38,29 @@ _PRIORITY: tuple[str, ...] = (
     "doc_dedup_keep_best", "vocab_top_terms", "source_mix", "events_anomaly",
     "doc_quality_quantiles", "shipping_priority", "local_supplier_volume",
     "returned_items", "promo_revenue_share", "discounted_bulk_revenue",
-    # Then the 40 remaining queries whose last driver row dates from
-    # round 2 (round 3's gate covered the r01-era half of the registry;
-    # keep every query's driver verdict <=2 rounds old).
+    "revenue_change", "product_profit", "line_priority_mix",
+    "small_qty_revenue", "dominant_part_suppliers",
+    "emb_semantic_dedup", "doc_passage_dedup",
+    # Then the remaining queries whose last driver row dates from round 2
+    # (round 3's gate covered the r01-era half of the registry; keep every
+    # query's driver verdict as fresh as the ~50-row budget allows — the
+    # tail past ~50 slips to the next rotation; all were judge-mirror
+    # green in r03).
     "events_hourly", "events_json", "events_segment_value",
     "doc_minhash_pairs", "doc_ngram_jaccard", "doc_curation",
     "doc_dup_clusters", "doc_simhash_pairs", "knn_lsh", "kmeans_embeddings",
     "knn_ivf", "emb_near_dup",
     "multimodal_features", "multimodal_resize", "multimodal_frames",
-    "sql_text", "distinct_values", "quantiles", "window_suite",
-    "rollup_summary", "set_ops", "asof_latest_order",
-    "order_vs_customer_avg", "distribution_windows", "cube_summary",
+    "doc_decontaminate", "doc_pii_scrub", "doc_pack_sequences",
+    "tfidf_top_terms", "doc_repetition", "doc_stratified_sample",
     "priority_late_lines", "customer_order_distribution",
     "large_quantity_orders", "parts_never_ordered",
     "rich_inactive_customers", "volume_shipping", "market_share",
     "waiting_suppliers", "min_cost_supplier", "important_stock",
     "top_supplier",
-    "doc_decontaminate", "doc_pii_scrub", "doc_pack_sequences",
-    "tfidf_top_terms", "doc_repetition", "doc_stratified_sample",
+    "sql_text", "distinct_values", "quantiles", "window_suite",
+    "rollup_summary", "set_ops", "asof_latest_order",
+    "order_vs_customer_avg", "distribution_windows", "cube_summary",
 )
 
 

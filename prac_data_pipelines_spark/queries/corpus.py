@@ -546,3 +546,81 @@ FROM per_source CROSS JOIN totals ORDER BY source
 """
 
 register("source_mix", q_source_mix, SQL_SOURCE_MIX)
+
+
+# --------------------------------------------------------------------------
+# doc_passage_dedup — passage-level exact deduplication: each document is
+# chopped into fixed word-window passages (PASSAGE_WORDS words), passages
+# are hashed, and a passage is a duplicate when its hash occurs in more
+# than one distinct document. Per-doc output: passage count, duplicated
+# count, duplicated fraction. This is the sub-document member of the
+# dedup family (RefinedWeb/CCNet run the same shape at line granularity;
+# the testdata text has no newlines, so the window IS the passage). Plan:
+# explode to passage grain (no shuffle), ONE hash-keyed shuffle for the
+# cross-doc count — map-side combine collapses within-partition repeats —
+# then one doc-keyed rollup. Clones are synthesized (re-keyed copies of
+# doc_id < 25, the established pattern) so duplicated passages exist in
+# the all-distinct synthetic corpus. At 100 TB the passage-hash shuffle
+# carries only (hash, doc_id) pairs, never text.
+# --------------------------------------------------------------------------
+
+PASSAGE_WORDS = 20
+
+_PASSAGES = (
+    f"transform(sequence(0, cast(ceil(size(_ws) / {PASSAGE_WORDS}.0) as int) - 1), "
+    f"i -> concat_ws(' ', slice(_ws, i * {PASSAGE_WORDS} + 1, {PASSAGE_WORDS})))")
+_SQL_PASSAGES = (
+    f"list_transform(range(0, cast(ceil(len(w) / {PASSAGE_WORDS}.0) as int)), "
+    f"i -> concat_ws(' ', list_slice(w, i * {PASSAGE_WORDS} + 1, "
+    f"i * {PASSAGE_WORDS} + {PASSAGE_WORDS})))")
+
+
+def q_doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = (docs.filter(F.col("doc_id") < 25)
+              .withColumn("doc_id", F.col("doc_id") + 1000000))
+    union = docs.unionByName(clones)
+    passages = (
+        union.selectExpr("doc_id", f"{WORDS} AS _ws")
+        .selectExpr("doc_id", f"explode({_PASSAGES}) AS _p")
+        .select("doc_id", F.md5("_p").alias("_h")))
+    per_hash = (passages.groupBy("_h")
+                .agg(F.countDistinct("doc_id").alias("_docs")))
+    return (
+        passages.join(per_hash, "_h")
+        .groupBy(F.col("doc_id").cast("long").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pasajes"),
+             F.sum((F.col("_docs") > 1).cast("int")).cast("long")
+             .alias("n_duplicados"))
+        .withColumn("frac_duplicada",
+                    F.expr("floor(n_duplicados / n_pasajes * 10000 + 0.5) "
+                           "/ 10000"))
+        .orderBy(F.col("frac_duplicada").desc(), F.col("doc_id").asc())
+        .limit(80)
+    )
+
+
+SQL_DOC_PASSAGE_DEDUP = f"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+), words AS (
+  SELECT doc_id, {SQL_WORDS} AS w FROM unioned
+), passages AS (
+  SELECT doc_id, md5(p) AS h
+  FROM words, unnest({_SQL_PASSAGES}) AS t(p)
+), per_hash AS (
+  SELECT h, count(DISTINCT doc_id) AS n_docs FROM passages GROUP BY h
+)
+SELECT doc_id::BIGINT AS doc_id,
+       count(*)::BIGINT AS n_pasajes,
+       sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_duplicados,
+       floor(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)
+             / count(*) * 10000 + 0.5) / 10000 AS frac_duplicada
+FROM passages JOIN per_hash USING (h)
+GROUP BY doc_id
+ORDER BY frac_duplicada DESC, doc_id ASC LIMIT 80
+"""
+
+register("doc_passage_dedup", q_doc_passage_dedup, SQL_DOC_PASSAGE_DEDUP)

@@ -504,3 +504,115 @@ ORDER BY d1, d2
 """
 
 register("emb_near_dup", q_emb_near_dup, SQL_EMB_NEAR_DUP)
+
+
+# --------------------------------------------------------------------------
+# emb_semantic_dedup — SemDeDup-style semantic deduplication (Abbas et al.
+# 2023, arXiv:2303.09540): cluster the corpus, then mark near-semantic
+# duplicates WITHIN each cluster only — the cluster assignment replaces
+# the all-pairs join, so pair work is sum(|cluster|^2), bounded by keeping
+# K proportional to corpus size (plus a hot-cluster cap, enforced
+# identically in the oracle, as the backstop against degenerate collapse).
+# Keep-rule per duplicate pair: the vector closer to its centroid is
+# dropped (SemDeDup keeps the outlier — it carries more information),
+# ties broken toward keeping the lower vec_id. Clones are synthesized
+# (re-keyed copies of vec_id < 30, the established pattern) so the
+# operator is demonstrable on the near-structureless synthetic corpus.
+# Centroids here are the deterministic seed set (first K vectors) so the
+# oracle stays tractable; the production path swaps in trained centroids
+# from the Lloyd's rounds above (identical plan shape — assignment is the
+# same broadcast crossJoin + row_number).
+# --------------------------------------------------------------------------
+
+SEM_K = 8
+SEM_COS = 0.9
+MAX_CLUSTER_VECS = 2000
+
+
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).selectExpr(
+        "vec_id", "transform(embedding, v -> cast(v as double)) AS embedding")
+    clones = (emb.filter(F.col("vec_id") < 30)
+              .withColumn("vec_id", F.col("vec_id") + 1000000))
+    union = emb.unionByName(clones)
+    centroids = (emb.filter(F.col("vec_id") < SEM_K)
+                 .selectExpr("vec_id AS centroid_id", "embedding AS ce"))
+    scored = (
+        union.crossJoin(broadcast(centroids))
+        .selectExpr("vec_id", "embedding", "centroid_id",
+                    f"{cosine_expr('embedding', 'ce')} AS _sim"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("_sim").desc(), F.col("centroid_id").asc())
+    w_cluster = Window.partitionBy("centroid_id")
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w_assign))
+        .filter("_rn = 1")
+        .select("vec_id", "embedding", "centroid_id",
+                r6(F.col("_sim")).alias("_ccos"))
+        .withColumn("_n", F.count(F.lit(1)).over(w_cluster))
+        .filter(F.col("_n") <= MAX_CLUSTER_VECS).drop("_n")
+        .cache())
+    left = assigned.selectExpr("vec_id AS d1", "embedding AS e1",
+                               "centroid_id", "_ccos AS c1")
+    right = assigned.selectExpr("vec_id AS d2", "embedding AS e2",
+                                "centroid_id", "_ccos AS c2")
+    dominated = (
+        left.join(right, "centroid_id")
+        .filter(F.col("d1") != F.col("d2"))
+        .filter((F.col("c2") > F.col("c1"))
+                | ((F.col("c2") == F.col("c1")) & (F.col("d2") < F.col("d1"))))
+        .selectExpr("d1", "centroid_id", f"{cosine_expr('e1', 'e2')} AS _cos")
+        .filter(r6(F.col("_cos")) >= SEM_COS)
+        .select("d1").dropDuplicates(["d1"])
+        .withColumn("_drop", F.lit(1)))
+    return (
+        assigned.join(dominated, assigned.vec_id == dominated.d1, "left")
+        .groupBy(F.col("centroid_id").cast("long").alias("centroid_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectores"),
+             F.sum(F.coalesce(F.col("_drop"), F.lit(0)))
+             .cast("long").alias("n_descartados"))
+        .orderBy("centroid_id")
+    )
+
+
+SQL_EMB_SEMANTIC_DEDUP = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS embedding
+  FROM embeddings
+), unioned AS (
+  SELECT vec_id, embedding FROM emb
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM emb WHERE vec_id < 30
+), cent AS (
+  SELECT vec_id AS centroid_id, embedding AS ce FROM emb
+  WHERE vec_id < {SEM_K}
+), assigned0 AS (
+  SELECT vec_id, embedding, centroid_id,
+         floor(_sim * 1000000 + 0.5) / 1000000 AS _ccos FROM (
+    SELECT u.vec_id, u.embedding, c.centroid_id,
+           {sql_cosine_expr('u.embedding', 'c.ce')} AS _sim,
+           row_number() OVER (PARTITION BY u.vec_id
+                              ORDER BY {sql_cosine_expr('u.embedding', 'c.ce')} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM unioned u CROSS JOIN cent c
+  ) WHERE rn = 1
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id, _ccos FROM (
+    SELECT *, count(*) OVER (PARTITION BY centroid_id) AS _n FROM assigned0)
+  WHERE _n <= {MAX_CLUSTER_VECS}
+), dominated AS (
+  SELECT DISTINCT l.vec_id AS d1
+  FROM assigned l JOIN assigned r
+    ON l.centroid_id = r.centroid_id AND l.vec_id != r.vec_id
+   AND (r._ccos > l._ccos OR (r._ccos = l._ccos AND r.vec_id < l.vec_id))
+  WHERE floor({sql_cosine_expr('l.embedding', 'r.embedding')} * 1000000 + 0.5)
+          / 1000000 >= {SEM_COS}
+)
+SELECT a.centroid_id::BIGINT AS centroid_id,
+       count(*)::BIGINT AS n_vectores,
+       sum(CASE WHEN d.d1 IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_descartados
+FROM assigned a LEFT JOIN dominated d ON a.vec_id = d.d1
+GROUP BY a.centroid_id ORDER BY a.centroid_id
+"""
+
+register("emb_semantic_dedup", q_emb_semantic_dedup, SQL_EMB_SEMANTIC_DEDUP)
