@@ -457,3 +457,37 @@ ORDER BY nacion, segmento
 """
 
 register("cube_summary", q_cube_summary, SQL_CUBE_SUMMARY)
+
+
+# --------------------------------------------------------------------------
+# sketch_profile — the APPROXIMATE twins of distinct_counts and quantiles:
+# HyperLogLog++ distinct estimates (approx_count_distinct, rsd=0.01) and
+# KLL/GK quantile estimates (approx_percentile, accuracy 10000). These are
+# the 100 TB scale path: exact countDistinct re-shuffles the full key set
+# per column and exact percentile materializes sorted groups, while both
+# sketches are fixed-size mergeable state with map-side partial
+# aggregation — one narrow shuffle regardless of cardinality.
+#
+# Approximate results are engine-specific, so there is no DuckDB value
+# oracle (driver records the weaker rows-only check); the REAL check is
+# tests/test_sketch_accuracy.py, which bounds the relative error of every
+# estimate against the exact oracle-checked twins on the same data.
+# --------------------------------------------------------------------------
+
+def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = o.agg(
+        F.expr("approx_count_distinct(o_custkey, 0.01)")
+        .cast("long").alias("clientes_activos_aprox"))
+    b = li.agg(
+        F.expr("approx_count_distinct(l_partkey, 0.01)")
+        .cast("long").alias("partes_vendidas_aprox"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+        .alias("p50_precio_aprox"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)")
+        .alias("p90_precio_aprox"))
+    return a.crossJoin(b)
+
+
+register("sketch_profile", q_sketch_profile, None)
