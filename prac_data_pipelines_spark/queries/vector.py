@@ -522,9 +522,20 @@ register("emb_near_dup", q_emb_near_dup, SQL_EMB_NEAR_DUP)
 # oracle stays tractable; the production path swaps in trained centroids
 # from the Lloyd's rounds above (identical plan shape — assignment is the
 # same broadcast crossJoin + row_number).
+#
+# K is ADAPTIVE: K = max(8, N // 256), computed identically in both
+# engines, so mean cluster size stays ~SEM_TARGET no matter the corpus —
+# pair work is sum(|cluster|^2) ~ N x SEM_TARGET, i.e. LINEAR in N. A
+# fixed K would make clusters grow with the corpus and the in-cluster
+# join quadratic (the band-key-cardinality lesson in SCALING.md, which
+# also applies to cluster counts); the hot-cluster cap stays as the
+# backstop for degenerate collapse, not the scaling mechanism. The
+# count() that sizes K is a driver-side scalar of the centroid-
+# cardinality class (same rank as the k-means centroid collect).
 # --------------------------------------------------------------------------
 
-SEM_K = 8
+SEM_K_MIN = 8
+SEM_TARGET = 256
 SEM_COS = 0.9
 MAX_CLUSTER_VECS = 2000
 
@@ -535,7 +546,8 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clones = (emb.filter(F.col("vec_id") < 30)
               .withColumn("vec_id", F.col("vec_id") + 1000000))
     union = emb.unionByName(clones)
-    centroids = (emb.filter(F.col("vec_id") < SEM_K)
+    k = max(SEM_K_MIN, union.count() // SEM_TARGET)
+    centroids = (emb.filter(F.col("vec_id") < k)
                  .selectExpr("vec_id AS centroid_id", "embedding AS ce"))
     scored = (
         union.crossJoin(broadcast(centroids))
@@ -585,7 +597,8 @@ WITH emb AS (
   SELECT vec_id + 1000000, embedding FROM emb WHERE vec_id < 30
 ), cent AS (
   SELECT vec_id AS centroid_id, embedding AS ce FROM emb
-  WHERE vec_id < {SEM_K}
+  WHERE vec_id < (SELECT greatest({SEM_K_MIN}, count(*) // {SEM_TARGET})
+                  FROM unioned)
 ), assigned0 AS (
   SELECT vec_id, embedding, centroid_id,
          floor(_sim * 1000000 + 0.5) / 1000000 AS _ccos FROM (

@@ -80,7 +80,8 @@ def probe_llm(spark, sf_dir: str, k: int) -> None:
                  "knn_lsh", "knn_ivf", "embedding_norms",
                  "doc_decontaminate", "doc_repetition", "doc_pack_sequences",
                  "tfidf_top_terms", "vocab_top_terms", "source_mix",
-                 "doc_quality_quantiles", "doc_pii_scrub"):
+                 "doc_quality_quantiles", "doc_pii_scrub",
+                 "emb_semantic_dedup", "doc_passage_dedup"):
         t0 = time.time()
         queries[name](spark, scratch).write.format("noop").mode("overwrite").save()
         print(f"{name} at {k}x: {time.time()-t0:.2f}s")
