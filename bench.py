@@ -86,6 +86,9 @@ HEADLINE = [
     "dominant_part_suppliers",
     "emb_semantic_dedup",
     "doc_passage_dedup",
+    "events_gapfill",
+    "events_asof_attribution",
+    "sketch_profile",
 ]
 
 

@@ -40,7 +40,8 @@ _PRIORITY: tuple[str, ...] = (
     "returned_items", "promo_revenue_share", "discounted_bulk_revenue",
     "revenue_change", "product_profit", "line_priority_mix",
     "small_qty_revenue", "dominant_part_suppliers",
-    "emb_semantic_dedup", "doc_passage_dedup",
+    "emb_semantic_dedup", "doc_passage_dedup", "sketch_profile",
+    "events_gapfill", "events_asof_attribution",
     # Then the remaining queries whose last driver row dates from round 2
     # (round 3's gate covered the r01-era half of the registry; keep every
     # query's driver verdict as fresh as the ~50-row budget allows — the

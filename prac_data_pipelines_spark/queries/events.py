@@ -408,3 +408,139 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 register("events_retention", q_events_retention, SQL_EVENTS_RETENTION)
+
+
+# --------------------------------------------------------------------------
+# events_gapfill — time-series densification: the hourly rollup joined
+# against the COMPLETE hour grid so silent hours exist as zero rows (the
+# gap-filling step every monitoring/forecasting consumer needs — a missing
+# hour and a zero hour are different facts). The grid is generated from a
+# one-row min/max aggregate (broadcast) × the distinct type set — never
+# materialized wider than |hours| × |types| — and the fact side is the
+# already-reduced hourly aggregate, so the gap join is dim-sized at any
+# event volume. Output: per-type coverage (total/empty hours, zero-hour
+# share).
+# --------------------------------------------------------------------------
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hour = (F.floor(epoch_sec("ts") / 3600) * 3600).cast("long")
+    hourly = (ev.withColumn("_h", hour)
+              .groupBy("event_type", "_h")
+              .agg(F.count(F.lit(1)).alias("_n")))
+    bounds = ev.agg(
+        (F.floor(F.min(epoch_sec("ts")) / 3600) * 3600).cast("long").alias("_h0"),
+        (F.floor(F.max(epoch_sec("ts")) / 3600) * 3600).cast("long").alias("_h1"))
+    types = ev.select("event_type").distinct()
+    grid = (F.broadcast(bounds)
+            .selectExpr("explode(sequence(_h0, _h1, 3600)) AS _h")
+            .crossJoin(F.broadcast(types)))
+    filled = (grid.join(hourly, ["event_type", "_h"], "left")
+              .select("event_type", "_h",
+                      F.coalesce("_n", F.lit(0)).alias("_n")))
+    return (
+        filled.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_horas"),
+             F.sum((F.col("_n") == 0).cast("int")).cast("long")
+             .alias("horas_vacias"),
+             F.sum("_n").cast("long").alias("n_eventos"))
+        .withColumn("pct_vacias",
+                    F.expr("floor(horas_vacias / n_horas * 10000 + 0.5) "
+                           "/ 10000"))
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_GAPFILL = """
+WITH sec AS (
+  SELECT event_type, epoch_us(ts) // 1000000 AS s FROM events
+), hourly AS (
+  SELECT event_type, (s // 3600) * 3600 AS h, count(*) AS n
+  FROM sec GROUP BY 1, 2
+), bounds AS (
+  SELECT (min(s) // 3600) * 3600 AS h0, (max(s) // 3600) * 3600 AS h1 FROM sec
+), grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(h0, h1, 3600)) AS h FROM bounds) g
+), filled AS (
+  SELECT grid.event_type, grid.h, coalesce(hourly.n, 0) AS n
+  FROM grid LEFT JOIN hourly
+    ON grid.event_type = hourly.event_type AND grid.h = hourly.h
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_horas,
+       sum(CASE WHEN n = 0 THEN 1 ELSE 0 END)::BIGINT AS horas_vacias,
+       sum(n)::BIGINT AS n_eventos,
+       floor(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) / count(*) * 10000 + 0.5)
+         / 10000 AS pct_vacias
+FROM filled GROUP BY event_type ORDER BY event_type
+"""
+
+register("events_gapfill", q_events_gapfill, SQL_EVENTS_GAPFILL)
+
+
+# --------------------------------------------------------------------------
+# events_asof_attribution — as-of (most-recent-prior) attribution: each
+# purchase is credited to the user's LATEST click strictly before it,
+# if within the attribution window. This is the as-of-join member of the
+# events family, expressed as ONE per-user ordered window
+# (last(click, ignorenulls) over ROWS UNBOUNDED PRECEDING .. 1 PRECEDING)
+# over the type-filtered union — one keyed shuffle, no range self-join,
+# per-user state bounded by the user's own history. Ties at the same
+# second resolve by event_id (total order, SURVEY §4.1 determinism rule).
+# --------------------------------------------------------------------------
+
+ATTR_WINDOW_SEC = 7 * 86400
+
+
+def q_events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("click", "purchase"))
+          .select("event_id", "user_id", "event_type",
+                  epoch_sec("ts").alias("_sec")))
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("_sec").asc(), F.col("event_id").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prior_click = F.last(
+        F.when(F.col("event_type") == "click",
+               F.struct(F.col("_sec").alias("s"),
+                        F.col("event_id").alias("id"))),
+        ignorenulls=True).over(w)
+    attributed = (
+        ev.withColumn("_pc", prior_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").cast("long").alias("compra_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.when(F.col("_sec") - F.col("_pc.s") <= ATTR_WINDOW_SEC,
+                   F.col("_pc.id")).cast("long").alias("click_id"),
+            F.when(F.col("_sec") - F.col("_pc.s") <= ATTR_WINDOW_SEC,
+                   F.col("_sec") - F.col("_pc.s")).cast("long")
+            .alias("segundos_desde_click")))
+    return attributed.orderBy("compra_id")
+
+
+SQL_EVENTS_ASOF_ATTRIBUTION = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) // 1000000 AS s
+  FROM events WHERE event_type IN ('click', 'purchase')
+), flagged AS (
+  SELECT *,
+         last_value(CASE WHEN event_type = 'click'
+                         THEN struct_pack(s := s, id := event_id) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY s ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc
+  FROM ev
+)
+SELECT event_id::BIGINT AS compra_id, user_id::BIGINT AS user_id,
+       CASE WHEN s - pc.s <= {ATTR_WINDOW_SEC} THEN pc.id END::BIGINT AS click_id,
+       CASE WHEN s - pc.s <= {ATTR_WINDOW_SEC} THEN s - pc.s END::BIGINT
+         AS segundos_desde_click
+FROM flagged WHERE event_type = 'purchase'
+ORDER BY compra_id
+"""
+
+register("events_asof_attribution", q_events_asof_attribution,
+         SQL_EVENTS_ASOF_ATTRIBUTION)
