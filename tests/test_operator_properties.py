@@ -1,0 +1,115 @@
+"""Hypothesis property tests for the scale-critical operator rewrites.
+
+Each property asserts that a distributed/scale-shaped implementation is
+EXTENSIONALLY EQUAL to the simple reference implementation over randomized
+inputs — the class of bug (boundary rows, ties, empty shards, hot keys)
+that a fixed fixture can miss. Examples are small (Spark round-trips per
+example), bounded, and fully deterministic under hypothesis' seed
+database.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+
+RANGE_SEC = 100
+
+
+# events: (key 0-2, second 0-1000, value) — small span so windows overlap
+# shard boundaries often
+_events = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 1000),
+              st.integers(-50, 50)),
+    min_size=1, max_size=60)
+
+
+@given(rows=_events, bucket_mult=st.integers(1, 5))
+@settings(**SETTINGS)
+def test_sharded_range_window_equals_plain(spark, rows, bucket_mult):
+    """The (key, time-bucket) sharded range window with boundary overlap
+    must equal the plain single-key range window for EVERY bucket size
+    >= the window range — boundary rows, ties at bucket edges, and
+    single-row shards included."""
+    from prac_data_pipelines_spark.operators.windows import sharded_range_window
+
+    df = (spark.createDataFrame(
+        [(i, k, s, float(v)) for i, (k, s, v) in enumerate(rows)],
+        "event_id long, k long, sec long, value double")
+        .withColumn("ts", F.timestamp_seconds("sec")))
+
+    plain_w = (Window.partitionBy("k").orderBy(F.col("sec"))
+               .rangeBetween(-RANGE_SEC, 0))
+    plain = (df.withColumn("n", F.count(F.lit(1)).over(plain_w))
+             .withColumn("s", F.sum("value").over(plain_w))
+             .select("event_id", "n", "s"))
+    sharded = sharded_range_window(
+        df, ["k"], "ts", RANGE_SEC,
+        {"n": lambda w: F.count(F.lit(1)).over(w),
+         "s": lambda w: F.sum("value").over(w)},
+        bucket_seconds=RANGE_SEC * bucket_mult,
+    ).select("event_id", "n", "s")
+
+    got = sorted(map(tuple, sharded.collect()))
+    want = sorted(map(tuple, plain.collect()))
+    assert got == want
+
+
+_large = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-100, 100)),
+    min_size=0, max_size=50)
+_small = st.lists(st.tuples(st.integers(0, 5), st.text("abc", max_size=2)),
+                  min_size=0, max_size=8)
+
+
+@given(large=_large, small=_small,
+       how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+       n_salts=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_salted_join_equals_plain_join(spark, large, small, how, n_salts):
+    """Salting the hot side and exploding the dim must be invisible in the
+    result for every supported join type — including duplicate small-side
+    keys (fan-out) and keys present on only one side."""
+    from prac_data_pipelines_spark.operators.skew import salted_join
+
+    ldf = spark.createDataFrame(
+        [(k, v) for k, v in large] or [(None, None)], "key int, v int"
+    ).filter(F.col("key").isNotNull())
+    sdf = spark.createDataFrame(
+        [(k, t) for k, t in small] or [(None, None)], "key int, t string"
+    ).filter(F.col("key").isNotNull())
+
+    got = salted_join(ldf, sdf, "key", n_salts=n_salts, how=how)
+    want = ldf.join(sdf, "key", how)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+@given(rows=_events, parts=st.integers(1, 7))
+@settings(**SETTINGS)
+def test_running_balance_partition_invariant(spark, rows, parts):
+    """The running balance must be a pure function of the data, not of the
+    physical partitioning — the determinism rule (SURVEY §4.1) that total
+    tiebreaker keys exist to guarantee. Ties in (k, sec) are real here
+    (random data), so event_id is doing the work."""
+    from prac_data_pipelines_spark.operators.windows import running_balance
+
+    df = spark.createDataFrame(
+        [(i, k, s, float(v)) for i, (k, s, v) in enumerate(rows)],
+        "event_id long, k long, sec long, value double")
+    order = [F.col("sec").asc(), F.col("event_id").asc()]
+
+    a = running_balance(df.repartition(parts), ["k"], order, F.col("value"),
+                        out_col="bal").select("event_id", "bal")
+    b = running_balance(df.coalesce(1), ["k"], order, F.col("value"),
+                        out_col="bal").select("event_id", "bal")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
