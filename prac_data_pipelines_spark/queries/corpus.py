@@ -312,9 +312,16 @@ register("tfidf_top_terms", q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS)
 # doc_repetition — Gopher-style repetition quality signals: the fraction
 # of duplicated word 2-grams per document and the share taken by the
 # single most frequent 2-gram. Highly repetitive documents (boilerplate,
-# generated spam) score high on both. Shape: explode → per-(doc, gram)
-# count with partial aggregation → one per-doc rollup → per-source
-# summary; two keyed shuffles, no windows, no collect.
+# generated spam) score high on both.
+#
+# Plan shape (metrics-driven rewrite): repetition is a PER-DOCUMENT fact,
+# so it computes entirely row-side — one fold over the sorted gram array
+# yields total/distinct/longest-run in O(g log g) per doc — and the only
+# shuffle is the 5-row per-source rollup. The previous explode →
+# groupBy(doc, gram) shape shuffled every bigram occurrence (measured
+# 9.5x the scan volume in docs/METRICS.md — the table this rewrite
+# validates); the oracle keeps the unnest/groupBy form, which is the
+# *definition*, not the plan.
 # --------------------------------------------------------------------------
 
 REP_DUP_THRESHOLD = 0.6   # flag: >60% of 2-gram occurrences are repeats
@@ -334,16 +341,26 @@ _SQL_BIGRAMS = (
 )
 
 
+_GRAM_FOLD = (
+    "aggregate(array_sort(_gs), "
+    "struct(cast(null as string) AS prev, 0L AS run, 0L AS best, 0L AS dis), "
+    "(acc, x) -> struct(x AS prev, "
+    "IF(x = acc.prev, acc.run + 1, 1L) AS run, "
+    "greatest(acc.best, IF(x = acc.prev, acc.run + 1, 1L)) AS best, "
+    "acc.dis + IF(x = acc.prev, 0L, 1L) AS dis), "
+    "acc -> struct(acc.best AS best, acc.dis AS dis))")
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    grams = (docs.selectExpr("doc_id", "source", "text", f"{WORDS} AS _ws")
-             .selectExpr("doc_id", "source", f"explode({_BIGRAMS}) AS grama"))
-    per_gram = (grams.groupBy("doc_id", "source", "grama")
-                .agg(F.count(F.lit(1)).alias("_n")))
-    per_doc = (per_gram.groupBy("doc_id", "source")
-               .agg(F.sum("_n").alias("_total"),
-                    F.count(F.lit(1)).alias("_distintos"),
-                    F.max("_n").alias("_max")))
+    per_doc = (
+        docs.selectExpr("doc_id", "source", "text", f"{WORDS} AS _ws")
+        .selectExpr("doc_id", "source", f"{_BIGRAMS} AS _gs")
+        .selectExpr("doc_id", "source",
+                    "cast(size(_gs) AS long) AS _total",
+                    f"{_GRAM_FOLD} AS _st")
+        .selectExpr("doc_id", "source", "_total",
+                    "_st.dis AS _distintos", "_st.best AS _max"))
     flagged = per_doc.select(
         "source",
         (1 - F.col("_distintos") / F.col("_total")).alias("_dup_ratio"),

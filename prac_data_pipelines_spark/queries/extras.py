@@ -491,3 +491,43 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("sketch_profile", q_sketch_profile, None)
+
+
+# --------------------------------------------------------------------------
+# grouping_sets_summary — the general GROUPING SETS form (rollup and cube
+# above are its special cases): revenue by return flag, by line status,
+# and the grand total, in ONE pass over the fact — the Expand node feeds
+# a single partial-aggregated shuffle instead of three scans + union.
+# Set labels via coalesce sentinels (both grouping columns are non-null
+# in the data, so the sentinel is unambiguous and engine-portable —
+# no grouping_id() bit-order coupling).
+# --------------------------------------------------------------------------
+
+def q_grouping_sets_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupingSets([["l_returnflag"], ["l_linestatus"], []],
+                        "l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lineas"),
+             r2(F.sum(revenue)).alias("ingreso"))
+        .select(F.coalesce("l_returnflag", F.lit("TODAS")).alias("bandera"),
+                F.coalesce("l_linestatus", F.lit("TODOS")).alias("estado"),
+                "n_lineas", "ingreso")
+        .orderBy("bandera", "estado")
+    )
+
+
+SQL_GROUPING_SETS_SUMMARY = """
+SELECT coalesce(l_returnflag, 'TODAS') AS bandera,
+       coalesce(l_linestatus, 'TODOS') AS estado,
+       count(*)::BIGINT AS n_lineas,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+         AS ingreso
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY bandera, estado
+"""
+
+register("grouping_sets_summary", q_grouping_sets_summary,
+         SQL_GROUPING_SETS_SUMMARY)

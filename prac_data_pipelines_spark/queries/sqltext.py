@@ -59,3 +59,28 @@ ORDER BY dominio, valor
 """
 
 register("distinct_values", q_distinct_values, SQL_DISTINCT_VALUES)
+
+
+# Correlated LATERAL subquery (top-2 customers per nation): the same text
+# plans on Spark SQL (DecorrelateInnerQuery -> per-key window) and DuckDB.
+_LATERAL_TOPK = """
+SELECT n_name, c.c_name,
+       floor(c.c_acctbal * 100 + 0.5) / 100 AS c_acctbal
+FROM nation,
+LATERAL (
+  SELECT c_name, c_acctbal
+  FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_name ASC
+  LIMIT 2
+) c
+ORDER BY n_name, c_acctbal DESC, c_name
+"""
+
+
+def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(_LATERAL_TOPK)
+
+
+register("sql_lateral_topk", q_sql_lateral_topk, _LATERAL_TOPK)
