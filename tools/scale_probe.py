@@ -159,6 +159,55 @@ def probe_fuzzy_blocking(spark, sf_dir: str, ks: tuple[int, ...] = (1, 8, 32)
               f"({row['dropped']/row['rows']:.2%})")
 
 
+def probe_skew(spark, sf_dir: str, k: int = 8) -> None:
+    """Measure the three answers to a pathological hot key on a big-big
+    join: (a) plain sort-merge with AQE skew-join splitting ON (the
+    engine default), (b) AQE skew splitting OFF (what a naive engine
+    does — the hot key is ONE task), (c) explicit salting
+    (operators/skew.py — the fallback for stages AQE cannot touch, e.g.
+    stateful streaming joins). Skew is synthesized by pointing 40% of a
+    replicated lineitem at a single hot order key; the join side is the
+    orders table (too big to broadcast by policy here, hinted merge so
+    the strategy under test is the shuffle join itself)."""
+    import shutil
+    import tempfile
+
+    from prac_data_pipelines_spark.operators.skew import salted_join
+
+    span = 100_000_000
+    li = replicate(load_table(spark, sf_dir, "lineitem"), ["l_orderkey"],
+                   k, span)
+    hot = F.when(F.rand(7) < 0.4, F.lit(1)).otherwise(F.col("l_orderkey"))
+    scratch = tempfile.mkdtemp(prefix="scale_probe_skew_")
+    (li.withColumn("l_orderkey", hot)
+       .write.mode("overwrite").parquet(f"{scratch}/lineitem"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    skewed = spark.read.parquet(f"{scratch}/lineitem").select(
+        "l_orderkey", "l_extendedprice")
+    n = skewed.count()
+    print(f"skew probe: {n:,} lineitem rows, 40% on ONE key (k={k})")
+
+    def run(tag, frame):
+        t0 = time.time()
+        (frame.groupBy("o_orderpriority")
+         .agg(F.sum("l_extendedprice"))
+         .write.format("noop").mode("overwrite").save())
+        print(f"  {tag}: {time.time() - t0:.2f}s")
+
+    for aqe_skew, tag in (("true", "sort-merge + AQE skew split"),
+                          ("false", "sort-merge, skew split OFF")):
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe_skew)
+        run(tag, skewed.hint("merge").join(
+            orders, skewed.l_orderkey == orders.o_orderkey))
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    run("salted_join (8 salts)",
+        salted_join(skewed, orders.withColumnRenamed("o_orderkey",
+                                                     "l_orderkey"),
+                    "l_orderkey", n_salts=8))
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     k = int(args[0]) if args else 8
@@ -175,6 +224,9 @@ def main() -> None:
         return
     if "--fuzzy" in sys.argv:
         probe_fuzzy_blocking(spark, sf_dir)
+        return
+    if "--skew" in sys.argv:
+        probe_skew(spark, sf_dir, k)
         return
 
     span = 100_000_000
