@@ -169,3 +169,59 @@ def test_events_rolling_sharded_window_keys_include_time_bucket(spark, sf_dir):
     window_lines = [ln for ln in plan.split("\n") if "Window [" in ln]
     assert window_lines, plan
     assert all("_bucket" in ln for ln in window_lines), window_lines
+
+
+def test_revenue_change_all_predicates_pushed(spark, sf_dir):
+    """Q6 form is the pure scan-side aggregate: every predicate must reach
+    the parquet scan and the plan must have no join and no shuffle other
+    than the final single-row aggregation exchange."""
+    from prac_data_pipelines_spark.queries.tpch import q_revenue_change
+
+    df = q_revenue_change(spark, sf_dir)
+    explained = df._jdf.queryExecution().toString()
+    pushed = explained.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed \
+        and "l_quantity" in pushed
+    plan = _plan(df)
+    assert "Join" not in plan
+
+
+def test_product_profit_one_fact_shuffle_join(spark, sf_dir):
+    """Q9 form: part/supplier/nation broadcast; lineitem ⋈ orders is the
+    only non-broadcast join."""
+    from prac_data_pipelines_spark.queries.tpch import q_product_profit
+
+    plan = _plan(q_product_profit(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_small_qty_revenue_scans_lineitem_once(spark, sf_dir):
+    """Q17 form: the correlated per-part average is a window over the
+    brand subset — lineitem must appear ONCE in the plan (never the
+    scan-twice/self-join shape)."""
+    from prac_data_pipelines_spark.queries.tpch import q_small_qty_revenue
+
+    plan = _plan(q_small_qty_revenue(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_gapfill_grid_is_broadcast_sized(spark, sf_dir):
+    """The hour grid builds from a broadcast one-row bounds aggregate and
+    a broadcast distinct-type set — the events fact must never be on the
+    build side of a nested loop."""
+    from prac_data_pipelines_spark.queries.events import q_events_gapfill
+
+    plan = _plan(q_events_gapfill(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+
+
+def test_doc_repetition_no_gram_shuffle(spark, sf_dir):
+    """The metrics-driven rewrite: repetition folds per-row, so the plan
+    must contain no explode/Generate and only the per-source rollup
+    exchange pair (partial + final)."""
+    from prac_data_pipelines_spark.queries.corpus import q_doc_repetition
+
+    plan = _plan(q_doc_repetition(spark, sf_dir))
+    assert "Generate" not in plan  # no explode
+    assert plan.count("Exchange") <= 2
