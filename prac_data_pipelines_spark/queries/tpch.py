@@ -318,6 +318,15 @@ register("market_share", q_market_share, SQL_MARKET_SHARE)
 # receipt/commit dates, so the returnflag stands in for "late").
 # Planned as one semi- and one anti-join on the order key — the fact
 # table self-joins shuffle on the same key, so AQE reuses the exchange.
+#
+# Measured alternative (rejected): collapsing both conditions into one
+# groupBy(l_orderkey) with two distinct aggregates ("only late supplier"
+# = distinct-late-count 1, "other supplier exists" = distinct-count > 1)
+# looks like fewer shuffles but plans through Expand — the fact triples
+# before the first partial aggregate and the grouping key widens to
+# (order, supp, late_supp, gid). Controlled A/B at the 32x fact
+# replication (19.2 M rows, same session, alternating runs): semi/anti
+# 3.8-10 s, multi-distinct Expand 8-35 s. The join form stays.
 # --------------------------------------------------------------------------
 
 def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:

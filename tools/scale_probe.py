@@ -159,6 +159,54 @@ def probe_fuzzy_blocking(spark, sf_dir: str, ks: tuple[int, ...] = (1, 8, 32)
               f"({row['dropped']/row['rows']:.2%})")
 
 
+def probe_tpch(spark, sf_dir: str, k: int) -> None:
+    """Run the full decision-support sweep (all 22 classic shapes) with
+    the FACT tables replicated k× and the dimensions left alone — the
+    realistic growth axis (facts grow with business volume; dims with the
+    world). Order keys shift per replica so orders ⋈ lineitem joins stay
+    1-N; dimension foreign keys repeat, which only densifies the join —
+    exactly what fact growth does in production."""
+    import shutil
+    import tempfile
+
+    from prac_data_pipelines_spark.queries import all_queries
+    from prac_data_pipelines_spark.sources import TABLES
+
+    span = 100_000_000
+    scratch = tempfile.mkdtemp(prefix="scale_probe_tpch_")
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        if t == "lineitem":
+            df = replicate(df, ["l_orderkey"], k, span)
+        elif t == "orders":
+            df = replicate(df, ["o_orderkey"], k, span)
+        df.write.mode("overwrite").parquet(f"{scratch}/{t}.parquet")
+    n = spark.read.parquet(f"{scratch}/lineitem.parquet").count()
+    print(f"replicated lineitem: {n:,} rows (k={k}, dims unreplicated)")
+
+    queries = all_queries()
+    sweep = ("pricing_summary", "min_cost_supplier", "shipping_priority",
+             "priority_late_lines", "local_supplier_volume",
+             "revenue_change", "volume_shipping", "market_share",
+             "product_profit", "returned_items", "important_stock",
+             "line_priority_mix", "customer_order_distribution",
+             "promo_revenue_share", "top_supplier", "parts_never_ordered",
+             "small_qty_revenue", "large_quantity_orders",
+             "discounted_bulk_revenue", "dominant_part_suppliers",
+             "waiting_suppliers", "rich_inactive_customers")
+    total = 0.0
+    for name in sweep:
+        t0 = time.time()
+        queries[name](spark, scratch).write.format("noop").mode(
+            "overwrite").save()
+        dt = time.time() - t0
+        total += dt
+        print(f"{name} at {k}x: {dt:.2f}s")
+    print(f"decision-support sweep total at {k}x: {total:.1f}s "
+          f"({len(sweep)} queries)")
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
 def probe_skew(spark, sf_dir: str, k: int = 8) -> None:
     """Measure the three answers to a pathological hot key on a big-big
     join: (a) plain sort-merge with AQE skew-join splitting ON (the
@@ -227,6 +275,9 @@ def main() -> None:
         return
     if "--skew" in sys.argv:
         probe_skew(spark, sf_dir, k)
+        return
+    if "--tpch" in sys.argv:
+        probe_tpch(spark, sf_dir, k)
         return
 
     span = 100_000_000
