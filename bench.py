@@ -89,6 +89,7 @@ HEADLINE = [
     "events_gapfill",
     "events_asof_attribution",
     "sketch_profile",
+    "doc_train_split",
 ]
 
 

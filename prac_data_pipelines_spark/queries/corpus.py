@@ -641,3 +641,59 @@ ORDER BY frac_duplicada DESC, doc_id ASC LIMIT 80
 """
 
 register("doc_passage_dedup", q_doc_passage_dedup, SQL_DOC_PASSAGE_DEDUP)
+
+
+# --------------------------------------------------------------------------
+# doc_train_split — deterministic train/val/test assignment: each document
+# hashes (content-keyed, salted) into [0, 1) and the split is a pure
+# function of that value — stable across runs, engines, partitionings,
+# and corpus growth (a doc never migrates between splits when OTHER docs
+# are added/removed, which fraction-based splitting cannot promise; this
+# is the leak-proofness property evaluation depends on). Content-keyed
+# (not id-keyed) so exact duplicates land in the SAME split and can never
+# straddle the train/test boundary. Per-row hash, zero shuffles except
+# the per-(source, split) rollup. The md5-prefix hash is the engine's
+# established portable-hash convention (queries/text.py _h).
+# --------------------------------------------------------------------------
+
+SPLIT_SALT = "split-v1"
+SPLIT_VAL = 0.05
+SPLIT_TEST = 0.05
+_SPLIT_DEN = float(1 << 28)  # 28-bit hash → [0, 1)
+
+_SPLIT_H = ("cast(conv(substring(md5(concat(text, '" + SPLIT_SALT
+            + "')), 1, 7), 16, 10) as bigint)")
+_SQL_SPLIT_H = ("('0x' || substr(md5(text || '" + SPLIT_SALT
+                + "'), 1, 7))::BIGINT")
+
+
+def q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    u = F.expr(_SPLIT_H) / F.lit(_SPLIT_DEN)
+    split = (F.when(u < SPLIT_TEST, "test")
+             .when(u < SPLIT_TEST + SPLIT_VAL, "val")
+             .otherwise("train"))
+    return (
+        docs.withColumn("division", split)
+        .groupBy("source", "division")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs"),
+             F.sum(F.length("text")).cast("long").alias("chars"))
+        .orderBy("source", "division")
+    )
+
+
+SQL_DOC_TRAIN_SPLIT = f"""
+WITH assigned AS (
+  SELECT source, text,
+         CASE WHEN {_SQL_SPLIT_H} / {_SPLIT_DEN} < {SPLIT_TEST} THEN 'test'
+              WHEN {_SQL_SPLIT_H} / {_SPLIT_DEN} < {SPLIT_TEST + SPLIT_VAL}
+                THEN 'val'
+              ELSE 'train' END AS division
+  FROM documents
+)
+SELECT source, division, count(*)::BIGINT AS docs,
+       sum(length(text))::BIGINT AS chars
+FROM assigned GROUP BY source, division ORDER BY source, division
+"""
+
+register("doc_train_split", q_doc_train_split, SQL_DOC_TRAIN_SPLIT)
