@@ -1,6 +1,9 @@
 """Local correctness harness — a mirror of the driver's CORRECTNESS gate.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [sf_dir] [query ...] [--head=N]
+
+--head=N checks only the first N queries in priority order — the exact
+slice the driver's ~50-row gate budget will cover next round.
 """
 
 from __future__ import annotations
@@ -16,12 +19,17 @@ from prac_data_pipelines_spark.testing import compare_frames, duck_connect  # no
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    head = next((int(a.split("=", 1)[1]) for a in sys.argv[1:]
+                 if a.startswith("--head=")), None)
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
     spark = get_spark("oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(sf_dir)
     queries, oracles = all_queries(), all_oracles()
+    if head is not None:
+        queries = dict(list(queries.items())[:head])
     failures = 0
     checked = 0
     for name, fn in queries.items():
