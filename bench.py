@@ -90,6 +90,10 @@ HEADLINE = [
     "events_asof_attribution",
     "sketch_profile",
     "doc_train_split",
+    # Round-4 third batch: the temporal-join family (bucketed range join
+    # and its range-frame window twin).
+    "events_conversion_pairs",
+    "events_conversion_window",
 ]
 
 

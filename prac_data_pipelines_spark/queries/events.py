@@ -544,3 +544,120 @@ ORDER BY compra_id
 
 register("events_asof_attribution", q_events_asof_attribution,
          SQL_EVENTS_ASOF_ATTRIBUTION)
+
+
+# --------------------------------------------------------------------------
+# events_conversion_pairs — bounded-interval (range) join: EVERY purchase a
+# user makes within 30 minutes after each click, as (click, purchase)
+# pairs. Complements events_asof_attribution (which keeps only the most
+# recent prior click): this is the "all matches in window" member of the
+# temporal-join family, and it uses operators/rangejoin.bucketed_range_join
+# — an equi-join on (user, time-bucket) with probe-side duplication <= 2,
+# never a hot-key quadratic pair filter. Window bounds: strictly after the
+# click, at most 30 min later.
+# --------------------------------------------------------------------------
+
+CONVERSION_WINDOW_SEC = 30 * 60
+
+
+def q_events_conversion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      epoch_sec("ts").alias("_cs")))
+    compras = (ev.filter(F.col("event_type") == "purchase")
+               .select(F.col("event_id").alias("compra_id"),
+                       F.col("user_id"), F.col("value"),
+                       epoch_sec("ts").alias("_ps")))
+    pares = bucketed_range_join(clicks, compras, "user_id",
+                                "_cs", "_ps", 0, CONVERSION_WINDOW_SEC)
+    return (
+        pares.filter(F.col("_ps") > F.col("_cs"))  # strictly after the click
+        .select(F.col("click_id").cast("long").alias("click_id"),
+                F.col("compra_id").cast("long").alias("compra_id"),
+                F.col("user_id").cast("long").alias("user_id"),
+                (F.col("_ps") - F.col("_cs")).cast("long").alias("retraso_seg"),
+                r2(F.col("value")).alias("monto"))
+        .orderBy("click_id", "compra_id")
+    )
+
+
+SQL_EVENTS_CONVERSION_PAIRS = f"""
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) // 1000000 AS cs
+  FROM events WHERE event_type = 'click'
+), compras AS (
+  SELECT event_id AS compra_id, user_id, value, epoch_us(ts) // 1000000 AS ps
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.click_id::BIGINT AS click_id, p.compra_id::BIGINT AS compra_id,
+       c.user_id::BIGINT AS user_id,
+       (p.ps - c.cs)::BIGINT AS retraso_seg,
+       floor(p.value * 100 + 0.5) / 100 AS monto
+FROM clicks c JOIN compras p
+  ON c.user_id = p.user_id
+ AND p.ps > c.cs AND p.ps <= c.cs + {CONVERSION_WINDOW_SEC}
+ORDER BY click_id, compra_id
+"""
+
+register("events_conversion_pairs", q_events_conversion_pairs,
+         SQL_EVENTS_CONVERSION_PAIRS)
+
+
+# --------------------------------------------------------------------------
+# events_conversion_window — the aggregate twin of the pair query: per
+# click, HOW MANY purchases landed in the following 30 minutes and their
+# total value. Implemented as ONE per-user RANGE-frame window over the
+# type-filtered union (frame = [current+1s, current+1800s] by epoch
+# seconds) — a single keyed shuffle, no join at all: for same-table
+# window aggregation the range frame beats any join strategy because the
+# candidate scan is the frame itself. Ranked windows elsewhere use ROWS
+# frames; this is the engine's RANGE-frame member.
+# --------------------------------------------------------------------------
+
+def q_events_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("click", "purchase"))
+          .select("event_id", "user_id", "event_type", "value",
+                  epoch_sec("ts").alias("_sec")))
+    w = (Window.partitionBy("user_id").orderBy(F.col("_sec").asc())
+         .rangeBetween(1, CONVERSION_WINDOW_SEC))
+    es_compra = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return (
+        ev.withColumn("n_compras",
+                      F.count(es_compra).over(w).cast("long"))
+        .withColumn("valor_compras", r2(F.coalesce(F.sum(es_compra).over(w),
+                                                   F.lit(0.0))))
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").cast("long").alias("click_id"),
+                F.col("user_id").cast("long").alias("user_id"),
+                "n_compras", "valor_compras")
+        .orderBy("click_id")
+    )
+
+
+SQL_EVENTS_CONVERSION_WINDOW = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value,
+         epoch_us(ts) // 1000000 AS sec
+  FROM events WHERE event_type IN ('click', 'purchase')
+), marcado AS (
+  SELECT event_id, user_id, event_type,
+         count(CASE WHEN event_type = 'purchase' THEN value END)
+           OVER w::BIGINT AS n_compras,
+         floor(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END)
+                          OVER w, 0) * 100 + 0.5) / 100 AS valor_compras
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN 1 FOLLOWING AND {CONVERSION_WINDOW_SEC} FOLLOWING)
+)
+SELECT event_id::BIGINT AS click_id, user_id::BIGINT AS user_id,
+       n_compras, valor_compras
+FROM marcado WHERE event_type = 'click'
+ORDER BY click_id
+"""
+
+register("events_conversion_window", q_events_conversion_window,
+         SQL_EVENTS_CONVERSION_WINDOW)

@@ -113,3 +113,42 @@ def test_running_balance_partition_invariant(spark, rows, parts):
     b = running_balance(df.coalesce(1), ["k"], order, F.col("value"),
                         out_col="bal").select("event_id", "bal")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# range join: pairs across two small frames; seconds may be negative
+# (bucket floor-division must round toward -inf, not 0)
+_left_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-200, 1000)),
+    min_size=1, max_size=40)
+_right_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-200, 1000)),
+    min_size=1, max_size=40)
+
+
+@given(left=_left_rows, right=_right_rows,
+       lower=st.integers(-120, 60), width=st.integers(1, 150))
+@settings(**SETTINGS)
+def test_bucketed_range_join_equals_naive(spark, left, right, lower, width):
+    """The (key, time-bucket) range join with <=2-bucket probe duplication
+    must produce EXACTLY the pairs of the naive equi-join + range filter —
+    for every window placement (past-only, straddling, future-only),
+    negative timestamps, bucket-edge ties, and hot keys included."""
+    from prac_data_pipelines_spark.operators.rangejoin import (
+        bucketed_range_join,
+        naive_range_join,
+    )
+
+    upper = lower + width
+    ldf = spark.createDataFrame(
+        [(i, k, s) for i, (k, s) in enumerate(left)],
+        "lid long, k long, lsec long")
+    rdf = spark.createDataFrame(
+        [(i, k, s) for i, (k, s) in enumerate(right)],
+        "rid long, k long, rsec long")
+
+    def pairs(df):
+        return sorted((r.lid, r.rid) for r in df.select("lid", "rid").collect())
+
+    got = pairs(bucketed_range_join(ldf, rdf, "k", "lsec", "rsec", lower, upper))
+    want = pairs(naive_range_join(ldf, rdf, "k", "lsec", "rsec", lower, upper))
+    assert got == want

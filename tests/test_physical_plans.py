@@ -225,3 +225,28 @@ def test_doc_repetition_no_gram_shuffle(spark, sf_dir):
     plan = _plan(q_doc_repetition(spark, sf_dir))
     assert "Generate" not in plan  # no explode
     assert plan.count("Exchange") <= 2
+
+
+def test_conversion_pairs_is_bucketed_equi_join(spark, sf_dir):
+    """The range join must plan as a shuffled EQUI-join on (user, time
+    bucket) — never a nested-loop/cartesian pair filter, and never a
+    per-key join whose tasks do quadratic hot-key work without the
+    time-bucket in the shuffle key."""
+    from prac_data_pipelines_spark.queries.events import q_events_conversion_pairs
+
+    plan = _plan(q_events_conversion_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    join_line = next(l for l in plan.splitlines()
+                     if "Join" in l and "user_id" in l)
+    assert "_bkt" in join_line
+
+
+def test_conversion_window_single_keyed_shuffle(spark, sf_dir):
+    """The aggregate twin is ONE per-user range-frame window: exactly one
+    keyed exchange over the type-filtered projection, no join."""
+    from prac_data_pipelines_spark.queries.events import q_events_conversion_window
+
+    plan = _plan(q_events_conversion_window(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -256,6 +256,48 @@ def probe_skew(spark, sf_dir: str, k: int = 8) -> None:
     shutil.rmtree(scratch, ignore_errors=True)
 
 
+def probe_range_join(spark, sf_dir: str, k: int = 8) -> None:
+    """Measure the bucketed range join against the naive key-join + range
+    filter on a pathological hot key: replicate events k x and point 40%
+    of rows at ONE user. The naive form pairs every (click, purchase) of
+    the hot user before filtering (quadratic in their history inside one
+    task); the bucketed form's shuffle key carries the time bucket, so
+    the hot user's candidate pairs are bounded per (bucket) and spread
+    across tasks."""
+    import shutil
+    import tempfile
+
+    from prac_data_pipelines_spark.operators.rangejoin import (
+        bucketed_range_join,
+        naive_range_join,
+    )
+    from prac_data_pipelines_spark.operators.timeops import epoch_sec
+    from prac_data_pipelines_spark.queries.events import CONVERSION_WINDOW_SEC
+
+    ev = replicate(load_table(spark, sf_dir, "events"),
+                   ["event_id", "user_id"], k, 100_000_000)
+    hot = F.when(F.rand(7) < 0.4, F.lit(1)).otherwise(F.col("user_id"))
+    scratch = tempfile.mkdtemp(prefix="scale_probe_rj_")
+    (ev.withColumn("user_id", hot)
+       .write.mode("overwrite").parquet(f"{scratch}/events"))
+    evr = spark.read.parquet(f"{scratch}/events")
+    n = evr.count()
+    print(f"range-join probe: {n:,} events, 40% on ONE user (k={k})")
+    clicks = (evr.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      epoch_sec("ts").alias("_cs")))
+    compras = (evr.filter(F.col("event_type") == "purchase")
+               .select(F.col("event_id").alias("compra_id"), "user_id",
+                       epoch_sec("ts").alias("_ps")))
+    for tag, fn in (("naive key-join + filter", naive_range_join),
+                    ("bucketed (user, time-bucket)", bucketed_range_join)):
+        t0 = time.time()
+        cnt = fn(clicks, compras, "user_id", "_cs", "_ps",
+                 0, CONVERSION_WINDOW_SEC).count()
+        print(f"  {tag}: {time.time() - t0:.2f}s ({cnt:,} pairs)")
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     k = int(args[0]) if args else 8
@@ -275,6 +317,9 @@ def main() -> None:
         return
     if "--skew" in sys.argv:
         probe_skew(spark, sf_dir, k)
+        return
+    if "--rangejoin" in sys.argv:
+        probe_range_join(spark, sf_dir, k)
         return
     if "--tpch" in sys.argv:
         probe_tpch(spark, sf_dir, k)
