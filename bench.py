@@ -94,6 +94,7 @@ HEADLINE = [
     # and its range-frame window twin).
     "events_conversion_pairs",
     "events_conversion_window",
+    "doc_chunks",
 ]
 
 

@@ -972,3 +972,60 @@ ORDER BY d1, d2
 """
 
 register("doc_simhash_pairs", q_doc_simhash_pairs, SQL_DOC_SIMHASH_PAIRS)
+
+
+# --------------------------------------------------------------------------
+# doc_chunks — overlapping word-window chunking (RAG / context-packing
+# prep): each document split into CHUNK_WORDS-word windows advancing by
+# CHUNK_STRIDE words (the overlap preserves context across boundaries),
+# each chunk carrying its provenance (doc, start offset, length) and a
+# content fingerprint for chunk-level dedup downstream. Embarrassingly
+# parallel — sequence+explode+slice per row, no shuffle until the output
+# sort; fan-out is n_words/stride per doc, bounded by document length.
+# --------------------------------------------------------------------------
+
+CHUNK_WORDS = 64
+CHUNK_STRIDE = 48
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    chunked = docs.selectExpr(
+        "doc_id", "source",
+        f"size({WORDS}) AS _n",
+        f"posexplode(transform(sequence(0, size({WORDS}) - 1, {CHUNK_STRIDE}), "
+        f"s -> concat_ws(' ', slice({WORDS}, s + 1, {CHUNK_WORDS})))) "
+        f"AS (chunk_idx, _texto)")
+    return (
+        chunked.selectExpr(
+            "cast(doc_id as bigint) AS doc_id",
+            "source",
+            "cast(chunk_idx as bigint) AS chunk_idx",
+            f"cast(chunk_idx * {CHUNK_STRIDE} as bigint) AS desde_palabra",
+            f"cast(least({CHUNK_WORDS}, _n - chunk_idx * {CHUNK_STRIDE}) "
+            f"as bigint) AS n_palabras",
+            f"{_h('_texto')} AS huella")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH w AS (
+  SELECT doc_id, source, {SQL_WORDS} AS palabras, len({SQL_WORDS}) AS n
+  FROM documents
+), chunked AS (
+  SELECT doc_id, source, s.s AS desde, n,
+         array_to_string(list_slice(palabras, s.s + 1, s.s + {CHUNK_WORDS}), ' ')
+           AS texto
+  FROM w CROSS JOIN LATERAL (SELECT unnest(range(0, n, {CHUNK_STRIDE})) AS s) s
+)
+SELECT doc_id::BIGINT AS doc_id, source,
+       (desde / {CHUNK_STRIDE})::BIGINT AS chunk_idx,
+       desde::BIGINT AS desde_palabra,
+       least({CHUNK_WORDS}, n - desde)::BIGINT AS n_palabras,
+       {_sql_h('texto')} AS huella
+FROM chunked
+ORDER BY doc_id, chunk_idx
+"""
+
+register("doc_chunks", q_doc_chunks, SQL_DOC_CHUNKS)

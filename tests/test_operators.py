@@ -156,3 +156,32 @@ def test_events_rolling_sharded_equals_events_rolling(spark, sf_dir):
     plain = q_events_rolling(spark, sf_dir).collect()
     sharded = q_events_rolling_sharded(spark, sf_dir).collect()
     assert [tuple(r) for r in plain] == [tuple(r) for r in sharded]
+
+
+def test_doc_chunks_cover_every_word_with_stride_overlap(spark, sf_dir):
+    """Chunk invariants over the real corpus: chunks start at exact stride
+    multiples, every word of every document falls in some chunk, only the
+    final chunk may be short, and (doc, chunk_idx) is dense from 0."""
+    from prac_data_pipelines_spark.queries.text import (
+        CHUNK_STRIDE,
+        CHUNK_WORDS,
+        q_doc_chunks,
+    )
+
+    rows = q_doc_chunks(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n_words = chunks[-1]["desde_palabra"] + chunks[-1]["n_palabras"]
+        for i, c in enumerate(chunks):
+            assert c["chunk_idx"] == i
+            assert c["desde_palabra"] == i * CHUNK_STRIDE
+            want = min(CHUNK_WORDS, n_words - i * CHUNK_STRIDE)
+            assert c["n_palabras"] == want, (doc_id, i)
+        # coverage: next chunk starts before the previous one ends
+        for prev, nxt in zip(chunks, chunks[1:]):
+            assert nxt["desde_palabra"] < (prev["desde_palabra"]
+                                           + prev["n_palabras"])
