@@ -231,16 +231,24 @@ KMEANS_ITERS = 3
 
 
 def _assign_to(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment by cosine (ties -> lowest centroid id)."""
-    scored = (
-        emb.crossJoin(broadcast(centroids))
-        .selectExpr("vec_id", "embedding", "centroid_id",
-                    f"{cosine_expr('embedding', 'ce')} AS _sim")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("_sim").desc(),
-                                             F.col("centroid_id").asc())
-    return (scored.withColumn("_rn", F.row_number().over(w))
-            .filter("_rn = 1").select("vec_id", "embedding", "centroid_id"))
+    """Nearest-centroid assignment by cosine (ties -> lowest centroid id).
+
+    Shuffle-free: the k centroids collapse into ONE broadcast row holding
+    a sorted struct array, and the per-vector argmax is an array fold —
+    ``array_max`` over (sim, -centroid_id) structs, whose lexicographic
+    order makes ties resolve to the LOWEST id, matching the previous
+    row_number tie rule. The earlier form shuffled the whole scored
+    (n x k) frame through a per-vec_id row_number window on EVERY Lloyd
+    iteration; assignment now costs zero exchanges, so an iteration pays
+    only the recenter aggregation."""
+    packed = centroids.agg(F.expr(
+        "sort_array(collect_list(struct(centroid_id, ce))) AS _cents"))
+    best = (f"array_max(transform(_cents, c -> "
+            f"struct({cosine_expr('embedding', 'c.ce')} AS s, "
+            f"-c.centroid_id AS nid)))")
+    return (emb.crossJoin(broadcast(packed))
+            .selectExpr("vec_id", "embedding",
+                        f"cast(-({best}.nid) as bigint) AS centroid_id"))
 
 
 def _recenter(assigned: DataFrame) -> DataFrame:
