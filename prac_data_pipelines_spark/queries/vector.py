@@ -557,18 +557,25 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = max(SEM_K_MIN, union.count() // SEM_TARGET)
     centroids = (emb.filter(F.col("vec_id") < k)
                  .selectExpr("vec_id AS centroid_id", "embedding AS ce"))
-    scored = (
-        union.crossJoin(broadcast(centroids))
-        .selectExpr("vec_id", "embedding", "centroid_id",
-                    f"{cosine_expr('embedding', 'ce')} AS _sim"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("_sim").desc(), F.col("centroid_id").asc())
+    # Assignment is the same shuffle-free broadcast fold as _assign_to
+    # (argmax via array_max over (sim, -id) structs — ties to the lowest
+    # centroid id, identical to the oracle's row_number tie rule). The
+    # explode-of-one barrier pins the fold to a single evaluation:
+    # projection collapse would otherwise inline it once per extracted
+    # field, re-running every cosine in the fold per field.
+    packed = centroids.agg(F.expr(
+        "sort_array(collect_list(struct(centroid_id, ce))) AS _cents"))
+    best = (f"array_max(transform(_cents, c -> "
+            f"struct({cosine_expr('embedding', 'c.ce')} AS s, "
+            f"-c.centroid_id AS nid)))")
     w_cluster = Window.partitionBy("centroid_id")
     assigned = (
-        scored.withColumn("_rn", F.row_number().over(w_assign))
-        .filter("_rn = 1")
-        .select("vec_id", "embedding", "centroid_id",
-                r6(F.col("_sim")).alias("_ccos"))
+        union.crossJoin(broadcast(packed))
+        .select("vec_id", "embedding",
+                F.explode(F.array(F.expr(best))).alias("_best"))
+        .select("vec_id", "embedding",
+                (-F.col("_best.nid")).cast("long").alias("centroid_id"),
+                r6(F.col("_best.s")).alias("_ccos"))
         .withColumn("_n", F.count(F.lit(1)).over(w_cluster))
         .filter(F.col("_n") <= MAX_CLUSTER_VECS).drop("_n")
         .cache())
