@@ -95,6 +95,7 @@ HEADLINE = [
     "events_conversion_pairs",
     "events_conversion_window",
     "doc_chunks",
+    "events_hopping",
 ]
 
 

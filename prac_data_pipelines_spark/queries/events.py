@@ -661,3 +661,54 @@ ORDER BY click_id
 
 register("events_conversion_window", q_events_conversion_window,
          SQL_EVENTS_CONVERSION_WINDOW)
+
+
+# --------------------------------------------------------------------------
+# events_hopping — hopping (sliding) window rollup: 1-hour windows
+# advancing every 15 minutes, so each event contributes to 4 overlapping
+# windows. Completes the window-type family (tumbling events_hourly,
+# session events_sessionize, range events_rolling, grid events_gapfill).
+# Spark's F.window(slide) plans this as a 4-way Expand feeding ONE keyed
+# partial-aggregated shuffle — the same shape Structured Streaming uses
+# for its hopping-window state, so the batch form is the streaming twin's
+# oracle. The fan-out factor is window/slide (4), fixed at any scale.
+# --------------------------------------------------------------------------
+
+HOP_WINDOW_MIN = 60
+HOP_SLIDE_MIN = 15
+
+
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", f"{HOP_WINDOW_MIN} minutes", f"{HOP_SLIDE_MIN} minutes")
+    return (
+        ev.groupBy(win.start.alias("inicio"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_eventos"),
+             r2(F.sum("value")).alias("valor_total"))
+        .select(F.date_format("inicio", "yyyy-MM-dd HH:mm:ss").alias("inicio"),
+                "event_type", "n_eventos", "valor_total")
+        .orderBy("inicio", "event_type")
+    )
+
+
+# DuckDB twin: each event explodes into the window/slide = 4 window starts
+# that contain it — start = slide-aligned marks in (sec - window, sec].
+SQL_EVENTS_HOPPING = f"""
+WITH ev AS (
+  SELECT event_type, value, epoch_us(ts) // 1000000 AS sec FROM events
+), hopped AS (
+  SELECT event_type, value,
+         unnest(range((sec - {HOP_WINDOW_MIN * 60}) // {HOP_SLIDE_MIN * 60} + 1,
+                      sec // {HOP_SLIDE_MIN * 60} + 1)) * {HOP_SLIDE_MIN * 60}
+           AS inicio_sec
+  FROM ev
+)
+SELECT strftime(to_timestamp(inicio_sec), '%Y-%m-%d %H:%M:%S') AS inicio,
+       event_type,
+       count(*)::BIGINT AS n_eventos,
+       floor(sum(value) * 100 + 0.5) / 100 AS valor_total
+FROM hopped
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+register("events_hopping", q_events_hopping, SQL_EVENTS_HOPPING)

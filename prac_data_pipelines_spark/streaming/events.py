@@ -180,3 +180,19 @@ def run_to_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def stream_hopping_rollup(events: DataFrame) -> DataFrame:
+    """Hopping-window (1 h window / 15 min slide) incremental rollup — the
+    streaming twin of ``queries.events.q_events_hopping``. Each event lands
+    in window/slide = 4 state rows; the watermark bounds how long any
+    window stays open."""
+    win = F.window("ts", "60 minutes", "15 minutes")
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(win, "event_type")
+        .agg(F.count(F.lit(1)).alias("n_eventos"),
+             F.sum("value").alias("valor_total"))
+        .select(F.col("window.start").alias("inicio"),
+                "event_type", "n_eventos", "valor_total")
+    )

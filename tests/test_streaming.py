@@ -164,3 +164,25 @@ def test_stream_static_enrichment_matches_batch(spark, stream_dir, sf_dir):
         for r in q_events_segment_value(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_hopping_matches_batch(spark, stream_dir, sf_dir):
+    from prac_data_pipelines_spark.queries.events import q_events_hopping
+    from prac_data_pipelines_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+        stream_hopping_rollup,
+    )
+
+    stream = stream_hopping_rollup(read_event_stream(spark, stream_dir))
+    run_to_memory(stream, "hopping_test", output_mode="complete")
+    got = {
+        (r["inicio"].strftime("%Y-%m-%d %H:%M:%S"), r["event_type"]):
+            (r["n_eventos"], round(r["valor_total"], 2))
+        for r in spark.table("hopping_test").collect()
+    }
+    want = {
+        (r["inicio"], r["event_type"]): (r["n_eventos"], round(r["valor_total"], 2))
+        for r in q_events_hopping(spark, sf_dir).collect()
+    }
+    assert got == want
