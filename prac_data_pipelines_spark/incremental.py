@@ -1,0 +1,110 @@
+"""Incremental near-duplicate state: dedup a NEW batch of documents against
+an already-ingested corpus WITHOUT re-processing the corpus.
+
+The batch queries (``queries/text.py``) re-derive MinHash signatures from
+text on every run — right for one-shot jobs, wrong for a pipeline that
+ingests daily increments into a 100 TB corpus: tokenize+hash of the whole
+history would dominate every run. This module persists the signature/band
+state once per document, ever:
+
+    <state_dir>/bands/bkt=<i>/   (doc_id, banda, sigs) parquet,
+                                 directory-partitioned by a 64-way hash
+                                 bucket of the band key
+
+Per increment, work is proportional to the BATCH plus the state rows in
+touched buckets: the new side is banded from its own text only, the old
+side is read with a ``bkt IN (...)`` partition filter (tiny batches touch
+few buckets and prune the rest at the filesystem level), and the candidate
+join is the same banded-LSH equi-join as the batch operator — never
+all-pairs, never a corpus re-scan of text.
+
+Drop rule (same convention as ``q_doc_curation``'s loser set): a new doc
+is dropped when it matches an EXISTING doc at/above the threshold, or when
+it is the higher-id side of a new-x-new match. Dropped docs do NOT enter
+the state — duplicates never pollute later probes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.rounding import r4
+from .queries.text import MINHASH_K, N_BANDS, minhash_signatures
+
+N_STATE_BUCKETS = 64
+DEFAULT_THRESHOLD = 0.5
+
+_BAND_EXPR = (
+    f"explode(transform(sequence(0, {N_BANDS - 1}), b -> "
+    f"concat(b, ':', element_at(sigs, 2*b+1), ':', element_at(sigs, 2*b+2)))) "
+    f"AS banda")
+
+
+def _bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, banda, sigs, bkt) for a document frame with a text column."""
+    return (minhash_signatures(docs)
+            .selectExpr("doc_id", "sigs", _BAND_EXPR)
+            .withColumn("bkt", F.pmod(F.hash("banda"),
+                                      F.lit(N_STATE_BUCKETS))))
+
+
+def init_dedup_state(docs: DataFrame, state_dir: str) -> None:
+    """Build the signature/band state from an initial corpus."""
+    (_bands(docs).write.mode("overwrite").partitionBy("bkt")
+     .parquet(f"{state_dir}/bands"))
+
+
+def incremental_dedup(spark: SparkSession, new_docs: DataFrame,
+                      state_dir: str,
+                      threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
+    """Keep/drop verdict for every doc in ``new_docs`` against the state
+    (and the batch itself), appending the kept docs' bands to the state.
+
+    Returns (doc_id, mantener, dup_de): ``dup_de`` is the lowest-id match
+    (existing corpus or lower-id batch doc) for dropped docs, null for
+    kept. New doc_ids must not collide with state doc_ids — use
+    content-hash or monotonic ids upstream (``ingest_text_dir`` does).
+    """
+    new_bands = _bands(new_docs).cache()
+    # driver-side literal IN over <=64 bucket ids -> static partition
+    # pruning on the state scan; the collect is bucket-cardinality, never
+    # data-sized.
+    touched = sorted({r["bkt"] for r in
+                      new_bands.select("bkt").distinct().collect()})
+    old_bands = (spark.read.parquet(f"{state_dir}/bands")
+                 .filter(F.col("bkt").isin(touched)))
+
+    est = F.expr(
+        f"size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v)) "
+        f"/ cast({MINHASH_K} as double)")
+
+    def matches(left: DataFrame, right: DataFrame) -> DataFrame:
+        """Above-threshold (d1 <- loser, d2 <- kept-candidate) pairs."""
+        pairs = (left.select(F.col("doc_id").alias("d1"),
+                             F.col("sigs").alias("s1"), "banda")
+                 .join(right.select(F.col("doc_id").alias("d2"),
+                                    F.col("sigs").alias("s2"), "banda"),
+                       "banda")
+                 .filter(F.col("d1") != F.col("d2")))
+        return (pairs.select("d1", "d2", r4(est).alias("je"))
+                .filter(F.col("je") >= threshold)
+                .select("d1", "d2").dropDuplicates(["d1", "d2"]))
+
+    vs_old = matches(new_bands, old_bands)
+    vs_new = matches(new_bands, new_bands).filter(F.col("d2") < F.col("d1"))
+    losers = (vs_old.unionByName(vs_new)
+              .groupBy(F.col("d1").alias("doc_id"))
+              .agg(F.min("d2").alias("dup_de")))
+    verdict = (new_docs.select("doc_id")
+               .join(losers, "doc_id", "left")
+               .select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.col("dup_de").isNull().alias("mantener"),
+                       F.col("dup_de").cast("long").alias("dup_de"))
+               .cache())
+    kept_bands = new_bands.join(
+        verdict.filter("mantener").select("doc_id"), "doc_id", "left_semi")
+    (kept_bands.write.mode("append").partitionBy("bkt")
+     .parquet(f"{state_dir}/bands"))
+    new_bands.unpersist()
+    return verdict.orderBy("doc_id")

@@ -1,0 +1,88 @@
+"""Incremental near-dup state: per-increment verdicts against the
+persisted corpus state, append-only growth, and bucket-pruned probes."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def state_dir():
+    d = tempfile.mkdtemp(prefix="dedup_state_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = [
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "completely different content about distributed query engines at scale"),
+    (3, "a third document whose words overlap with nothing else in the corpus"),
+]
+
+
+def test_incremental_dedup_verdicts_and_state_growth(spark, state_dir):
+    from prac_data_pipelines_spark.incremental import (
+        N_BANDS,
+        incremental_dedup,
+        init_dedup_state,
+    )
+
+    init_dedup_state(_docs(spark, BASE), state_dir)
+    batch = _docs(spark, [
+        (10, BASE[0][1]),        # clone of existing doc 1 -> dropped
+        (11, "entirely novel text that matches no prior document at all ok"),
+        (12, "entirely novel text that matches no prior document at all ok"),
+        # 12 duplicates 11 within the batch -> lower id wins
+    ])
+    got = {r["doc_id"]: (r["mantener"], r["dup_de"])
+           for r in incremental_dedup(spark, batch, state_dir).collect()}
+    assert got == {10: (False, 1), 11: (True, None), 12: (False, 11)}
+
+    # only KEPT docs' bands entered the state: 3 base + 1 kept = 4 docs
+    state = spark.read.parquet(f"{state_dir}/bands")
+    assert state.count() == 4 * N_BANDS
+    assert state.select("doc_id").distinct().count() == 4
+
+    # a later increment sees the previously-kept doc as corpus
+    batch2 = _docs(spark, [(20, batch.collect()[1]["text"])])
+    got2 = incremental_dedup(spark, batch2, state_dir).collect()
+    assert (got2[0]["mantener"], got2[0]["dup_de"]) == (False, 11)
+
+
+def test_incremental_dedup_no_overlap_keeps_all(spark, state_dir):
+    from prac_data_pipelines_spark.incremental import (
+        incremental_dedup,
+        init_dedup_state,
+    )
+
+    init_dedup_state(_docs(spark, BASE), state_dir)
+    batch = _docs(spark, [
+        (30, "fresh corpus member number one with its own vocabulary set"),
+        (31, "another fresh member speaking about completely separate topics"),
+    ])
+    out = incremental_dedup(spark, batch, state_dir)
+    assert [r["mantener"] for r in out.collect()] == [True, True]
+
+
+def test_probe_prunes_state_partitions(spark, state_dir):
+    """The old-side scan must carry the bucket partition filter — a small
+    batch reads only the state directories its band keys hash into."""
+    from prac_data_pipelines_spark.incremental import _bands, init_dedup_state
+
+    init_dedup_state(_docs(spark, BASE), state_dir)
+    one = _bands(_docs(spark, [(40, BASE[0][1])]))
+    touched = sorted({r["bkt"] for r in one.select("bkt").distinct().collect()})
+    probe = (spark.read.parquet(f"{state_dir}/bands")
+             .filter(F.col("bkt").isin(touched)))
+    import re
+
+    explained = probe._jdf.queryExecution().toString()
+    assert re.search(r"PartitionFilters: \[bkt#\d+ IN \(", explained)
