@@ -168,6 +168,11 @@ def main() -> int:
     ap.add_argument("--ingest-text", metavar="DIR", default=None,
                     help="ingest a raw text directory as the corpus "
                          "(one doc per file) instead of --sf-dir")
+    ap.add_argument("--dedup-state", metavar="DIR", default=None,
+                    help="incremental mode: near-dup the documents against "
+                         "this persisted state (bootstrapped on first run), "
+                         "keep only novel docs for curation, and fold their "
+                         "signatures into the state")
     args = ap.parse_args()
     spark = get_spark("corpus_pipeline")
     sf_dir = args.sf_dir
@@ -176,6 +181,24 @@ def main() -> int:
         sf_dir = ingest_text_dir(spark, args.ingest_text,
                                  f"{args.out}/ingested")
         build_index = False  # a raw text corpus has no embeddings table
+    if args.dedup_state:
+        from .incremental import incremental_dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        verdicts = incremental_dedup(
+            spark, docs.select("doc_id", "text"), args.dedup_state)
+        verdicts.write.mode("overwrite").parquet(
+            f"{args.out}/incremental_verdicts")
+        kept_dir = f"{args.out}/kept"
+        os.makedirs(kept_dir, exist_ok=True)
+        (docs.join(verdicts.filter("mantener").select("doc_id"),
+                   "doc_id", "left_semi")
+         .write.mode("overwrite").parquet(f"{kept_dir}/documents.parquet"))
+        n_in, n_kept = docs.count(), spark.read.parquet(
+            f"{kept_dir}/documents.parquet").count()
+        print(f"incremental dedup: {n_in} docs in, {n_kept} novel kept")
+        sf_dir = kept_dir
+        build_index = False
     views = curate(spark, sf_dir, args.min_quality)
     export(spark, views, args.out, sf_dir, build_index=build_index)
     n = spark.read.parquet(f"{args.out}/curado").count()

@@ -66,23 +66,36 @@ def incremental_dedup(spark: SparkSession, new_docs: DataFrame,
     kept. New doc_ids must not collide with state doc_ids — use
     content-hash or monotonic ids upstream (``ingest_text_dir`` does).
     """
+    import os
+
     new_bands = _bands(new_docs).cache()
-    # driver-side literal IN over <=64 bucket ids -> static partition
-    # pruning on the state scan; the collect is bucket-cardinality, never
-    # data-sized.
-    touched = sorted({r["bkt"] for r in
-                      new_bands.select("bkt").distinct().collect()})
-    old_bands = (spark.read.parquet(f"{state_dir}/bands")
-                 .filter(F.col("bkt").isin(touched)))
+    if os.path.isdir(f"{state_dir}/bands"):
+        # driver-side literal IN over <=64 bucket ids -> static partition
+        # pruning on the state scan; the collect is bucket-cardinality,
+        # never data-sized.
+        touched = sorted({r["bkt"] for r in
+                          new_bands.select("bkt").distinct().collect()})
+        old_bands = (spark.read.parquet(f"{state_dir}/bands")
+                     .filter(F.col("bkt").isin(touched)))
+    else:
+        # first increment bootstraps the state: no old side, the batch
+        # dedups against itself only
+        old_bands = new_bands.limit(0)
 
     est = F.expr(
         f"size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v)) "
         f"/ cast({MINHASH_K} as double)")
 
     def matches(left: DataFrame, right: DataFrame) -> DataFrame:
-        """Above-threshold (d1 <- loser, d2 <- kept-candidate) pairs."""
-        pairs = (left.select(F.col("doc_id").alias("d1"),
-                             F.col("sigs").alias("s1"), "banda")
+        """Above-threshold (d1 <- loser, d2 <- kept-candidate) pairs.
+
+        The batch side (left) is broadcast: the state side then streams
+        map-side through the join — the corpus is never shuffled, so the
+        only state cost per increment is the (bucket-pruned, narrow)
+        band scan. An increment too big to broadcast should be split,
+        not shuffled against the whole state."""
+        pairs = (F.broadcast(left.select(F.col("doc_id").alias("d1"),
+                                         F.col("sigs").alias("s1"), "banda"))
                  .join(right.select(F.col("doc_id").alias("d2"),
                                     F.col("sigs").alias("s2"), "banda"),
                        "banda")

@@ -86,3 +86,40 @@ def test_probe_prunes_state_partitions(spark, state_dir):
 
     explained = probe._jdf.queryExecution().toString()
     assert re.search(r"PartitionFilters: \[bkt#\d+ IN \(", explained)
+
+
+def test_cli_incremental_ingest_two_rounds(spark, tmp_path, monkeypatch):
+    """--ingest-text + --dedup-state across two runs: round 2's repeat of a
+    round-1 file is dropped against the state; the novel file is kept."""
+    import sys
+
+    from prac_data_pipelines_spark import corpus_pipeline
+
+    raw1 = tmp_path / "raw1"
+    raw1.mkdir()
+    (raw1 / "a.txt").write_text(
+        "first corpus file with plenty of words to shingle and sign today")
+    (raw1 / "b.txt").write_text(
+        "second file carrying a completely different vocabulary for banding")
+    raw2 = tmp_path / "raw2"
+    raw2.mkdir()
+    (raw2 / "a_copy.txt").write_text((raw1 / "a.txt").read_text())
+    (raw2 / "c.txt").write_text(
+        "third file that is novel relative to everything ingested before")
+
+    state = str(tmp_path / "state")
+    for i, raw in enumerate((raw1, raw2), 1):
+        out = str(tmp_path / f"out{i}")
+        monkeypatch.setattr(sys, "argv", [
+            "corpus_pipeline", "--ingest-text", str(raw), "--out", out,
+            "--dedup-state", state, "--skip-index"])
+        assert corpus_pipeline.main() == 0
+
+    v2 = spark.read.parquet(str(tmp_path / "out2" / "incremental_verdicts"))
+    rows = {r["doc_id"]: (r["mantener"], r["dup_de"]) for r in v2.collect()}
+    assert len(rows) == 2
+    assert sorted(m for m, _ in rows.values()) == [False, True]
+    kept2 = spark.read.parquet(
+        str(tmp_path / "out2" / "kept" / "documents.parquet"))
+    assert kept2.count() == 1
+    assert spark.read.parquet(str(tmp_path / "out2" / "curado")).count() <= 1

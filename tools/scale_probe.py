@@ -298,6 +298,57 @@ def probe_range_join(spark, sf_dir: str, k: int = 8) -> None:
     shutil.rmtree(scratch, ignore_errors=True)
 
 
+def probe_incremental_dedup(spark, sf_dir: str, k: int = 8) -> None:
+    """Measure the per-increment cost of the persisted dedup state against
+    the status-quo alternative (re-running the batch pair query over the
+    grown corpus). State = documents replicated k x (identical text — the
+    dedup worst case); batch = 250 clones of state docs (must be dropped)
+    + 250 word-reversed docs (3-shingles all differ -> must be kept)."""
+    import shutil
+    import tempfile
+
+    from prac_data_pipelines_spark.incremental import (
+        incremental_dedup,
+        init_dedup_state,
+    )
+    from prac_data_pipelines_spark.queries.text import q_doc_minhash_pairs
+
+    scratch = tempfile.mkdtemp(prefix="scale_probe_inc_")
+    docs = replicate(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        ["doc_id"], k, 100_000_000)
+    docs.write.mode("overwrite").parquet(f"{scratch}/state_docs")
+    state = spark.read.parquet(f"{scratch}/state_docs")
+    n = state.count()
+    t0 = time.time()
+    init_dedup_state(state, f"{scratch}/state")
+    print(f"incremental-dedup probe: state {n:,} docs (k={k}), "
+          f"one-time init {time.time() - t0:.2f}s")
+    clones = (state.orderBy("doc_id").limit(250)
+              .select((F.col("doc_id") + 900_000_000).alias("doc_id"), "text"))
+    fresh = (state.orderBy("doc_id").limit(250)
+             .select((F.col("doc_id") + 950_000_000).alias("doc_id"),
+                     F.expr("concat_ws(' ', reverse(split(trim(text), "
+                            "'\\\\s+')))").alias("text")))
+    batch = clones.unionByName(fresh)
+    batch.write.mode("overwrite").parquet(f"{scratch}/batch_docs")
+    batch = spark.read.parquet(f"{scratch}/batch_docs")
+    t0 = time.time()
+    verdicts = incremental_dedup(spark, batch, f"{scratch}/state").collect()
+    dropped = sum(1 for r in verdicts if not r["mantener"])
+    print(f"  incremental_dedup(500-doc batch): {time.time() - t0:.2f}s "
+          f"({dropped} dropped of {len(verdicts)})")
+    # status quo: the batch pair query over the whole grown corpus
+    (state.unionByName(spark.read.parquet(f"{scratch}/batch_docs"))
+     .withColumn("source", F.lit("s")).withColumn("n_chars", F.length("text"))
+     .write.mode("overwrite").parquet(f"{scratch}/full/documents.parquet"))
+    t0 = time.time()
+    n_pairs = q_doc_minhash_pairs(spark, f"{scratch}/full").count()
+    print(f"  full re-dedup (pair query over {n + 500:,} docs): "
+          f"{time.time() - t0:.2f}s ({n_pairs:,} pairs)")
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     k = int(args[0]) if args else 8
@@ -320,6 +371,9 @@ def main() -> None:
         return
     if "--rangejoin" in sys.argv:
         probe_range_join(spark, sf_dir, k)
+        return
+    if "--incdedup" in sys.argv:
+        probe_incremental_dedup(spark, sf_dir, k)
         return
     if "--tpch" in sys.argv:
         probe_tpch(spark, sf_dir, k)
