@@ -96,6 +96,7 @@ HEADLINE = [
     "events_conversion_window",
     "doc_chunks",
     "events_hopping",
+    "events_transitions",
 ]
 
 

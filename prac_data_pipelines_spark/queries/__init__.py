@@ -45,7 +45,7 @@ _PRIORITY: tuple[str, ...] = (
     "grouping_sets_summary", "sql_lateral_topk", "doc_train_split",
     # Round-4 third batch — the temporal-join family + chunking:
     "events_conversion_pairs", "events_conversion_window", "doc_chunks",
-    "events_hopping",
+    "events_hopping", "events_transitions",
     # Then the remaining queries whose last driver row dates from round 2
     # (round 3's gate covered the r01-era half of the registry; keep every
     # query's driver verdict as fresh as the ~50-row budget allows — the

@@ -712,3 +712,60 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 register("events_hopping", q_events_hopping, SQL_EVENTS_HOPPING)
+
+
+# --------------------------------------------------------------------------
+# events_transitions — session path analysis: how often each event type is
+# followed by each other type WITHIN a session (same 30-min gap rule as
+# events_sessionize). The order-sensitive sequence member of the events
+# family: sessionize (running-sum window) and pair consecutive events
+# (lag) in the SAME per-user ordered pass — one keyed shuffle total, then
+# a tiny (|types|^2-bounded) rollup. Output includes each transition's
+# share of all transitions.
+# --------------------------------------------------------------------------
+
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "event_id", "event_type",
+                  epoch_sec("ts").alias("_sec")))
+    w = Window.partitionBy("user_id").orderBy(F.col("_sec").asc(),
+                                              F.col("event_id").asc())
+    gap = F.col("_sec") - F.lag("_sec").over(w)
+    # a row is a transition target iff it did NOT start a new session:
+    # its predecessor exists and is within the gap — no session ids needed
+    paired = (
+        ev.withColumn("origen", F.lag("event_type").over(w))
+        .withColumn("_gap", gap)
+        .filter(F.col("_gap").isNotNull()
+                & (F.col("_gap") <= SESSION_GAP_MIN * 60)))
+    counts = (paired.groupBy(F.col("origen"),
+                             F.col("event_type").alias("destino"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_transiciones")))
+    total = F.sum("n_transiciones").over(Window.partitionBy())
+    return (counts
+            .select("origen", "destino", "n_transiciones",
+                    r6(F.col("n_transiciones") / total).alias("proporcion"))
+            .orderBy(F.col("n_transiciones").desc(), "origen", "destino"))
+
+
+SQL_EVENTS_TRANSITIONS = f"""
+WITH paired AS (
+  SELECT lag(event_type) OVER w AS origen, event_type AS destino,
+         (epoch_us(ts) // 1000000)
+           - (epoch_us(lag(ts) OVER w) // 1000000) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), counts AS (
+  SELECT origen, destino, count(*)::BIGINT AS n_transiciones
+  FROM paired
+  WHERE gap IS NOT NULL AND gap <= {SESSION_GAP_MIN * 60}
+  GROUP BY origen, destino
+)
+SELECT origen, destino, n_transiciones,
+       floor(n_transiciones / (sum(n_transiciones) OVER ())::DOUBLE
+             * 1000000 + 0.5) / 1000000 AS proporcion
+FROM counts
+ORDER BY n_transiciones DESC, origen, destino
+"""
+
+register("events_transitions", q_events_transitions, SQL_EVENTS_TRANSITIONS)
