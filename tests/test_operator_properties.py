@@ -152,3 +152,50 @@ def test_bucketed_range_join_equals_naive(spark, left, right, lower, width):
     got = pairs(bucketed_range_join(ldf, rdf, "k", "lsec", "rsec", lower, upper))
     want = pairs(naive_range_join(ldf, rdf, "k", "lsec", "rsec", lower, upper))
     assert got == want
+
+
+_texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=300), min_size=1, max_size=8)
+
+
+@given(texts=_texts)
+@settings(**SETTINGS)
+def test_doc_chunks_reconstruct_documents(spark, texts):
+    """Chunk rows must tile every document: sorted chunks start at stride
+    multiples, cover exactly [0, n_words), and only the last is short —
+    for arbitrary whitespace-heavy, empty, and single-word texts."""
+    from prac_data_pipelines_spark.queries.text import (
+        CHUNK_STRIDE,
+        CHUNK_WORDS,
+        q_doc_chunks,
+    )
+
+    rows = [(i, t, "und", "s", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="chunk_prop_")
+    try:
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        out = q_doc_chunks(spark, d).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert set(by_doc) == set(range(len(texts)))  # every doc chunks
+        for doc_id, chunks in by_doc.items():
+            chunks.sort(key=lambda r: r["chunk_idx"])
+            n_words = len(texts[doc_id].strip().split()) or 1  # '' -> ['']
+            assert chunks[0]["desde_palabra"] == 0
+            for i, c in enumerate(chunks):
+                assert c["chunk_idx"] == i
+                assert c["desde_palabra"] == i * CHUNK_STRIDE
+                assert c["n_palabras"] == min(
+                    CHUNK_WORDS, n_words - i * CHUNK_STRIDE)
+            assert (chunks[-1]["desde_palabra"] + chunks[-1]["n_palabras"]
+                    == n_words)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

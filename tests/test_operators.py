@@ -185,3 +185,25 @@ def test_doc_chunks_cover_every_word_with_stride_overlap(spark, sf_dir):
         for prev, nxt in zip(chunks, chunks[1:]):
             assert nxt["desde_palabra"] < (prev["desde_palabra"]
                                            + prev["n_palabras"])
+
+
+def test_conversion_window_consistent_with_pairs(spark, sf_dir):
+    """Internal consistency of the temporal-join family: aggregating the
+    pair query per click must equal the RANGE-frame window query — two
+    independent plans (bucketed join vs window frame), one semantics."""
+    from prac_data_pipelines_spark.queries.events import (
+        q_events_conversion_pairs,
+        q_events_conversion_window,
+    )
+
+    from_pairs = {}
+    for r in q_events_conversion_pairs(spark, sf_dir).collect():
+        n, v = from_pairs.get(r["click_id"], (0, 0.0))
+        from_pairs[r["click_id"]] = (n + 1, round(v + r["monto"], 2))
+    windowed = q_events_conversion_window(spark, sf_dir).collect()
+    assert sum(r["n_compras"] for r in windowed) == sum(
+        n for n, _ in from_pairs.values())
+    for r in windowed:
+        if r["n_compras"]:
+            n, _ = from_pairs[r["click_id"]]
+            assert n == r["n_compras"]
