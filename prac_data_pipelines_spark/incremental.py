@@ -121,3 +121,19 @@ def incremental_dedup(spark: SparkSession, new_docs: DataFrame,
      .parquet(f"{state_dir}/bands"))
     new_bands.unpersist()
     return verdict.orderBy("doc_id")
+
+
+def compact_dedup_state(spark: SparkSession, state_dir: str,
+                        target_file_mb: int = 128) -> dict:
+    """Standing maintenance for the band state: every increment appends up
+    to ``N_STATE_BUCKETS`` small files, so a daily pipeline accretes
+    thousands of KB-files per bucket over time — the probe scan then pays
+    one task per tiny file. Delegates to the lake compactor
+    (``sinks.lake.compact_partitions``: stage + atomic swap, per-bucket
+    rewrite), preserving the ``bkt`` directory layout the probe's
+    partition pruning depends on. Returns before/after file counts."""
+    from .sinks.lake import compact_partitions
+
+    return compact_partitions(spark, f"{state_dir}/bands",
+                              target_file_mb=target_file_mb,
+                              partition_cols=["bkt"])

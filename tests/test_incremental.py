@@ -123,3 +123,32 @@ def test_cli_incremental_ingest_two_rounds(spark, tmp_path, monkeypatch):
         str(tmp_path / "out2" / "kept" / "documents.parquet"))
     assert kept2.count() == 1
     assert spark.read.parquet(str(tmp_path / "out2" / "curado")).count() <= 1
+
+
+def test_compact_dedup_state_preserves_verdicts(spark, state_dir):
+    """Compaction shrinks the accreted file count without changing what
+    the state knows: an identical probe re-run drops the same docs."""
+    from prac_data_pipelines_spark.incremental import (
+        compact_dedup_state,
+        incremental_dedup,
+        init_dedup_state,
+    )
+
+    init_dedup_state(_docs(spark, BASE), state_dir)
+    for i in range(3):
+        incremental_dedup(spark, _docs(spark, [
+            (100 + i, f"increment number {i} bringing fresh words batch "
+                      f"alpha beta gamma delta {i}")]), state_dir)
+    probe = _docs(spark, [(200, BASE[0][1]), (201, "increment number 0 "
+                          "bringing fresh words batch alpha beta gamma "
+                          "delta 0")])
+    before = {r["doc_id"]: (r["mantener"], r["dup_de"]) for r in
+              incremental_dedup(spark, probe, state_dir).collect()}
+    assert before == {200: (False, 1), 201: (False, 100)}
+
+    stats = compact_dedup_state(spark, state_dir)
+    assert stats["files_after"] < stats["files_before"]
+    # same probe, new ids: the compacted state answers identically
+    probe2 = _docs(spark, [(300, BASE[0][1])])
+    after = incremental_dedup(spark, probe2, state_dir).collect()
+    assert (after[0]["mantener"], after[0]["dup_de"]) == (False, 1)
