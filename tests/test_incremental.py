@@ -152,3 +152,46 @@ def test_compact_dedup_state_preserves_verdicts(spark, state_dir):
     probe2 = _docs(spark, [(300, BASE[0][1])])
     after = incremental_dedup(spark, probe2, state_dir).collect()
     assert (after[0]["mantener"], after[0]["dup_de"]) == (False, 1)
+
+
+def test_stream_ingest_dedup_across_micro_batches(spark, state_dir, tmp_path):
+    """Streaming ingestion through the dedup state: per-file micro-batches,
+    later batches deduped against earlier ones' state, published corpus
+    unique, verdict audit complete."""
+    from prac_data_pipelines_spark.streaming.corpus import stream_ingest_dedup
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = _docs(spark, [
+        (1, "stream batch one document alpha with sufficient words to band"),
+        (2, "stream batch one document beta carrying separate vocabulary")])
+    batch2 = _docs(spark, [
+        (3, "stream batch one document alpha with sufficient words to band"),
+        (4, "a genuinely novel third topic arriving in the second batch")])
+    batch1.coalesce(1).write.parquet(str(src / "f1.parquet"))
+    batch2.coalesce(1).write.parquet(str(src / "f2.parquet"))
+    # pin distinct mtimes so the file source's oldest-first ordering is
+    # deterministic (same-ms writes would leave batch order to chance)
+    import os
+    import time
+
+    now = time.time()
+    for i, name in enumerate(("f1.parquet", "f2.parquet")):
+        for root, _dirs, files in os.walk(src / name):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i * 10, now + i * 10))
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*.parquet"))
+    stream_ingest_dedup(stream, state_dir, out, ckpt)
+
+    verdicts = {r["doc_id"]: (r["mantener"], r["dup_de"]) for r in
+                spark.read.parquet(f"{out}/verdicts").collect()}
+    assert verdicts[3] == (False, 1)          # cross-batch duplicate
+    assert verdicts[1][0] and verdicts[2][0] and verdicts[4][0]
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 2, 4]
