@@ -7,6 +7,16 @@ scale. The engine therefore standardizes on ``floor(x * 10^n + 0.5) / 10^n`` —
 a pure double computation that yields bit-identical results on any engine
 evaluating it over the same input, which makes result hashes comparable across
 Spark, DuckDB, and any future backend. (Semantics: round-half-toward-+∞.)
+
+Caveat — rounding an AGGREGATE: ``r2(avg(money))`` is only portable if the
+aggregate itself is bit-identical, and float sums accumulate in partial-
+aggregation order, which differs per engine/partitioning. When the true
+average sits on a ``.xx5`` boundary, a last-ulp difference flips the floor
+(observed once at sf0.1: two groups off by exactly 0.01). For money
+columns, sum EXACTLY first and round the deterministic result instead:
+``floor(cast(sum(cast(x as decimal(18,2))) as double) * 100 / count(*)
++ 0.5) / 100`` — the decimal sum is order-insensitive (see
+``parts_never_ordered`` for the paired Spark/DuckDB form).
 """
 
 from __future__ import annotations

@@ -126,18 +126,27 @@ def q_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     ordered = (_t(spark, sf_dir, "lineitem")
                .filter(F.col("l_quantity") > 45).select("l_partkey"))
+    # money average via an EXACT decimal sum: float avg accumulates in
+    # partial-aggregation order, and a last-ulp difference vs the oracle
+    # flips floor(x*100+0.5) when the true value sits on a .xx5 boundary
+    # (observed at sf0.1: 2 brands off by exactly 0.01). The decimal sum
+    # is order-insensitive, so both engines round the same value.
+    avg_exact = F.expr(
+        "floor(cast(sum(cast(p_retailprice as decimal(18,2))) as double) "
+        "* 100 / count(*) + 0.5) / 100")
     return (
         part.join(ordered, part.p_partkey == ordered.l_partkey, "left_anti")
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).cast("long").alias("n_parts"),
-             r2(F.avg("p_retailprice")).alias("precio_medio"))
+             avg_exact.alias("precio_medio"))
         .orderBy("p_brand")
     )
 
 
 SQL_PARTS_NEVER_ORDERED = """
 SELECT p_brand, count(*)::BIGINT AS n_parts,
-       floor(avg(p_retailprice) * 100 + 0.5) / 100 AS precio_medio
+       floor(sum(p_retailprice::DECIMAL(18,2))::DOUBLE * 100 / count(*)
+             + 0.5) / 100 AS precio_medio
 FROM part
 WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)
 GROUP BY p_brand ORDER BY p_brand
