@@ -165,8 +165,12 @@ def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     orders = (_t(spark, sf_dir, "orders")
               .filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"))
-    avg_bal = customer.filter("c_acctbal > 0").agg(
-        F.avg("c_acctbal").alias("_avg"))
+    # threshold via the exact decimal sum (order-insensitive): a float
+    # avg differs from the oracle's by a last ulp, and balances can land
+    # EXACTLY on the average (cent-structured data), flipping the strict >
+    avg_bal = customer.filter("c_acctbal > 0").agg(F.expr(
+        "cast(sum(cast(c_acctbal as decimal(18,2))) as double) / count(*)"
+    ).alias("_avg"))
     return (
         customer.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("_avg"))
@@ -182,7 +186,8 @@ SQL_RICH_INACTIVE_CUSTOMERS = """
 SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
        floor(sum(c_acctbal) * 100 + 0.5) / 100 AS saldo_total
 FROM customer
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT sum(c_acctbal::DECIMAL(18,2))::DOUBLE / count(*)
+                   FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 GROUP BY c_mktsegment ORDER BY c_mktsegment
@@ -414,7 +419,10 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = (li.join(F.broadcast(tparts), li.l_partkey == F.col("p_partkey"))
              .join(F.broadcast(rsupp), li.l_suppkey == F.col("s_suppkey"))
              .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "nacion")
-             .agg(r2(F.avg("l_extendedprice")).alias("precio_medio")))
+             .agg(F.expr(
+                 "floor(cast(sum(cast(l_extendedprice as decimal(18,2))) "
+                 "as double) * 100 / count(l_extendedprice) + 0.5) / 100"
+             ).alias("precio_medio")))  # exact decimal sum: see rounding.py
     min_price = (price.groupBy("p_partkey")
                  .agg(F.min("precio_medio").alias("_min_precio")))
     return (
@@ -428,7 +436,8 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MIN_COST_SUPPLIER = f"""
 WITH price AS (
   SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name AS nacion,
-         floor(avg(l_extendedprice) * 100 + 0.5) / 100 AS precio_medio
+         floor(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE * 100
+               / count(l_extendedprice) + 0.5) / 100 AS precio_medio
   FROM lineitem l
   JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_type = '{_Q2_TYPE}'
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
