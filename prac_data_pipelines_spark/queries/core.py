@@ -46,6 +46,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # result; the filter and 7-column projection push into the parquet scan.
 # --------------------------------------------------------------------------
 
+def _avg4(col: str):
+    """Round-4 average through an exact decimal(18,2) sum."""
+    return F.expr(
+        f"floor(cast(sum(cast({col} as decimal(18,2))) as double) "
+        f"* 10000 / count({col}) + 0.5) / 10000")
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     # Money terms are rounded per line BEFORE summing (both here and in the
@@ -63,9 +70,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum("l_extendedprice")).alias("sum_base_price"),
             r2(F.sum(disc_price)).alias("sum_disc_price"),
             r2(F.sum(charge)).alias("sum_charge"),
-            r4(F.avg("l_quantity")).alias("avg_qty"),
-            r4(F.avg("l_extendedprice")).alias("avg_price"),
-            r4(F.avg("l_discount")).alias("avg_disc"),
+            # averages via exact decimal sums (order-insensitive — see
+            # operators/rounding.py caveat: float avgs of cent-structured
+            # columns can flip floor(x*1e4+0.5) on a boundary)
+            _avg4("l_quantity").alias("avg_qty"),
+            _avg4("l_extendedprice").alias("avg_price"),
+            _avg4("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).cast("long").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -78,9 +88,12 @@ SELECT l_returnflag, l_linestatus,
        floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
        floor((sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 AS sum_disc_price,
        floor((sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 AS sum_charge,
-       floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
-       floor((avg(l_extendedprice)) * 10000 + 0.5) / 10000 AS avg_price,
-       floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
+       floor(sum(l_quantity::DECIMAL(18,2))::DOUBLE * 10000
+             / count(l_quantity) + 0.5) / 10000 AS avg_qty,
+       floor(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE * 10000
+             / count(l_extendedprice) + 0.5) / 10000 AS avg_price,
+       floor(sum(l_discount::DECIMAL(18,2))::DOUBLE * 10000
+             / count(l_discount) + 0.5) / 10000 AS avg_disc,
        count(*)::BIGINT AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
