@@ -198,7 +198,13 @@ register("asof_latest_order", q_asof_latest_order, SQL_ASOF_LATEST_ORDER)
 def q_order_vs_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
-    avg_cust = F.avg("o_totalprice").over(w)
+    # customer average through an exact decimal window sum: float window
+    # avgs accumulate in partition row order (shuffle-dependent), and both
+    # the rounded output AND the ratio>=1.5 membership filter sit on
+    # boundaries of cent-structured money (operators/rounding.py caveat)
+    avg_cust = (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+                .cast("double")
+                / F.count("o_totalprice").over(w))
     return (
         o.select(
             "o_orderkey", "o_custkey",
@@ -214,11 +220,14 @@ SQL_ORDER_VS_CUSTOMER_AVG = """
 WITH enriched AS (
   SELECT o_orderkey, o_custkey,
          floor(o_totalprice * 100 + 0.5) / 100 AS total,
-         floor(avg(o_totalprice) OVER (PARTITION BY o_custkey) * 100 + 0.5) / 100
+         floor(sum(o_totalprice::DECIMAL(18,2)) OVER cw::DOUBLE
+               / count(o_totalprice) OVER cw * 100 + 0.5) / 100
            AS media_cliente,
-         floor(o_totalprice / avg(o_totalprice) OVER (PARTITION BY o_custkey)
+         floor(o_totalprice / (sum(o_totalprice::DECIMAL(18,2)) OVER cw::DOUBLE
+                               / count(o_totalprice) OVER cw)
                * 10000 + 0.5) / 10000 AS ratio
   FROM orders
+  WINDOW cw AS (PARTITION BY o_custkey)
 )
 SELECT * FROM enriched WHERE ratio >= 1.5
 """
