@@ -211,3 +211,38 @@ def test_emb_near_dup_finds_every_clone(spark, acc_dir):
                            & (F.col("d2") - 1000000 == F.col("d1")))
               .count())
     assert clones == 30, f"clone recall broke: {clones}/30"
+
+
+def test_dup_clusters_match_union_find(spark, sf_dir):
+    """The distributed connected-components labeling (min-label propagation
+    + pointer jumping) must equal an independent driver-side union-find
+    over the same candidate pairs — validating the iterative algorithm
+    without the recursive-CTE oracle's cost ceiling."""
+    from prac_data_pipelines_spark.queries.text import (
+        CLUSTER_MIN_EST,
+        q_doc_dup_clusters,
+        q_doc_minhash_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    pairs = (q_doc_minhash_pairs(spark, sf_dir)
+             .filter(F.col("jaccard_est") >= CLUSTER_MIN_EST)
+             .select("d1", "d2").collect())
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r["d1"]), find(r["d2"])
+        if a != b:
+            hi, lo = max(a, b), min(a, b)
+            parent[hi] = lo
+    want = {x: find(x) for x in parent}
+
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in q_doc_dup_clusters(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
