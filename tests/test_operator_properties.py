@@ -199,3 +199,66 @@ def test_doc_chunks_reconstruct_documents(spark, texts):
                     == n_words)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+_corpus = st.lists(
+    st.text(alphabet="abc ", min_size=10, max_size=60), min_size=2, max_size=10)
+
+
+@given(texts=_corpus, split=st.integers(1, 9))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_incremental_dedup_sound_and_complete(spark, texts, split, tmp_path_factory):
+    """Every drop has a real banded above-threshold match with a state doc
+    or a lower-id batch doc (soundness), and every batch doc with such a
+    match IS dropped (completeness) — checked against an independent
+    Python recomputation of the same signatures/bands/estimate."""
+    import shutil
+    import tempfile
+
+    from prac_data_pipelines_spark.incremental import (
+        DEFAULT_THRESHOLD,
+        incremental_dedup,
+        init_dedup_state,
+    )
+    from prac_data_pipelines_spark.queries.text import (
+        MINHASH_K,
+        N_BANDS,
+        minhash_signatures,
+    )
+
+    split = min(split, len(texts) - 1)
+    rows = [(i, t if t.strip() else "x") for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    state_docs = docs.filter(f"doc_id < {split}")
+    batch_docs = docs.filter(f"doc_id >= {split}")
+
+    d = tempfile.mkdtemp(prefix="inc_prop_")
+    try:
+        init_dedup_state(state_docs, d)
+        got = {r["doc_id"]: r["mantener"]
+               for r in incremental_dedup(spark, batch_docs, d).collect()}
+
+        sigs = {r["doc_id"]: tuple(r["sigs"])
+                for r in minhash_signatures(docs).collect()}
+
+        def bands(s):
+            return {(b, s[2 * b], s[2 * b + 1]) for b in range(N_BANDS)}
+
+        def est(a, b):
+            same = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+            return round(same / MINHASH_K, 4)
+
+        def banded_match(a, b):
+            return bands(sigs[a]) & bands(sigs[b]) and est(a, b) >= DEFAULT_THRESHOLD
+
+        state_ids = [i for i, _ in rows[:split]]
+        for doc_id in (i for i, _ in rows[split:]):
+            should_drop = (
+                any(banded_match(doc_id, s) for s in state_ids)
+                or any(banded_match(doc_id, b)
+                       for b, _ in rows[split:] if b < doc_id))
+            assert got[doc_id] == (not should_drop), (doc_id, texts)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
