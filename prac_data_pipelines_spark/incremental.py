@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.rounding import r4
+from .queries import text as _text
 from .queries.text import MINHASH_K, N_BANDS, minhash_signatures
 
 N_STATE_BUCKETS = 64
@@ -49,9 +50,23 @@ def _bands(docs: DataFrame) -> DataFrame:
                                       F.lit(N_STATE_BUCKETS))))
 
 
+def _guard_hot_bands(bands: DataFrame) -> DataFrame:
+    """Drop bands shared by more than ``queries.text.MAX_BAND_DOCS`` docs —
+    the same recall/cost trade as the batch operator's band guard: members
+    of a mega-band (corpus-wide boilerplate minimizers) stay reachable
+    through their other, discriminative bands, and without the guard one
+    hot band makes every probe of it scan thousands of state rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("banda")
+    return (bands.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= _text.MAX_BAND_DOCS).drop("_n"))
+
+
 def init_dedup_state(docs: DataFrame, state_dir: str) -> None:
-    """Build the signature/band state from an initial corpus."""
-    (_bands(docs).write.mode("overwrite").partitionBy("bkt")
+    """Build the signature/band state from an initial corpus (hot-band
+    guard applied — the bulk build sees global band populations)."""
+    (_guard_hot_bands(_bands(docs)).write.mode("overwrite").partitionBy("bkt")
      .parquet(f"{state_dir}/bands"))
 
 
@@ -131,9 +146,14 @@ def compact_dedup_state(spark: SparkSession, state_dir: str,
     one task per tiny file. Delegates to the lake compactor
     (``sinks.lake.compact_partitions``: stage + atomic swap, per-bucket
     rewrite), preserving the ``bkt`` directory layout the probe's
-    partition pruning depends on. Returns before/after file counts."""
+    partition pruning depends on, and RE-APPLIES the hot-band guard:
+    appends cannot see global band populations, so a band crossing the
+    threshold between compactions is pruned here — compaction is the
+    state's maintenance point for both file count and band health.
+    Returns before/after file counts."""
     from .sinks.lake import compact_partitions
 
     return compact_partitions(spark, f"{state_dir}/bands",
                               target_file_mb=target_file_mb,
-                              partition_cols=["bkt"])
+                              partition_cols=["bkt"],
+                              transform=_guard_hot_bands)

@@ -83,7 +83,8 @@ def bucketed_join_no_shuffle(spark: SparkSession, left_table: str,
 
 def compact_partitions(spark: SparkSession, path: str,
                        target_file_mb: int = 128,
-                       partition_cols: list[str] | None = None) -> dict:
+                       partition_cols: list[str] | None = None,
+                       transform=None) -> dict:
     """Small-file compaction: rewrite a parquet directory so files land
     near ``target_file_mb``. Streaming micro-batches and over-parallel
     writes leave thousands of KB-sized files; at 100 TB that turns every
@@ -121,6 +122,11 @@ def compact_partitions(spark: SparkSession, path: str,
     before = _count_files(path)
     n_out = max(1, math.ceil(_total_bytes(path) / (target_file_mb << 20)))
     df = spark.read.parquet(path)
+    if transform is not None:
+        # maintenance hook: compaction is the one moment the whole table
+        # streams through a rewrite anyway, so table-wide prunes (e.g. the
+        # dedup state's hot-band guard) ride along for free
+        df = transform(df)
     staging = path.rstrip("/") + ".__compact__"
     if partition_cols:
         (df.repartition(n_out, *partition_cols).write

@@ -195,3 +195,39 @@ def test_stream_ingest_dedup_across_micro_batches(spark, state_dir, tmp_path):
     assert verdicts[1][0] and verdicts[2][0] and verdicts[4][0]
     corpus = spark.read.parquet(f"{out}/corpus")
     assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 2, 4]
+
+
+def test_hot_band_guard_at_init_and_compaction(spark, state_dir, monkeypatch):
+    """Mega-bands are pruned when the full state is visible: at init, and
+    at compaction for bands that crossed the threshold via appends."""
+    from prac_data_pipelines_spark import incremental
+    from prac_data_pipelines_spark.queries import text as text_mod
+
+    boiler = "the same boilerplate text repeated across the whole corpus"
+    distinct = "one genuinely distinct document amid the noise"
+
+    # init guard: with threshold 3, the 5-doc boilerplate band is dropped
+    monkeypatch.setattr(text_mod, "MAX_BAND_DOCS", 3)
+    docs = _docs(spark, [(i, boiler) for i in range(5)] + [(10, distinct)])
+    incremental.init_dedup_state(docs, state_dir)
+    state = spark.read.parquet(f"{state_dir}/bands")
+    assert state.select("doc_id").distinct().count() == 1  # only `distinct`
+    # recall trade: a boilerplate clone probes nothing and re-enters once,
+    # after which LATER clones match IT and drop again
+    v = {r["doc_id"]: r["mantener"] for batch in range(2) for r in
+         incremental.incremental_dedup(
+             spark, _docs(spark, [(100 + batch, boiler)]), state_dir).collect()}
+    assert v == {100: True, 101: False}
+
+    # compaction guard: raise the threshold, append clones legitimately,
+    # lower it back — compaction prunes the now-hot band
+    monkeypatch.setattr(text_mod, "MAX_BAND_DOCS", 1000)
+    for i in range(4):
+        incremental.incremental_dedup(
+            spark, _docs(spark, [(200 + i, f"{boiler} variant {i} " * 3)]),
+            state_dir)
+    monkeypatch.setattr(text_mod, "MAX_BAND_DOCS", 3)
+    incremental.compact_dedup_state(spark, state_dir)
+    pops = (spark.read.parquet(f"{state_dir}/bands")
+            .groupBy("banda").count().agg(F.max("count")).collect()[0][0])
+    assert pops <= 3
