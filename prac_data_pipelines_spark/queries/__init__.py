@@ -46,6 +46,10 @@ _PRIORITY: tuple[str, ...] = (
     # Round-4 third batch — the temporal-join family + chunking:
     "events_conversion_pairs", "events_conversion_window", "doc_chunks",
     "events_hopping", "events_transitions",
+    # Modified this round (decimal-sum money averages) — fresh driver
+    # verdicts ahead of untouched r02-era rows:
+    "pricing_summary", "parts_never_ordered", "rich_inactive_customers",
+    "min_cost_supplier", "order_vs_customer_avg",
     # Then the remaining queries whose last driver row dates from round 2
     # (round 3's gate covered the r01-era half of the registry; keep every
     # query's driver verdict as fresh as the ~50-row budget allows — the
