@@ -97,6 +97,7 @@ HEADLINE = [
     "doc_chunks",
     "events_hopping",
     "events_transitions",
+    "events_ohlc",
 ]
 
 

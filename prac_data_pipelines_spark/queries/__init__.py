@@ -45,7 +45,7 @@ _PRIORITY: tuple[str, ...] = (
     "grouping_sets_summary", "sql_lateral_topk", "doc_train_split",
     # Round-4 third batch — the temporal-join family + chunking:
     "events_conversion_pairs", "events_conversion_window", "doc_chunks",
-    "events_hopping", "events_transitions",
+    "events_hopping", "events_transitions", "events_ohlc",
     # Modified this round (decimal-sum money averages) — fresh driver
     # verdicts ahead of untouched r02-era rows:
     "pricing_summary", "parts_never_ordered", "rich_inactive_customers",

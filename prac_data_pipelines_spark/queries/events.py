@@ -769,3 +769,52 @@ ORDER BY n_transiciones DESC, origen, destino
 """
 
 register("events_transitions", q_events_transitions, SQL_EVENTS_TRANSITIONS)
+
+
+# --------------------------------------------------------------------------
+# events_ohlc — hourly OHLC bars per event type: open/close = value of the
+# earliest/latest event in the bar, high/low = extremes, plus mean and
+# count. The time-series "bar rollup" member of the events family — one
+# partial-aggregated keyed shuffle at any scale (no window, no sort: the
+# open/close come from struct-ordered MIN/MAX, which combine map-side).
+# Determinism: first/last are ordered by (sec, event_id) through the
+# struct's lexicographic comparison — never first()/min_by(), whose ties
+# are partition-order-dependent.
+# --------------------------------------------------------------------------
+
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type", "event_id", "value",
+                  epoch_sec("ts").alias("_sec")))
+    hora = (F.floor(F.col("_sec") / 3600) * 3600).cast("long")
+    first_s = F.min(F.struct("_sec", "event_id", "value"))
+    last_s = F.max(F.struct("_sec", "event_id", "value"))
+    return (
+        ev.groupBy(hora.alias("hora_epoch"), "event_type")
+        .agg(r2(first_s["value"]).alias("apertura"),
+             r2(F.max("value")).alias("maximo"),
+             r2(F.min("value")).alias("minimo"),
+             r2(last_s["value"]).alias("cierre"),
+             F.count(F.lit(1)).cast("long").alias("n_eventos"))
+        .orderBy("hora_epoch", "event_type")
+    )
+
+
+SQL_EVENTS_OHLC = """
+WITH ev AS (
+  SELECT event_type, event_id, value, epoch_us(ts) // 1000000 AS sec
+  FROM events
+)
+SELECT (sec // 3600 * 3600)::BIGINT AS hora_epoch, event_type,
+       floor(min(struct_pack(s := sec, e := event_id, v := value))['v']
+             * 100 + 0.5) / 100 AS apertura,
+       floor(max(value) * 100 + 0.5) / 100 AS maximo,
+       floor(min(value) * 100 + 0.5) / 100 AS minimo,
+       floor(max(struct_pack(s := sec, e := event_id, v := value))['v']
+             * 100 + 0.5) / 100 AS cierre,
+       count(*)::BIGINT AS n_eventos
+FROM ev
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+register("events_ohlc", q_events_ohlc, SQL_EVENTS_OHLC)
