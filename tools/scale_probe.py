@@ -116,16 +116,23 @@ def probe_events_rolling(spark, sf_dir: str, k: int) -> None:
     big.write.mode("overwrite").parquet(f"{scratch}/events.parquet")
     n = spark.read.parquet(f"{scratch}/events.parquet").count()
     print(f"replicated events: {n:,} rows (k={k}, time-shifted)")
-    from prac_data_pipelines_spark.queries.events import (
-        q_events_retention,
-        q_events_sessionize,
-    )
-    for name, fn in (("events_rolling(single-key)", q_events_rolling),
-                     ("events_rolling_sharded", q_events_rolling_sharded),
-                     ("events_sessionize", q_events_sessionize),
-                     ("events_retention", q_events_retention)):
+    from prac_data_pipelines_spark.queries import all_queries
+
+    qs = all_queries()
+    battery = ["events_sessionize", "events_retention",
+               "events_hourly", "events_hopping", "events_ohlc",
+               "events_transitions", "events_conversion_pairs",
+               "events_conversion_window", "events_asof_attribution",
+               "events_gapfill"]
+    t0 = time.time()
+    q_events_rolling(spark, scratch).write.format("noop").mode("overwrite").save()
+    print(f"events_rolling(single-key) at {k}x: {time.time()-t0:.2f}s")
+    t0 = time.time()
+    q_events_rolling_sharded(spark, scratch).write.format("noop").mode("overwrite").save()
+    print(f"events_rolling_sharded at {k}x: {time.time()-t0:.2f}s")
+    for name in battery:
         t0 = time.time()
-        fn(spark, scratch).write.format("noop").mode("overwrite").save()
+        qs[name](spark, scratch).write.format("noop").mode("overwrite").save()
         print(f"{name} at {k}x: {time.time()-t0:.2f}s")
     shutil.rmtree(scratch, ignore_errors=True)
 
