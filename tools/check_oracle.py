@@ -1,9 +1,13 @@
 """Local correctness harness — a mirror of the driver's CORRECTNESS gate.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...] [--head=N]
+                                    [--partitions=N]
 
 --head=N checks only the first N queries in priority order — the exact
 slice the driver's ~50-row gate budget will cover next round.
+--partitions=N overrides spark.sql.shuffle.partitions for a determinism
+sweep: every result must be identical under any physical parallelism
+(123/123 verified at N=7 vs the default 32).
 """
 
 from __future__ import annotations
@@ -22,10 +26,17 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     head = next((int(a.split("=", 1)[1]) for a in sys.argv[1:]
                  if a.startswith("--head=")), None)
+    parts = next((int(a.split("=", 1)[1]) for a in sys.argv[1:]
+                  if a.startswith("--partitions=")), None)
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
     spark = get_spark("oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
+    if parts is not None:
+        # determinism sweep: results must be identical under ANY physical
+        # parallelism (catches order-dependent float accumulation — the
+        # money-average class in operators/rounding.py's caveat)
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     con = duck_connect(sf_dir)
     queries, oracles = all_queries(), all_oracles()
     if head is not None:
