@@ -37,6 +37,14 @@ def main() -> int:
         # parallelism (catches order-dependent float accumulation — the
         # money-average class in operators/rounding.py's caveat)
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    for a in sys.argv[1:]:
+        # --conf key=value (repeatable): sweep any runtime conf — e.g.
+        # spark.sql.adaptive.enabled=false, or
+        # spark.sql.autoBroadcastJoinThreshold=-1 (the 1000-executor plan
+        # shape: every join a shuffle join) — results must not move.
+        if a.startswith("--conf="):
+            key, val = a.split("=", 1)[1].split("=", 1)[0], a.split("=", 2)[2]
+            spark.conf.set(key, val)
     con = duck_connect(sf_dir)
     queries, oracles = all_queries(), all_oracles()
     if head is not None:
