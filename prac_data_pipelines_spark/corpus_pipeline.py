@@ -168,6 +168,10 @@ def main() -> int:
     ap.add_argument("--ingest-text", metavar="DIR", default=None,
                     help="ingest a raw text directory as the corpus "
                          "(one doc per file) instead of --sf-dir")
+    ap.add_argument("--shards", type=int, metavar="N", default=None,
+                    help="final stage: write the curated corpus as N "
+                         "deterministic, balanced training shards plus a "
+                         "rows/bytes/checksum manifest under <out>/shards")
     ap.add_argument("--dedup-state", metavar="DIR", default=None,
                     help="incremental mode: near-dup the documents against "
                          "this persisted state (bootstrapped on first run), "
@@ -203,6 +207,15 @@ def main() -> int:
     export(spark, views, args.out, sf_dir, build_index=build_index)
     n = spark.read.parquet(f"{args.out}/curado").count()
     print(f"curated corpus: {n} docs -> {args.out}")
+    if args.shards:
+        from .sinks.shards import write_training_shards
+
+        curado = spark.read.parquet(f"{args.out}/curado")
+        manifest = write_training_shards(curado, f"{args.out}/shards",
+                                         args.shards)
+        rows = manifest.collect()
+        print(f"training shards: {len(rows)} shards, "
+              f"{sum(r['docs'] for r in rows)} docs -> {args.out}/shards")
     return 0
 
 

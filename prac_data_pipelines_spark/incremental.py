@@ -101,35 +101,52 @@ def incremental_dedup(spark: SparkSession, new_docs: DataFrame,
         f"size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v)) "
         f"/ cast({MINHASH_K} as double)")
 
-    def matches(left: DataFrame, right: DataFrame) -> DataFrame:
+    def matches(left: DataFrame, right: DataFrame,
+                self_join: bool) -> DataFrame:
         """Above-threshold (d1 <- loser, d2 <- kept-candidate) pairs.
 
         The batch side (left) is broadcast: the state side then streams
         map-side through the join — the corpus is never shuffled, so the
         only state cost per increment is the (bucket-pruned, narrow)
         band scan. An increment too big to broadcast should be split,
-        not shuffled against the whole state."""
-        pairs = (F.broadcast(left.select(F.col("doc_id").alias("d1"),
-                                         F.col("sigs").alias("s1"), "banda"))
-                 .join(right.select(F.col("doc_id").alias("d2"),
-                                    F.col("sigs").alias("s2"), "banda"),
-                       "banda")
-                 .filter(F.col("d1") != F.col("d2")))
+        not shuffled against the whole state.
+
+        ``self_join`` excludes d1 == d2 pairs — required for the batch's
+        join with ITSELF, but must NOT apply to the state probe: under
+        at-least-once replay a re-probed doc carries the same
+        content-hash doc_id as the state rows its first attempt wrote,
+        and that self-match (dup_de == doc_id) is exactly what makes the
+        replay drop it instead of publishing and banding it twice."""
+        pairs = F.broadcast(
+            left.select(F.col("doc_id").alias("d1"),
+                        F.col("sigs").alias("s1"), "banda")
+        ).join(right.select(F.col("doc_id").alias("d2"),
+                            F.col("sigs").alias("s2"), "banda"),
+               "banda")
+        if self_join:
+            pairs = pairs.filter(F.col("d1") != F.col("d2"))
         return (pairs.select("d1", "d2", r4(est).alias("je"))
                 .filter(F.col("je") >= threshold)
                 .select("d1", "d2").dropDuplicates(["d1", "d2"]))
 
-    vs_old = matches(new_bands, old_bands)
-    vs_new = matches(new_bands, new_bands).filter(F.col("d2") < F.col("d1"))
+    vs_old = matches(new_bands, old_bands, self_join=False)
+    vs_new = (matches(new_bands, new_bands, self_join=True)
+              .filter(F.col("d2") < F.col("d1")))
     losers = (vs_old.unionByName(vs_new)
               .groupBy(F.col("d1").alias("doc_id"))
               .agg(F.min("d2").alias("dup_de")))
+    # localCheckpoint (not cache) pins one consistent verdict for both the
+    # state append below and the caller's reads, WITHOUT leaking a cached
+    # frame per call: checkpoint blocks are reclaimed by the ContextCleaner
+    # once the frame is garbage-collected, whereas a .cache() held across
+    # the return boundary lives for the session (one leak per micro-batch
+    # in the streaming foreachBatch path).
     verdict = (new_docs.select("doc_id")
                .join(losers, "doc_id", "left")
                .select(F.col("doc_id").cast("long").alias("doc_id"),
                        F.col("dup_de").isNull().alias("mantener"),
                        F.col("dup_de").cast("long").alias("dup_de"))
-               .cache())
+               .localCheckpoint())
     kept_bands = new_bands.join(
         verdict.filter("mantener").select("doc_id"), "doc_id", "left_semi")
     (kept_bands.write.mode("append").partitionBy("bkt")

@@ -39,9 +39,12 @@ def bucketed_range_join(left: DataFrame, right: DataFrame, key: str,
     preserved; name collisions other than ``key`` must be resolved by the
     caller (select/alias before joining), as with any raw join.
     """
-    if upper <= lower:
+    if upper < lower:
         raise ValueError(f"empty range join window: [{lower}, {upper}]")
-    width = upper - lower
+    # upper == lower is the valid zero-width window ("rows at exactly
+    # offset L", both bounds inclusive) — same domain as the naive form;
+    # bucket width clamps to 1 so the <=2-bucket probe argument holds.
+    width = max(1, upper - lower)
     lo_bkt = F.floor((F.col(left_sec) + F.lit(lower)) / F.lit(width))
     hi_bkt = F.floor((F.col(left_sec) + F.lit(upper)) / F.lit(width))
     probes = left.withColumn(
@@ -62,6 +65,8 @@ def naive_range_join(left: DataFrame, right: DataFrame, key: str,
                      lower: int, upper: int) -> DataFrame:
     """Reference form: key equi-join + range filter. Same semantics, hot-key
     quadratic — exists for the property tests and as the honest baseline."""
+    if upper < lower:
+        raise ValueError(f"empty range join window: [{lower}, {upper}]")
     return left.join(right, key).filter(
         F.col(right_sec).between(F.col(left_sec) + F.lit(lower),
                                  F.col(left_sec) + F.lit(upper)))

@@ -49,21 +49,62 @@ def pareto_abc(df: DataFrame, amount_col: str, key_order: list[Column] | None = 
     Reference: ``src/kpis.py:124-151`` — pct of total, running cumulative pct
     (last row forced to 1.0 by construction of the sum), ABC ladder
     ``<=80% → A`` (first row always A), ``<=95% → B``, else ``C``.
+
+    Two-level cumsum (same shape as ``operators.sorting.global_positions``)
+    — no single-partition window at ANY input size, fully declarative:
+
+    1. range-partition the rows in the total order (amount desc +
+       tiebreakers) — ordered ranges land in increasing partition ids;
+    2. each partition computes its LOCAL running sum / row_number in
+       parallel (window partitioned by the range-partition id);
+    3. per-partition (sum, count) — |partitions| rows, never data-sized —
+       are prefix-summed via a triangular broadcast join and broadcast
+       back as offsets; cum = (offset + local) / total.
+
+    Float regrouping note: the offsets re-associate the running float sum
+    (offset + local instead of strictly sequential). The drift is a few
+    ulps of 1.0 (~1e-15) — three orders below the r6 rounding quantum,
+    and DuckDB's window sum is itself segment-tree-associated, so strict
+    sequential equality was never the contract. Verified by the oracle
+    gate and the partition-count determinism sweep.
     """
-    total = F.sum(F.col(amount_col)).over(Window.partitionBy())
     order = [F.col(amount_col).desc()] + (key_order or [])
-    w = (Window.orderBy(*order)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    pct = F.col(amount_col) / total
-    out = (df.withColumn(pct_col, r6(pct))
-             .withColumn(cum_col, r6(F.sum(pct).over(w)))
-             .withColumn("_RN", F.row_number().over(Window.orderBy(*order))))
+    ranged = (df.repartitionByRange(*order)
+              .withColumn("_pid", F.spark_partition_id()))
+    wloc = Window.partitionBy("_pid").orderBy(*order)
+    wcum = wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = (ranged
+             .withColumn("_lcum", F.sum(amount_col).over(wcum))
+             .withColumn("_lrn", F.row_number().over(wloc)))
+    stats = (ranged.groupBy("_pid")
+             .agg(F.sum(amount_col).alias("_s"),
+                  F.count(F.lit(1)).alias("_c")))
+    earlier = stats.select(F.col("_pid").alias("_bpid"),
+                           F.col("_s").alias("_bs"),
+                           F.col("_c").alias("_bc"))
+    # |partitions| x |partitions| cross of the TINY stats frame computes the
+    # prefix offsets AND the grand total in one groupBy — no global scalar
+    # aggregate, so the whole plan is free of SinglePartition exchanges.
+    before = F.col("_bpid") < F.col("_pid")
+    offsets = (stats.crossJoin(F.broadcast(earlier))
+               .groupBy("_pid")
+               .agg(F.coalesce(F.sum(F.when(before, F.col("_bs"))),
+                               F.lit(0.0)).alias("_aoff"),
+                    F.coalesce(F.sum(F.when(before, F.col("_bc"))),
+                               F.lit(0)).alias("_coff"),
+                    F.sum("_bs").alias("_tot")))
+    out = (local.join(F.broadcast(offsets), "_pid")
+           .withColumn(pct_col, r6(F.col(amount_col) / F.col("_tot")))
+           .withColumn(cum_col, r6((F.col("_aoff") + F.col("_lcum"))
+                                   / F.col("_tot")))
+           .withColumn("_RN", F.col("_coff") + F.col("_lrn")))
     cum100 = F.col(cum_col) * 100
     abc = (F.when(F.col("_RN") == 1, "A")
              .when(cum100 <= ABC_UMBRAL_A, "A")
              .when(cum100 <= ABC_UMBRAL_B, "B")
              .otherwise("C"))
-    return out.withColumn(abc_col, abc).drop("_RN")
+    return (out.withColumn(abc_col, abc)
+            .drop("_RN", "_pid", "_lcum", "_lrn", "_aoff", "_coff", "_tot"))
 
 
 def sharded_range_window(df: DataFrame, partition_cols: list[str], ts_col: str,

@@ -697,3 +697,35 @@ FROM assigned GROUP BY source, division ORDER BY source, division
 """
 
 register("doc_train_split", q_doc_train_split, SQL_DOC_TRAIN_SPLIT)
+
+
+# --------------------------------------------------------------------------
+# shard_manifest — the verification contract of the deterministic
+# training-shard writer (sinks/shards.py): per shard, the doc count,
+# byte count, and salted content checksum that a written shard set must
+# reproduce. Shard assignment is a pure per-row function of content
+# (portable md5-prefix hash mod N) — balanced in expectation, no
+# coordinator, no sort; the manifest itself is one N-row partial
+# aggregate. Registered so the CONTRACT is oracle-pinned: if either
+# engine's hash/assignment drifts, this row goes red.
+# --------------------------------------------------------------------------
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.shards import shard_manifest
+
+    return shard_manifest(_docs(spark, sf_dir))
+
+
+def _sql_shard_manifest() -> str:
+    from ..sinks.shards import DEFAULT_N_SHARDS, SQL_CKTERM, SQL_SKEY
+
+    return f"""
+SELECT ({SQL_SKEY} % {DEFAULT_N_SHARDS})::INT AS shard,
+       count(*)::BIGINT AS docs,
+       sum(length(text))::BIGINT AS bytes,
+       sum({SQL_CKTERM})::BIGINT AS checksum
+FROM documents GROUP BY shard ORDER BY shard
+"""
+
+
+register("shard_manifest", q_shard_manifest, _sql_shard_manifest())

@@ -726,9 +726,13 @@ register("events_hopping", q_events_hopping, SQL_EVENTS_HOPPING)
 
 def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load_table(spark, sf_dir, "events")
-          .select("user_id", "event_id", "event_type",
+          .select("user_id", "event_id", "event_type", "ts",
                   epoch_sec("ts").alias("_sec")))
-    w = Window.partitionBy("user_id").orderBy(F.col("_sec").asc(),
+    # order by RAW ts (sub-second resolution), matching the oracle's
+    # WINDOW clause and the sessionize convention — _sec is truncated and
+    # used only for the gap arithmetic; ordering by it could pair
+    # same-user same-second events differently per engine.
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
                                               F.col("event_id").asc())
     gap = F.col("_sec") - F.lag("_sec").over(w)
     # a row is a transition target iff it did NOT start a new session:

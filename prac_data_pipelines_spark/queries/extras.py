@@ -477,29 +477,71 @@ register("cube_summary", q_cube_summary, SQL_CUBE_SUMMARY)
 # sketches are fixed-size mergeable state with map-side partial
 # aggregation — one narrow shuffle regardless of cardinality.
 #
-# Approximate results are engine-specific, so there is no DuckDB value
-# oracle (driver records the weaker rows-only check); the REAL check is
-# tests/test_sketch_accuracy.py, which bounds the relative error of every
-# estimate against the exact oracle-checked twins on the same data.
+# Approximate results are engine-specific, so raw sketch outputs can't be
+# value-hashed against DuckDB. To make the query DRIVER-checkable anyway,
+# it emits the EXACT values plus in-query ``*_ok`` booleans (sketch vs
+# exact compared inside the same aggregate pass, within the documented
+# error bounds); the oracle computes the same exact values and literal
+# TRUEs — the hash matches iff the accuracy bound holds. Bounds match
+# tests/test_sketch_accuracy.py: 5% relative for HLL at rsd=0.01 (5 sigma,
+# catches wiring bugs, not noise) and 5% relative for approx_percentile
+# at accuracy=10000 (rank error <= N/10000 ranks).
 # --------------------------------------------------------------------------
+
+_SKETCH_TOL = 0.05
+
 
 def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+
+    def ok(approx, exact):
+        return (F.abs(approx - exact)
+                / F.greatest(exact, F.lit(1.0)) < F.lit(_SKETCH_TOL))
+
     a = o.agg(
+        F.countDistinct("o_custkey").cast("long").alias("clientes_activos"),
         F.expr("approx_count_distinct(o_custkey, 0.01)")
-        .cast("long").alias("clientes_activos_aprox"))
+        .cast("double").alias("_ca"))
     b = li.agg(
+        F.countDistinct("l_partkey").cast("long").alias("partes_vendidas"),
         F.expr("approx_count_distinct(l_partkey, 0.01)")
-        .cast("long").alias("partes_vendidas_aprox"),
+        .cast("double").alias("_pa"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("_p90"),
         F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
-        .alias("p50_precio_aprox"),
+        .cast("double").alias("_p50a"),
         F.expr("approx_percentile(l_extendedprice, 0.9, 10000)")
-        .alias("p90_precio_aprox"))
-    return a.crossJoin(b)
+        .cast("double").alias("_p90a"))
+    return (a.crossJoin(b)  # 1-row x 1-row aggregate merge
+            .select(
+        "clientes_activos", "partes_vendidas",
+        r2(F.col("_p50")).alias("p50_precio"),
+        r2(F.col("_p90")).alias("p90_precio"),
+        ok(F.col("_ca"), F.col("clientes_activos").cast("double"))
+        .alias("clientes_hll_ok"),
+        ok(F.col("_pa"), F.col("partes_vendidas").cast("double"))
+        .alias("partes_hll_ok"),
+        ok(F.col("_p50a"), F.col("_p50")).alias("p50_kll_ok"),
+        ok(F.col("_p90a"), F.col("_p90")).alias("p90_kll_ok")))
 
 
-register("sketch_profile", q_sketch_profile, None)
+SQL_SKETCH_PROFILE = """
+SELECT (SELECT count(DISTINCT o_custkey) FROM orders)::BIGINT
+         AS clientes_activos,
+       count(DISTINCT l_partkey)::BIGINT AS partes_vendidas,
+       floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / 100
+         AS p50_precio,
+       floor(quantile_cont(l_extendedprice, 0.9) * 100 + 0.5) / 100
+         AS p90_precio,
+       TRUE AS clientes_hll_ok,
+       TRUE AS partes_hll_ok,
+       TRUE AS p50_kll_ok,
+       TRUE AS p90_kll_ok
+FROM lineitem
+"""
+
+register("sketch_profile", q_sketch_profile, SQL_SKETCH_PROFILE)
 
 
 # --------------------------------------------------------------------------

@@ -9,10 +9,19 @@ with the batch path), so batch backfills and the stream can feed the same
 corpus; the checkpoint only tracks which input files were consumed.
 
 At-least-once note: if a batch fails between the state append and the
-checkpoint commit, its files replay — re-probed docs then match the
-state rows their first attempt wrote and drop as duplicates, so the
-published corpus stays unique without a transactional sink (content-hash
-doc_ids make the replayed rows identical).
+checkpoint commit, its files replay. Two mechanisms make the replay safe
+WITHOUT a transactional sink:
+
+- state: a re-probed doc matches the state rows its first attempt wrote
+  (``incremental_dedup`` keeps self-matches on the state probe), so its
+  verdict is a drop and its bands are never appended twice;
+- publish: output goes to a DETERMINISTIC per-batch directory
+  (``batch_id=N``, dynamic partition overwrite), and a doc whose only
+  match is ITSELF (``dup_de == doc_id`` — impossible on first delivery,
+  content-hash ids collide only on identical text which within-batch
+  dropDuplicates already collapsed) is re-published as kept. The replay
+  therefore rewrites exactly the first attempt's kept set — idempotent,
+  and a crash between state append and publish cannot lose the doc.
 """
 
 from __future__ import annotations
@@ -35,10 +44,16 @@ def stream_ingest_dedup(docs_stream: DataFrame, state_dir: str,
         batch_df = batch_df.dropDuplicates(["doc_id"]).localCheckpoint()
         verdicts = incremental_dedup(
             spark, batch_df.select("doc_id", "text"), state_dir)
-        verdicts.write.mode("append").parquet(f"{out_dir}/verdicts")
-        kept = batch_df.join(verdicts.filter("mantener").select("doc_id"),
-                             "doc_id", "left_semi")
-        kept.write.mode("append").parquet(f"{out_dir}/corpus")
+        # deterministic per-batch paths + overwrite = idempotent publish
+        # under replay (see module docstring); mantener OR self-match
+        # re-selects the first attempt's kept set.
+        (verdicts.write.mode("overwrite")
+         .parquet(f"{out_dir}/verdicts/batch_id={batch_id}"))
+        kept = batch_df.join(
+            verdicts.filter("mantener OR dup_de = doc_id").select("doc_id"),
+            "doc_id", "left_semi")
+        (kept.write.mode("overwrite")
+         .parquet(f"{out_dir}/corpus/batch_id={batch_id}"))
 
     q = (docs_stream.writeStream.foreachBatch(ingest)
          .option("checkpointLocation", checkpoint_dir)

@@ -197,6 +197,51 @@ def test_stream_ingest_dedup_across_micro_batches(spark, state_dir, tmp_path):
     assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 2, 4]
 
 
+def test_stream_replay_is_idempotent(spark, state_dir, tmp_path):
+    """At-least-once replay: wipe the checkpoint (so every micro-batch
+    replays against a state that already contains its docs) and re-run.
+    The published corpus must be IDENTICAL — replayed kept docs re-publish
+    via their self-match (dup_de == doc_id), replayed dropped docs stay
+    dropped, and the state must not grow (no double-banding)."""
+    import shutil as _sh
+
+    from prac_data_pipelines_spark.streaming.corpus import stream_ingest_dedup
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _docs(spark, [
+        (1, "replay test document alpha with enough words to shingle fine"),
+        (2, "replay test document alpha with enough words to shingle fine"),
+        (3, "replay test document beta on an unrelated separate subject"),
+    ]).coalesce(1).write.parquet(str(src / "f1.parquet"))
+
+    def run():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src) + "/*.parquet"))
+        stream_ingest_dedup(stream, state_dir, out, ckpt)
+
+    run()
+    first = sorted(r["doc_id"] for r in
+                   spark.read.parquet(f"{out}/corpus").collect())
+    assert first == [1, 3]                      # 2 is a within-batch clone
+    state_n = spark.read.parquet(f"{state_dir}/bands").count()
+
+    _sh.rmtree(ckpt)                            # force full replay
+    run()
+    replayed = spark.read.parquet(f"{out}/corpus")
+    assert sorted(r["doc_id"] for r in replayed.collect()) == [1, 3]
+    verdicts = {r["doc_id"]: (r["mantener"], r["dup_de"]) for r in
+                spark.read.parquet(f"{out}/verdicts").collect()}
+    # replayed kept docs drop against their OWN state rows; the clone
+    # still points at the original
+    assert verdicts[1] == (False, 1) and verdicts[3] == (False, 3)
+    assert verdicts[2] == (False, 1)
+    assert spark.read.parquet(f"{state_dir}/bands").count() == state_n
+
+
 def test_hot_band_guard_at_init_and_compaction(spark, state_dir, monkeypatch):
     """Mega-bands are pruned when the full state is visible: at init, and
     at compaction for bands that crossed the threshold via appends."""

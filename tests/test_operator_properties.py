@@ -126,7 +126,7 @@ _right_rows = st.lists(
 
 
 @given(left=_left_rows, right=_right_rows,
-       lower=st.integers(-120, 60), width=st.integers(1, 150))
+       lower=st.integers(-120, 60), width=st.integers(0, 150))
 @settings(**SETTINGS)
 def test_bucketed_range_join_equals_naive(spark, left, right, lower, width):
     """The (key, time-bucket) range join with <=2-bucket probe duplication

@@ -53,6 +53,17 @@ def test_dual_sort_has_no_single_partition_exchange(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_pareto_abc_has_no_single_partition_exchange(spark, sf_dir):
+    """pareto_abc's cumulative share runs over one row per customer —
+    unbounded at scale — so the cumsum must be two-level (range partition
+    + local window + triangular broadcast offsets), never a global
+    window's Exchange SinglePartition funnel."""
+    from prac_data_pipelines_spark.queries.core import q_pareto_abc
+
+    plan = _plan(q_pareto_abc(spark, sf_dir))
+    assert "SinglePartition" not in plan
+
+
 def test_zscore_attaches_stats_by_broadcast(spark, sf_dir):
     """zscore_columns must broadcast the one-row aggregate, not funnel the
     frame through an unpartitioned window."""
