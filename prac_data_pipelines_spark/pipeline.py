@@ -118,10 +118,22 @@ def main() -> int:
     ap.add_argument("--skip-export", action="store_true")
     ap.add_argument("--dashboard", type=int, metavar="PORT", default=None,
                     help="serve the interactive dashboard on PORT and block")
+    ap.add_argument("--test-connection", metavar="JDBC_URL", default=None,
+                    help="only probe the database connection and exit 0/1 "
+                         "(reference main.py --test-connection parity)")
+    ap.add_argument("--probe-query", default="SELECT 1",
+                    help="dialect probe for --test-connection (Derby/DB2: "
+                         "'VALUES 1'; Firebird: 'SELECT 1 FROM RDB$DATABASE')")
     args = ap.parse_args()
 
     spark = get_spark("cxc-pipeline")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.test_connection:
+        from .sources.registry import probe_connection
+
+        ok = probe_connection(spark, args.test_connection, args.probe_query)
+        print("conexion exitosa" if ok else "conexion fallida")
+        return 0 if ok else 1
     views = run_pipeline(spark, args.sf_dir, args.as_of)
     for name, df in views.items():
         print(f"{name}: {df.count()} rows")

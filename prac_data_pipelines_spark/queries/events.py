@@ -225,33 +225,46 @@ register("events_segment_value", q_events_segment_value, SQL_EVENTS_SEGMENT_VALU
 # checked output small while the window still computes per event.
 #
 # Scale note: partitioning by event_type alone bounds parallelism at the
-# type cardinality. At 100 TB the deployment shape is (event_type,
-# day-bucket) partitions with each shard also reading the trailing 24 h
-# of the PREVIOUS bucket (boundary overlap), so shards scale with time
-# while every event still sees its full window; the streaming twin
-# (stream_hourly_rollup's watermarked state) is the other standard
-# answer. At report cardinality the single-key window is the simpler
-# correct plan.
+# type cardinality — one hot type = one task at any data size. The query
+# therefore ROUTES: below ROLLING_SHARD_ROWS it runs the single-key
+# window (the semantic definition, simplest correct plan at report
+# cardinality); above it, it runs the same window through
+# ``sharded_range_window`` — (event_type, weekly bucket) shards with
+# boundary overlap, parallelism |types| x |weeks|. The row probe is one
+# parquet-metadata count, and both paths produce identical results
+# (same oracle; sharded-vs-single equality is also a hypothesis property
+# in tests/test_operator_properties.py).
 # --------------------------------------------------------------------------
 
 ROLLING_SECONDS = 24 * 3600
+ROLLING_SHARD_ROWS = 50_000
+
+
+def _rolling_summary(rolled: DataFrame) -> DataFrame:
+    return (rolled.groupBy("event_type")
+            .agg(F.max("n_24h").cast("long").alias("max_n_24h"),
+                 r2(F.avg("media_24h")).alias("media_de_medias"),
+                 F.count(F.lit(1)).cast("long").alias("n_eventos"))
+            .orderBy("event_type"))
 
 
 def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import sharded_range_window
+
     ev = load_table(spark, sf_dir, "events")
+    if ev.count() > ROLLING_SHARD_ROWS:  # parquet-metadata count, no scan
+        rolled = sharded_range_window(
+            ev, ["event_type"], "ts", ROLLING_SECONDS,
+            {"n_24h": lambda w: F.count(F.lit(1)).over(w).cast("long"),
+             "media_24h": lambda w: F.avg("value").over(w)})
+        return _rolling_summary(rolled)
     w = (Window.partitionBy("event_type")
          .orderBy(epoch_sec("ts"))
          .rangeBetween(-ROLLING_SECONDS, 0))
     rolled = (ev
               .withColumn("n_24h", F.count(F.lit(1)).over(w).cast("long"))
               .withColumn("media_24h", F.avg("value").over(w)))
-    return (
-        rolled.groupBy("event_type")
-        .agg(F.max("n_24h").cast("long").alias("max_n_24h"),
-             r2(F.avg("media_24h")).alias("media_de_medias"),
-             F.count(F.lit(1)).cast("long").alias("n_eventos"))
-        .orderBy("event_type")
-    )
+    return _rolling_summary(rolled)
 
 
 SQL_EVENTS_ROLLING = f"""
@@ -291,13 +304,7 @@ def q_events_rolling_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["event_type"], "ts", ROLLING_SECONDS,
         {"n_24h": lambda w: F.count(F.lit(1)).over(w).cast("long"),
          "media_24h": lambda w: F.avg("value").over(w)})
-    return (
-        rolled.groupBy("event_type")
-        .agg(F.max("n_24h").cast("long").alias("max_n_24h"),
-             r2(F.avg("media_24h")).alias("media_de_medias"),
-             F.count(F.lit(1)).cast("long").alias("n_eventos"))
-        .orderBy("event_type")
-    )
+    return _rolling_summary(rolled)
 
 
 register("events_rolling_sharded", q_events_rolling_sharded, SQL_EVENTS_ROLLING)

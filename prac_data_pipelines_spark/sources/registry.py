@@ -124,6 +124,38 @@ def load_jdbc_table(spark: SparkSession, url: str, query: str,
     return reader.load()
 
 
+def probe_connection(spark: SparkSession, url: str,
+                     probe_query: str = "SELECT 1",
+                     properties: dict[str, str] | None = None) -> bool:
+    """Lightweight connectivity probe (parity with the reference's
+    ``test_connection``, ``src/db_connector.py:173-191``): open one JDBC
+    connection, run a trivial query, report True/False — never raise.
+
+    Uses ``java.sql.DriverManager`` directly (one connection, one
+    statement — no DataFrame machinery, no query rewrapping), which is
+    what a preflight check should cost. Dialect probes: ``SELECT 1``
+    (PostgreSQL/MySQL/SQLite), ``VALUES 1`` (Derby/DB2), ``SELECT 1 FROM
+    RDB$DATABASE`` (Firebird — the reference's target; its JDBC driver is
+    Jaybird, ``jdbc:firebirdsql://host/db``)."""
+    jvm = spark._sc._jvm  # noqa: SLF001 — py4j JVM gateway
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    try:
+        conn = jvm.java.sql.DriverManager.getConnection(url, props)
+        try:
+            st = conn.createStatement()
+            rs = st.executeQuery(probe_query)
+            rs.next()
+            rs.close()
+            st.close()
+            return True
+        finally:
+            conn.close()
+    except Exception:
+        return False
+
+
 def load_jdbc_partitioned(spark: SparkSession, url: str, table: str,
                           partition_col: str, lower: int, upper: int,
                           num_partitions: int,

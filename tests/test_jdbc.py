@@ -59,3 +59,36 @@ def test_jdbc_partitioned_read(spark, derby_url):
     assert all(n > 0 for n in per_part), per_part
     total = df.groupBy().sum("saldo").collect()[0][0]
     assert abs(total - sum(i * 1.5 for i in range(1, 101))) < 1e-9
+
+
+def test_probe_connection_success_and_failure(spark, derby_url):
+    """The preflight probe (reference src/db_connector.py:173-191 parity):
+    True on a live database, False — never an exception — on a bad URL."""
+    from prac_data_pipelines_spark.sources.registry import probe_connection
+
+    assert probe_connection(spark, derby_url, probe_query="VALUES 1") is True
+    # wrong: probing an existing db with a dialect-invalid query
+    assert probe_connection(spark, derby_url,
+                            probe_query="SELECT 1 FROM RDB$DATABASE") is False
+    # unreachable database: Derby without ;create refuses to open
+    assert probe_connection(spark, "jdbc:derby:/nonexistent/nope",
+                            probe_query="VALUES 1") is False
+
+
+def test_cli_test_connection_flag(spark, derby_url, monkeypatch, capsys):
+    """--test-connection probes and exits 0/1 without running the pipeline
+    (reference main.py:614-620 parity)."""
+    import sys
+
+    from prac_data_pipelines_spark import pipeline
+
+    monkeypatch.setattr(sys, "argv", [
+        "pipeline", "--test-connection", derby_url,
+        "--probe-query", "VALUES 1"])
+    assert pipeline.main() == 0
+    assert "exitosa" in capsys.readouterr().out
+
+    monkeypatch.setattr(sys, "argv", [
+        "pipeline", "--test-connection", "jdbc:derby:/nonexistent/nope",
+        "--probe-query", "VALUES 1"])
+    assert pipeline.main() == 1

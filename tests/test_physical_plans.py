@@ -182,6 +182,36 @@ def test_events_rolling_sharded_window_keys_include_time_bucket(spark, sf_dir):
     assert all("_bucket" in ln for ln in window_lines), window_lines
 
 
+def test_events_rolling_routes_to_sharded_at_volume(spark):
+    """The REGISTERED rolling query must protect itself at scale: above
+    the row threshold it routes through sharded_range_window, so at sf0.1
+    volume its window keys include the time bucket; at tiny sf it keeps
+    the single-key definition plan."""
+    import os
+
+    from prac_data_pipelines_spark.queries.events import (
+        ROLLING_SHARD_ROWS,
+        q_events_rolling,
+    )
+
+    big_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(big_dir):
+        import pytest
+
+        pytest.skip("sf0.1 testdata not present")
+    plan = _plan(q_events_rolling(spark, big_dir))
+    window_lines = [ln for ln in plan.split("\n") if "Window [" in ln]
+    assert window_lines, plan
+    assert all("_bucket" in ln for ln in window_lines), window_lines
+
+    small = _plan(q_events_rolling(spark, "/root/testdata/sf0.001"))
+    small_windows = [ln for ln in small.split("\n") if "Window [" in ln]
+    assert small_windows and all(
+        "_bucket" not in ln for ln in small_windows), small_windows
+    # sanity: the threshold actually separates the two scales
+    assert ROLLING_SHARD_ROWS > 0
+
+
 def test_revenue_change_all_predicates_pushed(spark, sf_dir):
     """Q6 form is the pure scan-side aggregate: every predicate must reach
     the parquet scan and the plan must have no join and no shuffle other
