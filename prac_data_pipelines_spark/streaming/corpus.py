@@ -27,6 +27,22 @@ WITHOUT a transactional sink:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_content_dedup(docs: DataFrame,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Watermarked streaming EXACT dedup on content hash — the streaming
+    twin of ``doc_exact_dedup``'s hash-group batch plan. State holds one
+    entry per distinct ``md5(text)`` inside the watermark horizon (later
+    same-content arrivals drop; hashes older than the watermark are
+    evicted, so state is O(content-per-window), not O(stream)). This is
+    the cheap first gate in front of ``stream_ingest_dedup``'s near-dup
+    state: exact clones never reach the MinHash probe. ``docs`` needs
+    (doc_id, text, ts)."""
+    return (docs.withColumn("text_hash", F.md5("text"))
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["text_hash"]))
 
 
 def stream_ingest_dedup(docs_stream: DataFrame, state_dir: str,

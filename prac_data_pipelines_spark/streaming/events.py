@@ -126,6 +126,45 @@ def stream_purchase_error_join(events: DataFrame) -> DataFrame:
         "p_user", "p_event", "e_event", "p_ts", "e_ts")
 
 
+def stream_conversion_pairs(events: DataFrame) -> DataFrame:
+    """Stream-stream conversion attribution: every purchase within 30
+    minutes strictly after a click by the same user — the streaming face
+    of ``queries.events.q_events_conversion_pairs``. The batch plan gets
+    its scale from the (user, time-bucket) range join; here Spark's
+    interval-join state eviction plays that role: both sides watermarked,
+    and the join interval bounds how long a click stays in the state
+    store (watermark + 30 min), so state is O(recent events), not
+    O(stream).
+
+    Event time is truncated to SECONDS before watermarking so the window
+    membership arithmetic is identical to the batch/epoch_sec convention
+    (a sub-second difference must not flip a pair in or out)."""
+    from ..queries.events import CONVERSION_WINDOW_SEC
+
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.date_trunc("second", "ts").alias("c_ts"))
+              .withWatermark("c_ts", WATERMARK))
+    compras = (events.filter(F.col("event_type") == "purchase")
+               .select(F.col("event_id").alias("compra_id"),
+                       F.col("user_id").alias("p_user"),
+                       F.col("value"),
+                       F.date_trunc("second", "ts").alias("p_ts"))
+               .withWatermark("p_ts", WATERMARK))
+    cond = (
+        (clicks.c_user == compras.p_user)
+        & (compras.p_ts > clicks.c_ts)
+        & (compras.p_ts <= clicks.c_ts
+           + F.expr(f"INTERVAL {CONVERSION_WINDOW_SEC} SECONDS"))
+    )
+    return clicks.join(compras, cond).select(
+        "click_id", "compra_id", F.col("c_user").alias("user_id"),
+        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long"))
+        .alias("retraso_seg"),
+        F.col("value").alias("monto"))
+
+
 def stream_enrich_segments(events: DataFrame, customer_dim: DataFrame) -> DataFrame:
     """Stream-static enrichment: each micro-batch broadcast-joins the static
     customer dimension (re-read per batch, so a refreshed dim parquet is

@@ -186,3 +186,57 @@ def test_stream_hopping_matches_batch(spark, stream_dir, sf_dir):
         for r in q_events_hopping(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_conversion_pairs_matches_batch(spark, stream_dir, sf_dir):
+    """The watermarked click->purchase interval join must produce exactly
+    the batch range-join's (click, purchase) pair set."""
+    from prac_data_pipelines_spark.queries.events import (
+        q_events_conversion_pairs,
+    )
+    from prac_data_pipelines_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+        stream_conversion_pairs,
+    )
+
+    joined = stream_conversion_pairs(read_event_stream(spark, stream_dir))
+    run_to_memory(joined, "conv_pairs_test", output_mode="append")
+    got = {
+        (r["click_id"], r["compra_id"], r["user_id"], r["retraso_seg"],
+         round(r["monto"], 2))
+        for r in spark.table("conv_pairs_test").collect()
+    }
+    want = {
+        (r["click_id"], r["compra_id"], r["user_id"], r["retraso_seg"],
+         round(r["monto"], 2))
+        for r in q_events_conversion_pairs(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_content_dedup_matches_batch_distinct(spark, tmp_path):
+    """Watermarked content dedup: one survivor per distinct text, clones
+    dropped — same distinct-content set the batch hash-group computes."""
+    from prac_data_pipelines_spark.streaming.corpus import (
+        stream_content_dedup,
+    )
+    from prac_data_pipelines_spark.streaming.events import run_to_memory
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    rows = [(i, f"document body number {i % 7}",  # 7 distinct texts, 3x each
+             f"2024-01-01 00:{i:02d}:00") for i in range(21)]
+    (spark.createDataFrame(rows, "doc_id long, text string, ts_s string")
+     .selectExpr("doc_id", "text", "cast(ts_s as timestamp) AS ts")
+     .coalesce(1).write.parquet(str(src / "f1.parquet")))
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string, ts timestamp")
+              .parquet(str(src) + "/*.parquet"))
+    run_to_memory(stream_content_dedup(stream), "content_dedup_test",
+                  output_mode="append")
+    kept = spark.table("content_dedup_test").collect()
+    assert len(kept) == 7
+    assert {r["text"] for r in kept} == {f"document body number {i}"
+                                         for i in range(7)}
