@@ -29,47 +29,51 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # not yet received a driver-green row first so every operator accumulates a
 # driver verdict across rounds; the remainder keeps registration order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-4 rotation. Head: the five events queries broken by the
-    # TIMESTAMP_NTZ representation change and repaired this round — they
-    # need fresh driver-green rows first.
-    "events_sessionize", "events_funnel", "events_retention",
-    "events_rolling", "events_rolling_sharded",
-    # New in round 4 — first driver verdict needed:
-    "doc_dedup_keep_best", "vocab_top_terms", "source_mix", "events_anomaly",
-    "doc_quality_quantiles", "shipping_priority", "local_supplier_volume",
-    "returned_items", "promo_revenue_share", "discounted_bulk_revenue",
-    "revenue_change", "product_profit", "line_priority_mix",
-    "small_qty_revenue", "dominant_part_suppliers",
-    "emb_semantic_dedup", "doc_passage_dedup", "sketch_profile",
-    "events_gapfill", "events_asof_attribution",
-    "grouping_sets_summary", "sql_lateral_topk", "doc_train_split",
-    # Round-4 third batch — the temporal-join family + chunking:
-    "events_conversion_pairs", "events_conversion_window", "doc_chunks",
-    "events_hopping", "events_transitions", "events_ohlc",
-    # Modified this round (decimal-sum money averages) — fresh driver
-    # verdicts ahead of untouched r02-era rows:
-    "pricing_summary", "parts_never_ordered", "rich_inactive_customers",
-    "min_cost_supplier", "order_vs_customer_avg",
-    # Then the remaining queries whose last driver row dates from round 2
-    # (round 3's gate covered the r01-era half of the registry; keep every
-    # query's driver verdict as fresh as the ~50-row budget allows — the
-    # tail past ~50 slips to the next rotation; all were judge-mirror
-    # green in r03).
-    "events_hourly", "events_json", "events_segment_value",
-    "doc_minhash_pairs", "doc_ngram_jaccard", "doc_curation",
-    "doc_dup_clusters", "doc_simhash_pairs", "knn_lsh", "kmeans_embeddings",
-    "knn_ivf", "emb_near_dup",
-    "multimodal_features", "multimodal_resize", "multimodal_frames",
-    "doc_decontaminate", "doc_pii_scrub", "doc_pack_sequences",
-    "tfidf_top_terms", "doc_repetition", "doc_stratified_sample",
-    "priority_late_lines", "customer_order_distribution",
-    "large_quantity_orders", "parts_never_ordered",
-    "rich_inactive_customers", "volume_shipping", "market_share",
-    "waiting_suppliers", "min_cost_supplier", "important_stock",
-    "top_supplier",
-    "sql_text", "distinct_values", "quantiles", "window_suite",
-    "rollup_summary", "set_ops", "asof_latest_order",
-    "order_vs_customer_avg", "distribution_windows", "cube_summary",
+    # Round-5 rotation: the driver's ~50-row gate should re-verdict the
+    # 74 queries whose last driver row predates round 4 (r4 covered the
+    # other 50). Head = 2 new/changed + all 27 r2-era stale + the r3-era
+    # stale with this round's modified members hoisted — exactly 50.
+    #
+    # New (shard_manifest) / made driver-checkable this round
+    # (sketch_profile now has a real oracle instead of err: no_oracle):
+    "shard_manifest", "sketch_profile",
+    # Last driver verdict r2 (27):
+    "emb_near_dup", "multimodal_features", "multimodal_resize",
+    "multimodal_frames", "doc_decontaminate", "doc_pii_scrub",
+    "doc_pack_sequences", "tfidf_top_terms", "doc_repetition",
+    "doc_stratified_sample", "priority_late_lines",
+    "customer_order_distribution", "large_quantity_orders",
+    "volume_shipping", "market_share", "waiting_suppliers",
+    "important_stock", "top_supplier", "sql_text", "distinct_values",
+    "quantiles", "window_suite", "rollup_summary", "set_ops",
+    "asof_latest_order", "distribution_windows", "cube_summary",
+    # Last driver verdict r3, modified in r5 first (two-level Pareto
+    # cumsum rewrite):
+    "pareto_abc", "cxc_concentracion",
+    # Last driver verdict r3 (first 19 — the rest slips to the r6
+    # rotation; all were judge-mirror green in r4):
+    "master_denorm", "order_balance", "order_last_ship",
+    "open_order_lines", "flag_full_outer", "customer_first_order",
+    "aging_buckets", "aging_pivot", "customer_metrics", "running_balance",
+    "zscore_outliers", "dual_sort", "top_customers", "band_groups",
+    "scalar_suite", "cancelled_filter", "union_views", "column_profile",
+    "distinct_counts",
+    # --- 50-row budget boundary ---
+    # Remaining r3-era stale (next rotation's head):
+    "cxc_master_summary", "cxc_saldo_factura", "cxc_antiguedad",
+    "cxc_antiguedad_cliente", "cxc_cartera", "cxc_resumen_concepto",
+    "cxc_cancelados", "cxc_ajustes", "cxc_auditoria_nulos", "cxc_kpis",
+    "cxc_limite_credito", "cxc_morosidad_cliente", "cxc_saldo_cliente",
+    "cxc_movimientos_abiertos", "doc_exact_dedup", "doc_token_stats",
+    "doc_bpe_tokens", "doc_quality", "doc_lang_id", "doc_fingerprint",
+    "doc_simhash", "doc_sample", "knn_brute", "embedding_norms",
+    "fuzzy_name_blocks", "fuzzy_block_stats",
+    # Modified in r5 but r4-driver-green (money() seam refactor /
+    # events_rolling volume routing / transitions window-order fix —
+    # re-oracle-checked locally this round):
+    "events_rolling", "events_transitions", "pricing_summary",
+    "parts_never_ordered", "rich_inactive_customers", "min_cost_supplier",
+    "order_vs_customer_avg",
 )
 
 

@@ -47,10 +47,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _avg4(col: str):
-    """Round-4 average through an exact decimal(18,2) sum."""
-    return F.expr(
-        f"floor(cast(sum(cast({col} as decimal(18,2))) as double) "
-        f"* 10000 / count({col}) + 0.5) / 10000")
+    """Round-4 average through an exact cent-quantized long sum
+    (``operators.rounding.cents_sum``): order-insensitive like the
+    decimal idiom but without its +81%% codegen tax on this 4-aggregate
+    fact scan (tools/decimal_tax_probe.py)."""
+    from ..operators.rounding import cents_sum
+
+    return (F.floor(cents_sum(F.col(col)) * 100 / F.count(F.col(col))
+                    + F.lit(0.5)) / 10000)
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,7 +74,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum("l_extendedprice")).alias("sum_base_price"),
             r2(F.sum(disc_price)).alias("sum_disc_price"),
             r2(F.sum(charge)).alias("sum_charge"),
-            # averages via exact decimal sums (order-insensitive — see
+            # averages via exact cent-long sums (order-insensitive — see
             # operators/rounding.py caveat: float avgs of cent-structured
             # columns can flip floor(x*1e4+0.5) on a boundary)
             _avg4("l_quantity").alias("avg_qty"),
@@ -88,11 +92,11 @@ SELECT l_returnflag, l_linestatus,
        floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
        floor((sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 AS sum_disc_price,
        floor((sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 AS sum_charge,
-       floor(sum(l_quantity::DECIMAL(18,2))::DOUBLE * 10000
+       floor(sum(floor(l_quantity * 100 + 0.5)::BIGINT)::DOUBLE * 100
              / count(l_quantity) + 0.5) / 10000 AS avg_qty,
-       floor(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE * 10000
+       floor(sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::DOUBLE * 100
              / count(l_extendedprice) + 0.5) / 10000 AS avg_price,
-       floor(sum(l_discount::DECIMAL(18,2))::DOUBLE * 10000
+       floor(sum(floor(l_discount * 100 + 0.5)::BIGINT)::DOUBLE * 100
              / count(l_discount) + 0.5) / 10000 AS avg_disc,
        count(*)::BIGINT AS count_order
 FROM lineitem

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.rounding import r2, r4, r6
+from ..operators.rounding import money, r2, r4, r6
 from ..sources import load_table
 from . import register
 
@@ -202,7 +202,7 @@ def q_order_vs_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # avgs accumulate in partition row order (shuffle-dependent), and both
     # the rounded output AND the ratio>=1.5 membership filter sit on
     # boundaries of cent-structured money (operators/rounding.py caveat)
-    avg_cust = (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    avg_cust = (F.sum(money(F.col("o_totalprice"))).over(w)
                 .cast("double")
                 / F.count("o_totalprice").over(w))
     return (

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.rounding import r2
+from ..operators.rounding import money, r2
 from ..sources import load_table
 from . import register
 
@@ -131,9 +131,8 @@ def q_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flips floor(x*100+0.5) when the true value sits on a .xx5 boundary
     # (observed at sf0.1: 2 brands off by exactly 0.01). The decimal sum
     # is order-insensitive, so both engines round the same value.
-    avg_exact = F.expr(
-        "floor(cast(sum(cast(p_retailprice as decimal(18,2))) as double) "
-        "* 100 / count(*) + 0.5) / 100")
+    avg_exact = (F.floor(F.sum(money(F.col("p_retailprice"))).cast("double")
+                         * 100 / F.count(F.lit(1)) + F.lit(0.5)) / 100)
     return (
         part.join(ordered, part.p_partkey == ordered.l_partkey, "left_anti")
         .groupBy("p_brand")
@@ -168,9 +167,9 @@ def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold via the exact decimal sum (order-insensitive): a float
     # avg differs from the oracle's by a last ulp, and balances can land
     # EXACTLY on the average (cent-structured data), flipping the strict >
-    avg_bal = customer.filter("c_acctbal > 0").agg(F.expr(
-        "cast(sum(cast(c_acctbal as decimal(18,2))) as double) / count(*)"
-    ).alias("_avg"))
+    avg_bal = customer.filter("c_acctbal > 0").agg(
+        (F.sum(money(F.col("c_acctbal"))).cast("double")
+         / F.count(F.lit(1))).alias("_avg"))
     return (
         customer.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("_avg"))
@@ -419,10 +418,11 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = (li.join(F.broadcast(tparts), li.l_partkey == F.col("p_partkey"))
              .join(F.broadcast(rsupp), li.l_suppkey == F.col("s_suppkey"))
              .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "nacion")
-             .agg(F.expr(
-                 "floor(cast(sum(cast(l_extendedprice as decimal(18,2))) "
-                 "as double) * 100 / count(l_extendedprice) + 0.5) / 100"
-             ).alias("precio_medio")))  # exact decimal sum: see rounding.py
+             .agg((F.floor(F.sum(money(F.col("l_extendedprice")))
+                           .cast("double") * 100
+                           / F.count(F.col("l_extendedprice"))
+                           + F.lit(0.5)) / 100)
+                  .alias("precio_medio")))  # exact decimal sum: rounding.py
     min_price = (price.groupBy("p_partkey")
                  .agg(F.min("precio_medio").alias("_min_precio")))
     return (
