@@ -98,6 +98,11 @@ HEADLINE = [
     "events_hopping",
     "events_transitions",
     "events_ohlc",
+    # Round-5: the training-shard manifest (portable-hash assignment +
+    # N-row rollup over the documents table) and the volume-routed
+    # rolling window now exercising the sharded path at sf0.1.
+    "shard_manifest",
+    "events_rolling",
 ]
 
 

@@ -356,6 +356,42 @@ def probe_incremental_dedup(spark, sf_dir: str, k: int = 8) -> None:
     shutil.rmtree(scratch, ignore_errors=True)
 
 
+def probe_shards(spark, sf_dir: str, k: int = 8) -> None:
+    """Training-shard writer at k× docs: wall time must scale ~linearly
+    (per-row hash + one partitioned write, no global sort) and the
+    hash-balanced shards must stay within the multinomial band."""
+    import shutil
+    import statistics
+    import tempfile
+
+    from prac_data_pipelines_spark.sinks.shards import write_training_shards
+
+    scratch = tempfile.mkdtemp(prefix="shards_probe_")
+    base = load_table(spark, sf_dir, "documents")
+    for kk in (1, k):
+        docs = replicate(base, ["doc_id"], kk, 10_000_000)
+        if kk > 1:
+            # make replica texts distinct — identical content hashes to
+            # identical shards by design (content-keyed), which would
+            # measure clone collapse, not scale
+            docs = docs.withColumn(
+                "text", F.concat("text", F.lit(" rep"),
+                                 (F.col("doc_id") / 10_000_000)
+                                 .cast("long").cast("string")))
+        docs.write.mode("overwrite").parquet(f"{scratch}/docs_{kk}")
+        frame = spark.read.parquet(f"{scratch}/docs_{kk}")
+        n = frame.count()
+        t0 = time.time()
+        manifest = write_training_shards(frame, f"{scratch}/out_{kk}", 32)
+        wall = time.time() - t0
+        counts = [r["docs"] for r in manifest.collect()]
+        mean = statistics.mean(counts)
+        print(f"shards {kk}x: {n:,} docs -> 32 shards in {wall:.2f}s | "
+              f"balance max/mean {max(counts) / mean:.3f}, "
+              f"min/mean {min(counts) / mean:.3f}")
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     k = int(args[0]) if args else 8
@@ -384,6 +420,9 @@ def main() -> None:
         return
     if "--tpch" in sys.argv:
         probe_tpch(spark, sf_dir, k)
+        return
+    if "--shards" in sys.argv:
+        probe_shards(spark, sf_dir, k)
         return
 
     span = 100_000_000
