@@ -499,31 +499,38 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (F.abs(approx - exact)
                 / F.greatest(exact, F.lit(1.0)) < F.lit(_SKETCH_TOL))
 
-    a = o.agg(
-        F.countDistinct("o_custkey").cast("long").alias("clientes_activos"),
-        F.expr("approx_count_distinct(o_custkey, 0.01)")
-        .cast("double").alias("_ca"))
-    b = li.agg(
-        F.countDistinct("l_partkey").cast("long").alias("partes_vendidas"),
-        F.expr("approx_count_distinct(l_partkey, 0.01)")
-        .cast("double").alias("_pa"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("_p50"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("_p90"),
-        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
-        .cast("double").alias("_p50a"),
-        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)")
-        .cast("double").alias("_p90a"))
-    return (a.crossJoin(b)  # 1-row x 1-row aggregate merge
+    # Plan shape: exact-distinct + sketch must NOT share one aggregate
+    # with other functions — a mixed distinct/typed agg plans through
+    # Expand -> SortAggregate (measured 5.5 s vs 1.1 s at sf0.1). HLL is
+    # duplicate-insensitive, so running it over the DISTINCT keys gives
+    # the identical estimate while sharing the exact count's scan; the
+    # percentile pair (exact array + KLL array) gets its own agg. Three
+    # 1-row frames crossJoined.
+    def distinct_pair(df, key, exact_name, approx_name):
+        return (df.select(key).distinct()
+                .agg(F.count(F.lit(1)).cast("long").alias(exact_name),
+                     F.expr(f"approx_count_distinct({key}, 0.01)")
+                     .cast("double").alias(approx_name)))
+
+    a = distinct_pair(o, "o_custkey", "clientes_activos", "_ca")
+    b1 = distinct_pair(li, "l_partkey", "partes_vendidas", "_pa")
+    b2 = li.agg(
+        F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("_p"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
+        .alias("_px"))
+    return (a.crossJoin(b1).crossJoin(b2)  # 1-row x 1-row merges
             .select(
         "clientes_activos", "partes_vendidas",
-        r2(F.col("_p50")).alias("p50_precio"),
-        r2(F.col("_p90")).alias("p90_precio"),
+        r2(F.element_at("_p", 1)).alias("p50_precio"),
+        r2(F.element_at("_p", 2)).alias("p90_precio"),
         ok(F.col("_ca"), F.col("clientes_activos").cast("double"))
         .alias("clientes_hll_ok"),
         ok(F.col("_pa"), F.col("partes_vendidas").cast("double"))
         .alias("partes_hll_ok"),
-        ok(F.col("_p50a"), F.col("_p50")).alias("p50_kll_ok"),
-        ok(F.col("_p90a"), F.col("_p90")).alias("p90_kll_ok")))
+        ok(F.element_at("_px", 1).cast("double"), F.element_at("_p", 1))
+        .alias("p50_kll_ok"),
+        ok(F.element_at("_px", 2).cast("double"), F.element_at("_p", 2))
+        .alias("p90_kll_ok")))
 
 
 SQL_SKETCH_PROFILE = """
