@@ -102,3 +102,23 @@ def write_training_shards(docs: DataFrame, out_dir: str,
     (manifest.coalesce(1).write.mode("overwrite")
      .parquet(f"{out_dir}/manifest"))
     return manifest
+
+
+def verify_shards(spark, out_dir: str) -> DataFrame:
+    """Loader-side verification: re-aggregate the WRITTEN shards and
+    compare each row to the stored manifest. Returns (shard, docs,
+    bytes, checksum, ok) — a training job runs this before trusting a
+    shard set (cost: one narrow scan of the data it is about to read
+    anyway). ``ok`` is null for shards present on only one side."""
+    stored = spark.read.parquet(f"{out_dir}/manifest")
+    actual = (spark.read.parquet(f"{out_dir}/data")
+              .groupBy("shard")
+              .agg(F.count(F.lit(1)).cast("long").alias("_docs"),
+                   F.sum(F.length("text")).cast("long").alias("_bytes"),
+                   F.sum(F.expr(_CKTERM)).cast("long").alias("_checksum")))
+    return (stored.join(actual, "shard", "full_outer")
+            .select("shard", "docs", "bytes", "checksum",
+                    ((F.col("docs") == F.col("_docs"))
+                     & (F.col("bytes") == F.col("_bytes"))
+                     & (F.col("checksum") == F.col("_checksum"))).alias("ok"))
+            .orderBy("shard"))

@@ -221,6 +221,29 @@ def run_to_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
     q.awaitTermination()
 
 
+def stream_ohlc(events: DataFrame) -> DataFrame:
+    """Hourly OHLC bars per event type, incrementally — the streaming
+    twin of ``queries.events.q_events_ohlc``. Open/close come from the
+    same struct-ordered MIN/MAX the batch query uses ((sec, event_id,
+    value) lexicographic), which are plain mergeable aggregates — so the
+    bar state is fixed-size per (window, type) and combines across
+    micro-batches exactly like map-side partials do in batch."""
+    sec = F.col("ts").cast("long")
+    first_s = F.min(F.struct(sec.alias("s"), "event_id", "value"))
+    last_s = F.max(F.struct(sec.alias("s"), "event_id", "value"))
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "60 minutes").alias("w"), "event_type")
+        .agg(first_s["value"].alias("apertura"),
+             F.max("value").alias("maximo"),
+             F.min("value").alias("minimo"),
+             last_s["value"].alias("cierre"),
+             F.count(F.lit(1)).alias("n_eventos"))
+        .select(F.col("w.start").alias("hora"), "event_type", "apertura",
+                "maximo", "minimo", "cierre", "n_eventos")
+    )
+
+
 def stream_hopping_rollup(events: DataFrame) -> DataFrame:
     """Hopping-window (1 h window / 15 min slide) incremental rollup — the
     streaming twin of ``queries.events.q_events_hopping``. Each event lands

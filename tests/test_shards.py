@@ -83,6 +83,27 @@ def test_shard_file_row_order_is_deterministic(spark, sf_dir, tmp_path):
         assert keys == sorted(keys)
 
 
+def test_verify_shards_detects_tampering(spark, sf_dir, tmp_path):
+    """verify_shards: all-ok on an intact shard set; a corrupted shard
+    flips exactly its own row."""
+    import os
+
+    from prac_data_pipelines_spark.sinks.shards import verify_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, 4)
+    report = verify_shards(spark, out).collect()
+    assert [r["ok"] for r in report] == [True] * 4
+
+    # tamper: drop shard 2's data file
+    victim = glob.glob(f"{out}/data/shard=2/*.parquet")[0]
+    os.remove(victim)
+    report2 = {r["shard"]: r["ok"] for r in verify_shards(spark, out).collect()}
+    assert report2[2] is not True  # False (empty scan) or null (missing)
+    assert report2[0] and report2[1] and report2[3]
+
+
 def test_rewrite_is_idempotent(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents").limit(200)
     out = str(tmp_path / "shards")

@@ -240,3 +240,30 @@ def test_stream_content_dedup_matches_batch_distinct(spark, tmp_path):
     assert len(kept) == 7
     assert {r["text"] for r in kept} == {f"document body number {i}"
                                          for i in range(7)}
+
+
+def test_stream_ohlc_matches_batch(spark, stream_dir, sf_dir):
+    """Incremental OHLC bars must equal the batch bar rollup: open/close
+    from the same struct-ordered min/max, merged across micro-batches."""
+    from prac_data_pipelines_spark.queries.events import q_events_ohlc
+    from prac_data_pipelines_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+        stream_ohlc,
+    )
+
+    stream = stream_ohlc(read_event_stream(spark, stream_dir))
+    run_to_memory(stream, "ohlc_test", output_mode="complete")
+    got = {
+        (int(r["hora"].timestamp()), r["event_type"]):
+            (round(r["apertura"], 2), round(r["maximo"], 2),
+             round(r["minimo"], 2), round(r["cierre"], 2), r["n_eventos"])
+        for r in spark.table("ohlc_test").collect()
+    }
+    want = {
+        (r["hora_epoch"], r["event_type"]):
+            (r["apertura"], r["maximo"], r["minimo"], r["cierre"],
+             r["n_eventos"])
+        for r in q_events_ohlc(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 100
