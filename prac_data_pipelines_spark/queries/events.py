@@ -248,11 +248,23 @@ def _rolling_summary(rolled: DataFrame) -> DataFrame:
             .orderBy("event_type"))
 
 
+def _events_rows(spark: SparkSession, sf_dir: str, ev: DataFrame) -> int:
+    """Row count for the routing probe: parquet footer metadata when the
+    table is a plain parquet path (free — no scan; Spark's count() scans
+    unless aggregate pushdown is on), else one column-less count."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    except Exception:
+        return ev.count()
+
+
 def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import sharded_range_window
 
     ev = load_table(spark, sf_dir, "events")
-    if ev.count() > ROLLING_SHARD_ROWS:  # parquet-metadata count, no scan
+    if _events_rows(spark, sf_dir, ev) > ROLLING_SHARD_ROWS:
         rolled = sharded_range_window(
             ev, ["event_type"], "ts", ROLLING_SECONDS,
             {"n_24h": lambda w: F.count(F.lit(1)).over(w).cast("long"),
