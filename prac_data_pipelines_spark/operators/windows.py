@@ -93,10 +93,12 @@ def pareto_abc(df: DataFrame, amount_col: str, key_order: list[Column] | None = 
                     F.coalesce(F.sum(F.when(before, F.col("_bc"))),
                                F.lit(0)).alias("_coff"),
                     F.sum("_bs").alias("_tot")))
+    # null-out shares when the grand total is 0 (ANSI division guard;
+    # a zero/empty portfolio has no meaningful percentage-of-total)
+    tot = F.when(F.col("_tot") != 0, F.col("_tot"))
     out = (local.join(F.broadcast(offsets), "_pid")
-           .withColumn(pct_col, r6(F.col(amount_col) / F.col("_tot")))
-           .withColumn(cum_col, r6((F.col("_aoff") + F.col("_lcum"))
-                                   / F.col("_tot")))
+           .withColumn(pct_col, r6(F.col(amount_col) / tot))
+           .withColumn(cum_col, r6((F.col("_aoff") + F.col("_lcum")) / tot))
            .withColumn("_RN", F.col("_coff") + F.col("_lrn")))
     cum100 = F.col(cum_col) * 100
     abc = (F.when(F.col("_RN") == 1, "A")

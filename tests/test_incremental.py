@@ -197,6 +197,45 @@ def test_stream_ingest_dedup_across_micro_batches(spark, state_dir, tmp_path):
     assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 2, 4]
 
 
+def test_chunked_dedup_equals_one_shot(spark, tmp_path):
+    """Splitting an oversized increment into id-ordered chunks must give
+    the EXACT verdicts of the one-shot call — lower-id-wins makes the
+    earlier chunk keep the winner, so the later chunk's state probe
+    produces the same dup_de the within-batch join would have."""
+    import shutil as _sh
+
+    from prac_data_pipelines_spark.incremental import (
+        incremental_dedup,
+        incremental_dedup_chunked,
+        init_dedup_state,
+    )
+
+    texts = [
+        "alpha corpus text with several words in play today",
+        "beta entirely different body about engines and planners",
+        "gamma third topic mentioning streams and windows broadly",
+    ]
+    # 12 docs, clones interleaved ACROSS what will become chunk borders
+    batch = _docs(spark, [(i, texts[i % 3]) for i in range(12)])
+    dirs = [str(tmp_path / d) for d in ("one", "chunked")]
+    for d in dirs:
+        init_dedup_state(_docs(spark, BASE), d)
+    want = {r["doc_id"]: (r["mantener"], r["dup_de"]) for r in
+            incremental_dedup(spark, batch, dirs[0]).collect()}
+    got = {r["doc_id"]: (r["mantener"], r["dup_de"]) for r in
+           incremental_dedup_chunked(spark, batch, dirs[1],
+                                     chunk_docs=4).collect()}
+    assert got == want
+    # both states learned the same kept set
+    s0 = set(r["doc_id"] for r in spark.read.parquet(
+        f"{dirs[0]}/bands").select("doc_id").distinct().collect())
+    s1 = set(r["doc_id"] for r in spark.read.parquet(
+        f"{dirs[1]}/bands").select("doc_id").distinct().collect())
+    assert s0 == s1
+    for d in dirs:
+        _sh.rmtree(d, ignore_errors=True)
+
+
 def test_stream_replay_is_idempotent(spark, state_dir, tmp_path):
     """At-least-once replay: wipe the checkpoint (so every micro-batch
     replays against a state that already contains its docs) and re-run.

@@ -262,3 +262,29 @@ def test_incremental_dedup_sound_and_complete(spark, texts, split, tmp_path_fact
             assert got[doc_id] == (not should_drop), (doc_id, texts)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 30),
+                               st.integers(0, 10_000)),
+                     min_size=1, max_size=60),
+       parts=st.integers(1, 7))
+@settings(**SETTINGS)
+def test_pareto_abc_partition_invariant(spark, rows, parts):
+    """The two-level cumsum (range partition + local window + broadcast
+    offsets) must produce identical PCT/cum/ABC under ANY input
+    partitioning or row order — the single-partition window it replaced
+    was trivially order-stable, so the replacement must prove it."""
+    from prac_data_pipelines_spark.operators.windows import pareto_abc
+
+    df = (spark.createDataFrame(
+        [(k, float(v)) for k, v in rows], "k int, amt double")
+        .groupBy("k").agg(F.sum("amt").alias("amt")))
+
+    def run(frame):
+        out = pareto_abc(frame, "amt", key_order=[F.col("k").asc()])
+        return sorted((r["k"], r["PCT"], r["PCT_ACUMULADO"],
+                       r["CLASIFICACION_ABC"]) for r in out.collect())
+
+    base = run(df.coalesce(1))
+    assert run(df.repartition(parts)) == base
+    assert run(df.orderBy(F.desc("k"))) == base
