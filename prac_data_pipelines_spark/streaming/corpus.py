@@ -50,15 +50,20 @@ def stream_ingest_dedup(docs_stream: DataFrame, state_dir: str,
     """Drain available document batches through the dedup state: novel
     docs append to ``<out_dir>/corpus``, every verdict appends to
     ``<out_dir>/verdicts`` (the audit trail of what was dropped and why).
-    ``docs_stream`` is any streaming frame with (doc_id, text, ...)."""
-    from ..incremental import incremental_dedup
+    ``docs_stream`` is any streaming frame with (doc_id, text, ...).
+
+    Oversized micro-batches (backlog drains, backfills) route through
+    ``incremental_dedup_chunked`` — the batch side must broadcast, so it
+    is split into id-ordered chunks above 100k docs; small batches take
+    the one-shot path inside the same call."""
+    from ..incremental import incremental_dedup_chunked
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
         spark = batch_df.sparkSession
         batch_df = batch_df.dropDuplicates(["doc_id"]).localCheckpoint()
-        verdicts = incremental_dedup(
+        verdicts = incremental_dedup_chunked(
             spark, batch_df.select("doc_id", "text"), state_dir)
         # deterministic per-batch paths + overwrite = idempotent publish
         # under replay (see module docstring); mantener OR self-match
