@@ -764,10 +764,14 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (paired.groupBy(F.col("origen"),
                              F.col("event_type").alias("destino"))
               .agg(F.count(F.lit(1)).cast("long").alias("n_transiciones")))
-    total = F.sum("n_transiciones").over(Window.partitionBy())
-    return (counts
+    # share of total via a broadcast one-row aggregate (the A15 idiom)
+    # instead of an unpartitioned window — same value, no Window funnel
+    # in the plan even though the rollup is |types|^2-bounded anyway
+    total = counts.agg(F.sum("n_transiciones").alias("_tot"))
+    return (counts.crossJoin(F.broadcast(total))
             .select("origen", "destino", "n_transiciones",
-                    r6(F.col("n_transiciones") / total).alias("proporcion"))
+                    r6(F.col("n_transiciones") / F.col("_tot"))
+                    .alias("proporcion"))
             .orderBy(F.col("n_transiciones").desc(), "origen", "destino"))
 
 

@@ -353,6 +353,19 @@ def probe_incremental_dedup(spark, sf_dir: str, k: int = 8) -> None:
     n_pairs = q_doc_minhash_pairs(spark, f"{scratch}/full").count()
     print(f"  full re-dedup (pair query over {n + 500:,} docs): "
           f"{time.time() - t0:.2f}s ({n_pairs:,} pairs)")
+    # chunked path (oversized-increment route): same batch forced through
+    # 4 id-ordered chunks against a fresh identical state — verdicts must
+    # match the one-shot call; cost is the per-call fixed overhead x4
+    from prac_data_pipelines_spark.incremental import incremental_dedup_chunked
+
+    init_dedup_state(state, f"{scratch}/state2")
+    t0 = time.time()
+    v2 = incremental_dedup_chunked(spark, batch, f"{scratch}/state2",
+                                   chunk_docs=125).collect()
+    same = ({(r["doc_id"], r["mantener"], r["dup_de"]) for r in v2}
+            == {(r["doc_id"], r["mantener"], r["dup_de"]) for r in verdicts})
+    print(f"  chunked x4 (125 docs/chunk): {time.time() - t0:.2f}s "
+          f"(verdicts identical to one-shot: {same})")
     shutil.rmtree(scratch, ignore_errors=True)
 
 
