@@ -85,3 +85,23 @@ def test_ingest_text_dir_to_curated(spark, tmp_path):
     curated = views["curado"]
     assert curated.count() >= 1
     assert {r["source"] for r in curated.collect()} <= set(texts)
+
+
+def test_cli_shards_stage(spark, sf_dir, tmp_path, monkeypatch):
+    """--shards N: the curated corpus lands as N verified training shards
+    with a manifest that verify_shards confirms."""
+    import sys
+
+    from prac_data_pipelines_spark import corpus_pipeline
+    from prac_data_pipelines_spark.sinks.shards import verify_shards
+
+    out = str(tmp_path / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "corpus_pipeline", "--sf-dir", sf_dir, "--out", out,
+        "--skip-index", "--shards", "4"])
+    assert corpus_pipeline.main() == 0
+    report = verify_shards(spark, f"{out}/shards").collect()
+    assert len(report) == 4 and all(r["ok"] for r in report)
+    curated = spark.read.parquet(f"{out}/curado").count()
+    written = spark.read.parquet(f"{out}/shards/data").count()
+    assert written == curated > 0
