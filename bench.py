@@ -103,6 +103,7 @@ HEADLINE = [
     # rolling window now exercising the sharded path at sf0.1.
     "shard_manifest",
     "events_rolling",
+    "doc_lm_quality",
 ]
 
 

@@ -34,9 +34,10 @@ _PRIORITY: tuple[str, ...] = (
     # other 50). Head = 2 new/changed + all 27 r2-era stale + the r3-era
     # stale with this round's modified members hoisted — exactly 50.
     #
-    # New (shard_manifest) / made driver-checkable this round
-    # (sketch_profile now has a real oracle instead of err: no_oracle):
-    "shard_manifest", "sketch_profile",
+    # New (shard_manifest, doc_lm_quality) / made driver-checkable this
+    # round (sketch_profile now has a real oracle instead of
+    # err: no_oracle):
+    "shard_manifest", "sketch_profile", "doc_lm_quality",
     # Last driver verdict r2 (27):
     "emb_near_dup", "multimodal_features", "multimodal_resize",
     "multimodal_frames", "doc_decontaminate", "doc_pii_scrub",

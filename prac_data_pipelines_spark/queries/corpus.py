@@ -729,3 +729,87 @@ FROM documents GROUP BY shard ORDER BY shard
 
 
 register("shard_manifest", q_shard_manifest, _sql_shard_manifest())
+
+
+# --------------------------------------------------------------------------
+# doc_lm_quality — CCNet-style language-model quality filter: train a
+# bigram LM on the corpus ITSELF (the standard perplexity-filtering setup
+# trains on a trusted corpus; self-training is its degenerate in-engine
+# form and exercises the identical plan), then score every document by
+# its mean add-1-smoothed bigram probability. Low-probability docs are
+# the gibberish/boilerplate candidates a curation pass drops.
+#
+# Deterministic by construction: P(w|prev) = (c2+1)/(c1+V) is a ratio of
+# exact integers — no log/exp (transcendentals round differently per
+# libm, the tfidf lesson), one float division per bigram, bit-identical
+# on both engines; per-doc/per-source averages are generic doubles far
+# from r6 boundaries.
+#
+# Plan shape (100 TB): two wordcount-class aggregations (bigram counts,
+# context counts — map-side partials), the vocabulary scalar as a
+# broadcast one-row aggregate, two join-backs keyed by (prev,w)/(prev)
+# (AQE skew-join absorbs the "the"-class hot contexts), one doc_id
+# rollup. No all-pairs, no windows, no driver loops.
+# --------------------------------------------------------------------------
+
+def q_doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bg = (docs.selectExpr("doc_id", "source", f"{WORDS} AS _ws")
+          .filter("size(_ws) >= 2")
+          .selectExpr(
+              "doc_id", "source",
+              "explode(transform(sequence(0, size(_ws) - 2), "
+              "i -> struct(element_at(_ws, i+1) AS prev, "
+              "element_at(_ws, i+2) AS w))) AS bg")
+          .select("doc_id", "source", "bg.prev", "bg.w"))
+    c2 = (bg.groupBy("prev", "w")
+          .agg(F.count(F.lit(1)).cast("long").alias("_c2")))
+    c1 = (bg.groupBy("prev")
+          .agg(F.count(F.lit(1)).cast("long").alias("_c1")))
+    voc = (docs.selectExpr(f"explode({WORDS}) AS w")
+           .agg(F.countDistinct("w").cast("long").alias("_v")))
+    p = (F.col("_c2") + 1).cast("double") / (F.col("_c1") + F.col("_v"))
+    per_doc = (bg.join(c2, ["prev", "w"]).join(c1, "prev")
+               .crossJoin(F.broadcast(voc))
+               .groupBy("doc_id", "source")
+               .agg(F.avg(p).alias("_prob")))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 r6(F.avg("_prob")).alias("media_prob"),
+                 r6(F.expr("percentile(_prob, 0.5)")).alias("p50_prob"),
+                 r6(F.min("_prob")).alias("min_prob"))
+            .orderBy("source"))
+
+
+SQL_DOC_LM_QUALITY = f"""
+WITH ws AS (
+  SELECT doc_id, source, {SQL_WORDS} AS ws FROM documents
+), bg0 AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> {{'prev': ws[i], 'w': ws[i + 1]}})) AS bg
+  FROM ws WHERE len(ws) >= 2
+), bg AS (
+  SELECT doc_id, source, bg.prev AS prev, bg.w AS w FROM bg0
+), c2 AS (
+  SELECT prev, w, count(*)::BIGINT AS c2 FROM bg GROUP BY prev, w
+), c1 AS (
+  SELECT prev, count(*)::BIGINT AS c1 FROM bg GROUP BY prev
+), v AS (
+  SELECT count(DISTINCT w)::BIGINT AS v
+  FROM (SELECT unnest({SQL_WORDS}) AS w FROM documents)
+), per_doc AS (
+  SELECT bg.doc_id, bg.source,
+         avg((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)) AS _prob
+  FROM bg JOIN c2 USING (prev, w) JOIN c1 USING (prev) CROSS JOIN v
+  GROUP BY bg.doc_id, bg.source
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       floor(avg(_prob) * 1000000 + 0.5) / 1000000 AS media_prob,
+       floor(quantile_cont(_prob, 0.5) * 1000000 + 0.5) / 1000000
+         AS p50_prob,
+       floor(min(_prob) * 1000000 + 0.5) / 1000000 AS min_prob
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+register("doc_lm_quality", q_doc_lm_quality, SQL_DOC_LM_QUALITY)
