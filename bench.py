@@ -104,6 +104,7 @@ HEADLINE = [
     "shard_manifest",
     "events_rolling",
     "doc_lm_quality",
+    "doc_pack_fold",
 ]
 
 

@@ -37,7 +37,7 @@ _PRIORITY: tuple[str, ...] = (
     # New (shard_manifest, doc_lm_quality) / made driver-checkable this
     # round (sketch_profile now has a real oracle instead of
     # err: no_oracle):
-    "shard_manifest", "sketch_profile", "doc_lm_quality",
+    "shard_manifest", "sketch_profile", "doc_lm_quality", "doc_pack_fold",
     # Last driver verdict r2 (27):
     "emb_near_dup", "multimodal_features", "multimodal_resize",
     "multimodal_frames", "doc_decontaminate", "doc_pii_scrub",

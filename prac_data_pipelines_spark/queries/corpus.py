@@ -813,3 +813,80 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 register("doc_lm_quality", q_doc_lm_quality, SQL_DOC_LM_QUALITY)
+
+
+# --------------------------------------------------------------------------
+# doc_pack_fold — sample packing WITHOUT cutting documents, the
+# complement of doc_pack_sequences' concat-and-chunk: rank each source's
+# fitting docs by token count desc and fold the ranking onto itself
+# (rank i pairs with rank N+1-i — longest with shortest), emitting the
+# pair as one bin when it fits the block budget, else two bins. Every
+# pairing decision is independent -> fully parallel after one ranking
+# window per source; deterministic (total order by (toks desc, doc_id)).
+# Output: bins and fill-rate vs the one-doc-per-bin baseline ("lift").
+# Docs longer than the budget go through chunking upstream (doc_chunks)
+# and are excluded here, mirroring real packing pipelines.
+#
+# Scale: the ranking window partitions by source (parallelism |sources|);
+# at 100 TB the same fold runs per (source, length-stratum) with strata
+# offsets from a broadcast count prefix — the global_positions two-level
+# idiom — without changing the pairing semantics within a stratum.
+# --------------------------------------------------------------------------
+
+def q_doc_pack_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    t = (docs.selectExpr("doc_id", "source",
+                         f"cast(size({WORDS}) as bigint) AS toks")
+         .filter(F.col("toks") <= BLOCK_TOKENS))
+    w = Window.partitionBy("source").orderBy(F.desc("toks"), F.asc("doc_id"))
+    ranked = (t.withColumn("_rn", F.row_number().over(w))
+              .withColumn("_n", F.count(F.lit(1)).over(
+                  Window.partitionBy("source"))))
+    pair_id = F.least(F.col("_rn"), F.col("_n") + 1 - F.col("_rn"))
+    pairs = (ranked.groupBy("source", pair_id.alias("_pair"))
+             .agg(F.sum("toks").alias("_ptoks"),
+                  F.count(F.lit(1)).alias("_pdocs")))
+    bins = F.when((F.col("_pdocs") == 2)
+                  & (F.col("_ptoks") <= BLOCK_TOKENS), 1) \
+            .otherwise(F.col("_pdocs"))
+    return (pairs.groupBy("source")
+            .agg(F.sum("_pdocs").cast("long").alias("n_docs"),
+                 F.sum(bins).cast("long").alias("n_bins"),
+                 F.sum("_ptoks").cast("long").alias("tokens"))
+            .select("source", "n_docs", "n_bins", "tokens",
+                    r6(F.col("tokens")
+                       / (F.col("n_bins") * BLOCK_TOKENS)).alias("ocupacion"),
+                    r4(F.col("n_docs") / F.col("n_bins")).alias("lift"))
+            .orderBy("source"))
+
+
+SQL_DOC_PACK_FOLD = f"""
+WITH t AS (
+  SELECT doc_id, source, len({SQL_WORDS})::BIGINT AS toks
+  FROM documents WHERE len({SQL_WORDS}) <= {BLOCK_TOKENS}
+), ranked AS (
+  SELECT source, toks,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY toks DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM t
+), pairs AS (
+  SELECT source, least(rn, n + 1 - rn) AS pair_id,
+         sum(toks)::BIGINT AS ptoks, count(*)::BIGINT AS pdocs
+  FROM ranked GROUP BY source, least(rn, n + 1 - rn)
+)
+SELECT source, sum(pdocs)::BIGINT AS n_docs,
+       sum(CASE WHEN pdocs = 2 AND ptoks <= {BLOCK_TOKENS}
+                THEN 1 ELSE pdocs END)::BIGINT AS n_bins,
+       sum(ptoks)::BIGINT AS tokens,
+       floor(sum(ptoks) / (sum(CASE WHEN pdocs = 2 AND ptoks <= {BLOCK_TOKENS}
+                                    THEN 1 ELSE pdocs END)
+                           * {BLOCK_TOKENS})::DOUBLE * 1000000 + 0.5)
+         / 1000000 AS ocupacion,
+       floor(sum(pdocs) / sum(CASE WHEN pdocs = 2 AND ptoks <= {BLOCK_TOKENS}
+                                   THEN 1 ELSE pdocs END)::DOUBLE
+             * 10000 + 0.5) / 10000 AS lift
+FROM pairs GROUP BY source ORDER BY source
+"""
+
+register("doc_pack_fold", q_doc_pack_fold, SQL_DOC_PACK_FOLD)

@@ -105,3 +105,14 @@ def test_cli_shards_stage(spark, sf_dir, tmp_path, monkeypatch):
     curated = spark.read.parquet(f"{out}/curado").count()
     written = spark.read.parquet(f"{out}/shards/data").count()
     assert written == curated > 0
+
+
+def test_doc_pack_fold_invariants(spark, sf_dir):
+    """Fold packing: bins hold 1-2 docs (n_bins <= n_docs <= 2*n_bins),
+    occupancy never exceeds 1, and pairing can only help (lift >= 1)."""
+    from prac_data_pipelines_spark.queries.corpus import q_doc_pack_fold
+
+    for r in q_doc_pack_fold(spark, sf_dir).collect():
+        assert r["n_bins"] <= r["n_docs"] <= 2 * r["n_bins"]
+        assert 0 < r["ocupacion"] <= 1.0
+        assert 1.0 <= r["lift"] <= 2.0
