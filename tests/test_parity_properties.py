@@ -51,3 +51,48 @@ def test_rounding_and_bucket_parity(spark):
     assert (got["x2"].to_numpy() == want["x2"].to_numpy()).all()
     assert (got["x4"].to_numpy() == want["x4"].to_numpy()).all()
     assert (got["b"].to_numpy() == want["b"].to_numpy()).all()
+
+
+def test_doc_lm_quality_matches_pure_python(spark, tmp_path):
+    """The distributed bigram-LM scorer must equal an independent pure-
+    Python reference (exact counts, add-1 smoothing) on a corpus with
+    repeated bigrams, single-word docs (excluded), and cross-doc vocab."""
+    import os
+    from collections import Counter
+
+    from prac_data_pipelines_spark.queries.corpus import q_doc_lm_quality
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat",
+        3: "dog",                       # no bigram -> excluded
+        4: "the mat the cat",
+        5: "a completely different sentence here",
+    }
+    rows = [(i, t, "und", "s1" if i < 4 else "s2", len(t))
+            for i, t in texts.items()]
+    d = tmp_path / "lm"
+    d.mkdir()
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .write.mode("overwrite").parquet(os.path.join(str(d), "documents.parquet")))
+
+    # independent reference
+    words = {i: t.split() for i, t in texts.items()}
+    bigrams = {i: list(zip(w, w[1:])) for i, w in words.items()}
+    c2 = Counter(b for bs in bigrams.values() for b in bs)
+    c1 = Counter(b[0] for bs in bigrams.values() for b in bs)
+    vocab = len({w for ws in words.values() for w in ws})
+    per_doc = {i: sum((c2[b] + 1) / (c1[b[0]] + vocab) for b in bs) / len(bs)
+               for i, bs in bigrams.items() if bs}
+    by_src = {}
+    for i, p in per_doc.items():
+        by_src.setdefault("s1" if i < 4 else "s2", []).append(p)
+
+    got = {r["source"]: r for r in q_doc_lm_quality(spark, str(d)).collect()}
+    assert set(got) == set(by_src)
+    for src, ps in by_src.items():
+        assert got[src]["n_docs"] == len(ps)
+        assert abs(got[src]["media_prob"] - sum(ps) / len(ps)) < 1e-6
+        assert abs(got[src]["min_prob"] - min(ps)) < 1e-6
