@@ -291,3 +291,27 @@ def test_conversion_window_single_keyed_shuffle(spark, sf_dir):
     plan = _plan(q_events_conversion_window(spark, sf_dir))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_doc_lm_quality_vocab_broadcast_no_cartesian(spark, sf_dir):
+    """The LM scorer's vocabulary scalar must attach by broadcast (1-row
+    agg), never a CartesianProduct, and the count joins must stay keyed
+    (no unpartitioned window anywhere in the plan)."""
+    from prac_data_pipelines_spark.queries.corpus import q_doc_lm_quality
+
+    plan = _plan(q_doc_lm_quality(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    window_lines = [ln for ln in plan.split("\n") if "Window [" in ln]
+    assert not window_lines, window_lines
+
+
+def test_doc_pack_fold_windows_partition_by_source(spark, sf_dir):
+    """Fold packing's ranking windows must partition by source — the
+    pairing is per-source, so no global-order funnel exists."""
+    from prac_data_pipelines_spark.queries.corpus import q_doc_pack_fold
+
+    plan = _plan(q_doc_pack_fold(spark, sf_dir))
+    window_lines = [ln for ln in plan.split("\n") if "Window [" in ln]
+    assert window_lines
+    assert all("source" in ln for ln in window_lines), window_lines
