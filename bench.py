@@ -105,6 +105,8 @@ HEADLINE = [
     "events_rolling",
     "doc_lm_quality",
     "doc_pack_fold",
+    "bpe_merge_pairs",
+    "emb_label_centroids",
 ]
 
 

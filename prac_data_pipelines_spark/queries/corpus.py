@@ -890,3 +890,65 @@ FROM pairs GROUP BY source ORDER BY source
 """
 
 register("doc_pack_fold", q_doc_pack_fold, SQL_DOC_PACK_FOLD)
+
+
+# --------------------------------------------------------------------------
+# bpe_merge_pairs — the first iteration of BPE tokenizer training: count
+# adjacent character pairs over the corpus and rank the merge
+# candidates. Uses the classic scale trick that makes BPE training
+# corpus-size-free after one pass: counts accumulate over the DISTINCT
+# word vocabulary weighted by word frequency (one wordcount shuffle over
+# the corpus; the pair explode then touches only |vocab| rows). Top
+# BPE_PAIRS candidates with deterministic (freq desc, pair asc) ranking
+# — the pair a real trainer would merge first, iterated upstream.
+# --------------------------------------------------------------------------
+
+BPE_PAIRS = 20
+
+
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    vocab = (docs.selectExpr(f"explode({WORDS}) AS w")
+             .filter("w != ''")
+             .groupBy("w")
+             .agg(F.count(F.lit(1)).cast("long").alias("_freq")))
+    pares = (vocab.filter("length(w) >= 2")
+             .selectExpr(
+                 "_freq",
+                 "explode(transform(sequence(1, length(w) - 1), "
+                 "i -> struct(substring(w, i, 1) AS s1, "
+                 "substring(w, i + 1, 1) AS s2))) AS p")
+             .select("p.s1", "p.s2", "_freq"))
+    counts = (pares.groupBy("s1", "s2")
+              .agg(F.sum("_freq").cast("long").alias("frecuencia")))
+    top = (counts.orderBy(F.col("frecuencia").desc(),
+                          F.col("s1").asc(), F.col("s2").asc())
+           .limit(BPE_PAIRS))
+    w = Window.orderBy(F.col("frecuencia").desc(),
+                       F.col("s1").asc(), F.col("s2").asc())
+    return (top.withColumn("rango", F.row_number().over(w).cast("long"))
+            .select("rango", "s1", "s2", "frecuencia")
+            .orderBy("rango"))
+
+
+SQL_BPE_MERGE_PAIRS = f"""
+WITH vocab AS (
+  SELECT w, count(*)::BIGINT AS _freq
+  FROM (SELECT unnest({SQL_WORDS}) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+), pares AS (
+  SELECT _freq,
+         unnest(list_transform(range(1, strlen(w)),
+                i -> {{'s1': substr(w, i, 1), 's2': substr(w, i + 1, 1)}})) AS p
+  FROM vocab WHERE strlen(w) >= 2
+), counts AS (
+  SELECT p.s1 AS s1, p.s2 AS s2, sum(_freq)::BIGINT AS frecuencia
+  FROM pares GROUP BY p.s1, p.s2
+)
+SELECT row_number() OVER (ORDER BY frecuencia DESC, s1 ASC, s2 ASC)::BIGINT
+         AS rango,
+       s1, s2, frecuencia
+FROM counts ORDER BY frecuencia DESC, s1 ASC, s2 ASC LIMIT {BPE_PAIRS}
+"""
+
+register("bpe_merge_pairs", q_bpe_merge_pairs, SQL_BPE_MERGE_PAIRS)

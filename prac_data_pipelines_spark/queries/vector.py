@@ -644,3 +644,86 @@ GROUP BY a.centroid_id ORDER BY a.centroid_id
 """
 
 register("emb_semantic_dedup", q_emb_semantic_dedup, SQL_EMB_SEMANTIC_DEDUP)
+
+
+# --------------------------------------------------------------------------
+# emb_label_centroids — embedding-space class audit: per-label centroid
+# (per-dimension mean, r6 like the k-means recenter), intra-label
+# cohesion (mean cosine of members to their own centroid), and
+# separability (the nearest OTHER label's centroid and its cosine).
+# The standard health check before using labels for classifier training
+# or stratified sampling: low cohesion or a too-close neighbor flags
+# label noise / collapsed classes.
+#
+# Plan shape: one posexplode shuffle keyed by (label, dim) for the
+# centroids (map-side partial avg), centroid table broadcast back for
+# the member cosine pass, and a |labels|^2 broadcast cross for the
+# neighbor — the corpus is scanned twice and never self-joined.
+# --------------------------------------------------------------------------
+
+def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).selectExpr(
+        "vec_id", "label",
+        "transform(embedding, v -> cast(v as double)) AS embedding")
+    dims = emb.select("label", F.posexplode("embedding").alias("d", "v"))
+    cents = (dims.groupBy("label", "d")
+             .agg(F.expr("floor(avg(cast(v as double)) * 1000000 + 0.5) "
+                         "/ 1000000").alias("m"))
+             .groupBy("label")
+             .agg(F.expr("transform(array_sort(collect_list(struct(d, m))), "
+                         "s -> s.m)").alias("ce")))
+    coh = (emb.join(broadcast(cents), "label")
+           .selectExpr("label", f"{cosine_expr('embedding', 'ce')} AS _cos")
+           .groupBy("label")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_vectores"),
+                r4(F.avg("_cos")).alias("cohesion")))
+    a = cents.select(F.col("label").alias("l1"), F.col("ce").alias("e1"))
+    b = cents.select(F.col("label").alias("l2"), F.col("ce").alias("e2"))
+    pares = (a.crossJoin(broadcast(b)).filter("l1 != l2")
+             .selectExpr("l1", "l2", f"{cosine_expr('e1', 'e2')} AS _c"))
+    w = Window.partitionBy("l1").orderBy(F.desc("_c"), F.asc("l2"))
+    vecino = (pares.withColumn("_rn", F.row_number().over(w))
+              .filter("_rn = 1")
+              .select(F.col("l1").alias("label"),
+                      F.col("l2").cast("long").alias("vecino"),
+                      r4(F.col("_c")).alias("cos_vecino")))
+    return (coh.join(vecino, "label")
+            .select(F.col("label").cast("long").alias("label"),
+                    "n_vectores", "cohesion", "vecino", "cos_vecino")
+            .orderBy("label"))
+
+
+SQL_EMB_LABEL_CENTROIDS = f"""
+WITH emb AS (
+  SELECT vec_id, label, list_transform(embedding, v -> v::DOUBLE) AS embedding
+  FROM embeddings
+), cents AS (
+  SELECT label, list(m ORDER BY d) AS ce FROM (
+    SELECT label, d,
+           floor(avg(embedding[d + 1]::DOUBLE) * 1000000 + 0.5) / 1000000 AS m
+    FROM emb CROSS JOIN (SELECT unnest(range(0, 64)) AS d)
+    GROUP BY label, d
+  ) GROUP BY label
+), coh AS (
+  SELECT e.label, count(*)::BIGINT AS n_vectores,
+         floor(avg({sql_cosine_expr('e.embedding', 'c.ce')}) * 10000 + 0.5)
+           / 10000 AS cohesion
+  FROM emb e JOIN cents c USING (label) GROUP BY e.label
+), vecino AS (
+  SELECT l1 AS label, l2 AS vecino, _c FROM (
+    SELECT a.label AS l1, b.label AS l2,
+           {sql_cosine_expr('a.ce', 'b.ce')} AS _c,
+           row_number() OVER (PARTITION BY a.label
+                              ORDER BY {sql_cosine_expr('a.ce', 'b.ce')} DESC,
+                                       b.label ASC) AS rn
+    FROM cents a JOIN cents b ON a.label != b.label
+  ) WHERE rn = 1
+)
+SELECT coh.label::BIGINT AS label, coh.n_vectores, coh.cohesion,
+       v.vecino::BIGINT AS vecino,
+       floor(v._c * 10000 + 0.5) / 10000 AS cos_vecino
+FROM coh JOIN vecino v USING (label) ORDER BY label
+"""
+
+register("emb_label_centroids", q_emb_label_centroids,
+         SQL_EMB_LABEL_CENTROIDS)
