@@ -764,8 +764,10 @@ def q_doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("doc_id", "source", "bg.prev", "bg.w"))
     c2 = (bg.groupBy("prev", "w")
           .agg(F.count(F.lit(1)).cast("long").alias("_c2")))
-    c1 = (bg.groupBy("prev")
-          .agg(F.count(F.lit(1)).cast("long").alias("_c1")))
+    # context counts roll up from the bigram-count table — vocab-sized
+    # input, so the corpus is aggregated ONCE, not twice
+    c1 = (c2.groupBy("prev")
+          .agg(F.sum("_c2").cast("long").alias("_c1")))
     voc = (docs.selectExpr(f"explode({WORDS}) AS w")
            .agg(F.countDistinct("w").cast("long").alias("_v")))
     p = (F.col("_c2") + 1).cast("double") / (F.col("_c1") + F.col("_v"))
