@@ -56,8 +56,14 @@ def ingest_text_dir(spark: SparkSession, text_dir: str, out_dir: str,
 
 
 def curate(spark: SparkSession, sf_dir: str,
-           min_quality: float | None = None) -> dict[str, DataFrame]:
-    """Build the named-view dictionary of the curation flow."""
+           min_quality: float | None = None,
+           min_lm_prob: float | None = None) -> dict[str, DataFrame]:
+    """Build the named-view dictionary of the curation flow.
+
+    ``min_lm_prob`` switches on the LM filter (CCNet-shape): documents
+    whose mean smoothed bigram probability under the corpus-trained LM
+    falls below the threshold drop with motivo ``lm_improbable``. Off by
+    default — it is a tuning knob, not a fixed contract."""
     from .queries.corpus import (
         BENCH_MOD,
         _KGRAMS,
@@ -114,6 +120,14 @@ def curate(spark: SparkSession, sf_dir: str,
                    quality.filter(F.col("calidad") < min_quality)
                    .select("doc_id")
                    .withColumn("motivo", F.lit("baja_calidad"))))
+    if min_lm_prob is not None:
+        from .queries.corpus import doc_lm_scores
+
+        lm_losers = (doc_lm_scores(docs)
+                     .filter(F.col("_prob") < min_lm_prob)
+                     .select("doc_id")
+                     .withColumn("motivo", F.lit("lm_improbable")))
+        dropped = dropped.unionByName(lm_losers)
     views["descartados"] = dropped
 
     kept = (docs.join(quality, "doc_id").join(lang, "doc_id")
@@ -164,6 +178,9 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--out", default="corpus_output")
     ap.add_argument("--min-quality", type=float, default=None)
+    ap.add_argument("--min-lm-prob", type=float, default=None,
+                    help="drop docs whose mean bigram-LM probability under "
+                         "the corpus-trained LM is below this threshold")
     ap.add_argument("--skip-index", action="store_true")
     ap.add_argument("--ingest-text", metavar="DIR", default=None,
                     help="ingest a raw text directory as the corpus "
@@ -203,7 +220,8 @@ def main() -> int:
         print(f"incremental dedup: {n_in} docs in, {n_kept} novel kept")
         sf_dir = kept_dir
         build_index = False
-    views = curate(spark, sf_dir, args.min_quality)
+    views = curate(spark, sf_dir, args.min_quality,
+                   min_lm_prob=args.min_lm_prob)
     export(spark, views, args.out, sf_dir, build_index=build_index)
     n = spark.read.parquet(f"{args.out}/curado").count()
     print(f"curated corpus: {n} docs -> {args.out}")

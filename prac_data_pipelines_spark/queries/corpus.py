@@ -752,8 +752,11 @@ register("shard_manifest", q_shard_manifest, _sql_shard_manifest())
 # rollup. No all-pairs, no windows, no driver loops.
 # --------------------------------------------------------------------------
 
-def q_doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+def doc_lm_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, _prob) — per-document mean smoothed bigram
+    probability under the corpus-trained LM. Shared by the registered
+    per-source rollup below and the curation pipeline's LM filter.
+    Docs with fewer than two words carry no bigram and are absent."""
     bg = (docs.selectExpr("doc_id", "source", f"{WORDS} AS _ws")
           .filter("size(_ws) >= 2")
           .selectExpr(
@@ -771,10 +774,14 @@ def q_doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     voc = (docs.selectExpr(f"explode({WORDS}) AS w")
            .agg(F.countDistinct("w").cast("long").alias("_v")))
     p = (F.col("_c2") + 1).cast("double") / (F.col("_c1") + F.col("_v"))
-    per_doc = (bg.join(c2, ["prev", "w"]).join(c1, "prev")
-               .crossJoin(F.broadcast(voc))
-               .groupBy("doc_id", "source")
-               .agg(F.avg(p).alias("_prob")))
+    return (bg.join(c2, ["prev", "w"]).join(c1, "prev")
+            .crossJoin(F.broadcast(voc))
+            .groupBy("doc_id", "source")
+            .agg(F.avg(p).alias("_prob")))
+
+
+def q_doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = doc_lm_scores(_docs(spark, sf_dir))
     return (per_doc.groupBy("source")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  r6(F.avg("_prob")).alias("media_prob"),

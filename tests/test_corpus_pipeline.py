@@ -116,3 +116,23 @@ def test_doc_pack_fold_invariants(spark, sf_dir):
         assert r["n_bins"] <= r["n_docs"] <= 2 * r["n_bins"]
         assert 0 < r["ocupacion"] <= 1.0
         assert 1.0 <= r["lift"] <= 2.0
+
+
+def test_cli_lm_filter_stage(spark, sf_dir, tmp_path, monkeypatch):
+    """--min-lm-prob: an absurdly high threshold drops everything with
+    motivo lm_improbable; the default run (no flag) drops nothing for
+    that reason."""
+    import sys
+
+    from prac_data_pipelines_spark import corpus_pipeline
+
+    out = str(tmp_path / "out_lm")
+    monkeypatch.setattr(sys, "argv", [
+        "corpus_pipeline", "--sf-dir", sf_dir, "--out", out,
+        "--skip-index", "--min-lm-prob", "1.1"])
+    assert corpus_pipeline.main() == 0
+    dropped = spark.read.parquet(f"{out}/descartados")
+    lm_dropped = dropped.filter("motivo = 'lm_improbable'").count()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert lm_dropped > 0.9 * docs  # only <2-word docs can escape
+    assert spark.read.parquet(f"{out}/curado").count() < docs * 0.1
