@@ -107,6 +107,8 @@ HEADLINE = [
     "doc_pack_fold",
     "bpe_merge_pairs",
     "emb_label_centroids",
+    "doc_lang_confusion",
+    "events_dau_wau",
 ]
 
 

@@ -38,7 +38,8 @@ _PRIORITY: tuple[str, ...] = (
     # round (sketch_profile now has a real oracle instead of
     # err: no_oracle):
     "shard_manifest", "sketch_profile", "doc_lm_quality", "doc_pack_fold",
-    "bpe_merge_pairs", "emb_label_centroids",
+    "bpe_merge_pairs", "emb_label_centroids", "doc_lang_confusion",
+    "events_dau_wau",
     # Last driver verdict r2 (27):
     "emb_near_dup", "multimodal_features", "multimodal_resize",
     "multimodal_frames", "doc_decontaminate", "doc_pii_scrub",

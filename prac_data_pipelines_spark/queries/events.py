@@ -430,6 +430,48 @@ register("events_retention", q_events_retention, SQL_EVENTS_RETENTION)
 
 
 # --------------------------------------------------------------------------
+# events_dau_wau — daily/weekly active users and the DAU/WAU stickiness
+# ratio, the engagement companion of the retention matrix. Days and
+# weeks are integer epoch units (day = sec // 86400; week = day // 7 —
+# exact, both epoch-anchored), so no calendar disagreements. Two
+# distinct-count aggregations (each one partial-aggregated keyed
+# shuffle) joined on the week; |days| output rows.
+# --------------------------------------------------------------------------
+
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", (epoch_sec("ts") / 86400).cast("long")
+                  .alias("dia")))
+    dau = (ev.groupBy("dia")
+           .agg(F.countDistinct("user_id").cast("long").alias("dau")))
+    wau = (ev.groupBy((F.col("dia") / 7).cast("long").alias("semana"))
+           .agg(F.countDistinct("user_id").cast("long").alias("wau")))
+    return (dau.withColumn("semana", (F.col("dia") / 7).cast("long"))
+            .join(wau, "semana")
+            .select("dia", "semana", "dau", "wau",
+                    r4(F.col("dau") / F.col("wau")).alias("adherencia"))
+            .orderBy("dia"))
+
+
+SQL_EVENTS_DAU_WAU = """
+WITH ev AS (
+  SELECT user_id, (epoch_us(ts) // 1000000) // 86400 AS dia FROM events
+), dau AS (
+  SELECT dia, count(DISTINCT user_id)::BIGINT AS dau FROM ev GROUP BY dia
+), wau AS (
+  SELECT dia // 7 AS semana, count(DISTINCT user_id)::BIGINT AS wau
+  FROM ev GROUP BY dia // 7
+)
+SELECT d.dia::BIGINT AS dia, w.semana::BIGINT AS semana, d.dau, w.wau,
+       floor(d.dau / w.wau::DOUBLE * 10000 + 0.5) / 10000 AS adherencia
+FROM dau d JOIN wau w ON d.dia // 7 = w.semana
+ORDER BY d.dia
+"""
+
+register("events_dau_wau", q_events_dau_wau, SQL_EVENTS_DAU_WAU)
+
+
+# --------------------------------------------------------------------------
 # events_gapfill — time-series densification: the hourly rollup joined
 # against the COMPLETE hour grid so silent hours exist as zero rows (the
 # gap-filling step every monitoring/forecasting consumer needs — a missing

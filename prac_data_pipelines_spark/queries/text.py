@@ -378,6 +378,37 @@ register("doc_lang_id", q_doc_lang_id, SQL_DOC_LANG_ID)
 
 
 # --------------------------------------------------------------------------
+# doc_lang_confusion — audit of the lang-id heuristic against the
+# table's labels: the (lang, lang_pred) confusion matrix with each
+# cell's share of its true-label row. The per-label share uses a window
+# partitioned by lang (parallel across labels; label cardinality is
+# tiny by nature). This is the calibration table a curation pipeline
+# consults before trusting lang_pred for filtering or mixture weights.
+# --------------------------------------------------------------------------
+
+def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = q_doc_lang_id(spark, sf_dir).select("lang", "lang_pred")
+    counts = (pred.groupBy("lang", "lang_pred")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    w = Window.partitionBy("lang")
+    return (counts
+            .withColumn("proporcion",
+                        r4(F.col("n_docs") / F.sum("n_docs").over(w)))
+            .orderBy("lang", "lang_pred"))
+
+
+SQL_DOC_LANG_CONFUSION = f"""
+WITH pred AS ({SQL_DOC_LANG_ID})
+SELECT lang, lang_pred, count(*)::BIGINT AS n_docs,
+       floor(count(*) / sum(count(*)) OVER (PARTITION BY lang)::DOUBLE
+             * 10000 + 0.5) / 10000 AS proporcion
+FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+
+register("doc_lang_confusion", q_doc_lang_confusion, SQL_DOC_LANG_CONFUSION)
+
+
+# --------------------------------------------------------------------------
 # doc_fingerprint — whole-document fingerprint + winnowing-style minimum
 # shingle hash (rolling-hash flavor of document identity).
 # --------------------------------------------------------------------------
