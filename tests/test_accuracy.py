@@ -246,3 +246,50 @@ def test_dup_clusters_match_union_find(spark, sf_dir):
     got = {r["doc_id"]: r["cluster_id"]
            for r in q_doc_dup_clusters(spark, sf_dir).collect()}
     assert got == want and len(got) > 0
+
+
+def test_dup_clusters_match_union_find_at_sf01(spark):
+    """Same cross-check at the 5k-doc scale the sf0.1 oracle run skips
+    (the recursive-CTE oracle is too slow there): the iterative CC
+    labeling must still partition identically to the union-find."""
+    import os
+
+    import pytest
+
+    big = "/root/testdata/sf0.1"
+    if not os.path.isdir(big):
+        pytest.skip("sf0.1 testdata not present")
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from prac_data_pipelines_spark.queries.text import (
+        CLUSTER_MIN_EST,
+        q_doc_dup_clusters,
+        q_doc_minhash_pairs,
+    )
+
+    pairs = (q_doc_minhash_pairs(spark, big)
+             .filter(F.col("jaccard_est") >= CLUSTER_MIN_EST)
+             .select("d1", "d2").collect())
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r["d1"]), find(r["d2"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    want = defaultdict(set)
+    for x in parent:
+        want[find(x)].add(x)
+    got = defaultdict(set)
+    for r in q_doc_dup_clusters(spark, big).collect():
+        got[r["cluster_id"]].add(r["doc_id"])
+    assert {frozenset(v) for v in got.values()} == \
+        {frozenset(v) for v in want.values()}
+    assert len(got) > 100
