@@ -69,7 +69,11 @@ HEADLINE = [
     "emb_near_dup",
     "multimodal_resize",
     "multimodal_frames",
-    "events_rolling_sharded",
+    # events_rolling_sharded intentionally absent: at sf0.1 the routed
+    # events_rolling below takes the identical sharded plan, so benching
+    # both double-counted ~5 s of the headline (VERDICT r5).  The
+    # definition (single-key) path stays covered by the oracle gate at
+    # sf0.01 and by tests/test_physical_plans.py.
     # Round-4 operators:
     "doc_dedup_keep_best",
     "vocab_top_terms",
@@ -159,7 +163,37 @@ def main() -> None:
     }
     if errors:
         out["errors"] = len(errors)
-    print(json.dumps(out))
+
+    # Per-query timings always land in a sibling artifact; the driver only
+    # captures the last ~2000 chars of stdout, and at 70+ queries the full
+    # line exceeds that (BENCH_r05.json recorded parsed: null).  The FINAL
+    # stdout line must stay parseable at the driver, so when the full line
+    # would blow the tail budget we degrade it to a compact headline that
+    # references the detail artifact instead of embedding it.
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        detail_path = None  # read-only cwd: the stdout line is the record
+    line = json.dumps(out)
+    if len(line) > 1800:
+        compact = {
+            "metric": out["metric"],
+            "value": out["value"],
+            "unit": "sec",
+            "sf": out["sf"],
+            "n_queries": len(timings),
+            "detail": detail_path,
+        }
+        if errors:
+            compact["errors"] = len(errors)
+        # Only the compact line goes to stdout: a truncated full line in
+        # the driver's captured tail could still defeat a whole-tail JSON
+        # parse.  Humans read the detail artifact.
+        line = json.dumps(compact)
+    print(line)
     # The JSON line above is the record either way; fail the process only
     # when the bench is broadly broken, not for an isolated regression.
     if len(errors) > max(2, len(names) // 4):

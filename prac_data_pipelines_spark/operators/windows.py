@@ -66,7 +66,11 @@ def pareto_abc(df: DataFrame, amount_col: str, key_order: list[Column] | None = 
     ulps of 1.0 (~1e-15) — three orders below the r6 rounding quantum,
     and DuckDB's window sum is itself segment-tree-associated, so strict
     sequential equality was never the contract. Verified by the oracle
-    gate and the partition-count determinism sweep.
+    gate and the partition-count determinism sweep. The LAST row is the
+    one value whose true cumulative share is known exactly (1.0 — the
+    reference forces it by construction, ``src/kpis.py:135``), so it is
+    pinned rather than summed: no association order can push it across a
+    rounding quantum (ADVICE r5).
     """
     order = [F.col(amount_col).desc()] + (key_order or [])
     ranged = (df.repartitionByRange(*order)
@@ -92,21 +96,26 @@ def pareto_abc(df: DataFrame, amount_col: str, key_order: list[Column] | None = 
                                F.lit(0.0)).alias("_aoff"),
                     F.coalesce(F.sum(F.when(before, F.col("_bc"))),
                                F.lit(0)).alias("_coff"),
-                    F.sum("_bs").alias("_tot")))
+                    F.sum("_bs").alias("_tot"),
+                    F.sum("_bc").alias("_nall")))
     # null-out shares when the grand total is 0 (ANSI division guard;
     # a zero/empty portfolio has no meaningful percentage-of-total)
     tot = F.when(F.col("_tot") != 0, F.col("_tot"))
     out = (local.join(F.broadcast(offsets), "_pid")
            .withColumn(pct_col, r6(F.col(amount_col) / tot))
-           .withColumn(cum_col, r6((F.col("_aoff") + F.col("_lcum")) / tot))
-           .withColumn("_RN", F.col("_coff") + F.col("_lrn")))
+           .withColumn("_RN", F.col("_coff") + F.col("_lrn"))
+           .withColumn(cum_col,
+                       F.when((F.col("_RN") == F.col("_nall"))
+                              & tot.isNotNull(), F.lit(1.0))
+                        .otherwise(r6((F.col("_aoff") + F.col("_lcum")) / tot))))
     cum100 = F.col(cum_col) * 100
     abc = (F.when(F.col("_RN") == 1, "A")
              .when(cum100 <= ABC_UMBRAL_A, "A")
              .when(cum100 <= ABC_UMBRAL_B, "B")
              .otherwise("C"))
     return (out.withColumn(abc_col, abc)
-            .drop("_RN", "_pid", "_lcum", "_lrn", "_aoff", "_coff", "_tot"))
+            .drop("_RN", "_pid", "_lcum", "_lrn", "_aoff", "_coff", "_tot",
+                  "_nall"))
 
 
 def sharded_range_window(df: DataFrame, partition_cols: list[str], ts_col: str,

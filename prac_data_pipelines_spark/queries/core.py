@@ -536,16 +536,25 @@ WITH per_cust AS (
          floor(sum(pct_raw) OVER (
                ORDER BY saldo DESC, o_custkey ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 + 0.5) / 1000000
-           AS pct_acumulado,
-         row_number() OVER (ORDER BY saldo DESC, o_custkey ASC) AS rn
+           AS cum_r,
+         row_number() OVER (ORDER BY saldo DESC, o_custkey ASC) AS rn,
+         count(*) OVER () AS nall
   FROM with_pct
+), pinned AS (
+  -- last row pinned to exactly 1.0 (true value by construction; immune to
+  -- float association order — mirrors operators.windows.pareto_abc)
+  SELECT o_custkey, saldo, pct,
+         CASE WHEN rn = nall THEN CAST(1.0 AS DOUBLE) ELSE cum_r END
+           AS pct_acumulado,
+         rn
+  FROM ranked
 )
 SELECT o_custkey, saldo, pct, pct_acumulado,
        CASE WHEN rn = 1 THEN 'A'
             WHEN pct_acumulado * 100 <= 80.0 THEN 'A'
             WHEN pct_acumulado * 100 <= 95.0 THEN 'B'
             ELSE 'C' END AS clase_abc
-FROM ranked
+FROM pinned
 """
 
 register("pareto_abc", q_pareto_abc, SQL_PARETO_ABC)

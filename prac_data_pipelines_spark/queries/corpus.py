@@ -722,7 +722,7 @@ def _sql_shard_manifest() -> str:
     return f"""
 SELECT ({SQL_SKEY} % {DEFAULT_N_SHARDS})::INT AS shard,
        count(*)::BIGINT AS docs,
-       sum(length(text))::BIGINT AS bytes,
+       sum(strlen(text))::BIGINT AS bytes,
        sum({SQL_CKTERM})::BIGINT AS checksum
 FROM documents GROUP BY shard ORDER BY shard
 """

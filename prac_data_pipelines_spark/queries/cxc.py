@@ -397,16 +397,23 @@ per_client AS (
   SELECT CLIENTE_ID, NOMBRE_CLIENTE, SALDO_PENDIENTE,
          {_R6.format('pct_raw')} AS PCT,
          {_R6.format('''sum(pct_raw) OVER (ORDER BY SALDO_PENDIENTE DESC, CLIENTE_ID ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS PCT_ACUMULADO,
-         row_number() OVER (ORDER BY SALDO_PENDIENTE DESC, CLIENTE_ID ASC) AS rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS cum_r,
+         row_number() OVER (ORDER BY SALDO_PENDIENTE DESC, CLIENTE_ID ASC) AS rn,
+         count(*) OVER () AS nall
   FROM with_pct
+), pinned AS (
+  SELECT CLIENTE_ID, NOMBRE_CLIENTE, SALDO_PENDIENTE, PCT,
+         CASE WHEN rn = nall THEN CAST(1.0 AS DOUBLE) ELSE cum_r END
+           AS PCT_ACUMULADO,
+         rn
+  FROM ranked
 )
 SELECT CLIENTE_ID, NOMBRE_CLIENTE, SALDO_PENDIENTE, PCT, PCT_ACUMULADO,
        CASE WHEN rn = 1 THEN 'A'
             WHEN PCT_ACUMULADO * 100 <= 80.0 THEN 'A'
             WHEN PCT_ACUMULADO * 100 <= 95.0 THEN 'B'
             ELSE 'C' END AS CLASE_ABC
-FROM ranked
+FROM pinned
 """
 
 register("cxc_concentracion", q_cxc_concentracion, SQL_CXC_CONCENTRACION)

@@ -483,12 +483,18 @@ register("cube_summary", q_cube_summary, SQL_CUBE_SUMMARY)
 # exact compared inside the same aggregate pass, within the documented
 # error bounds); the oracle computes the same exact values and literal
 # TRUEs — the hash matches iff the accuracy bound holds. Bounds match
-# tests/test_sketch_accuracy.py: 5% relative for HLL at rsd=0.01 (5 sigma,
-# catches wiring bugs, not noise) and 5% relative for approx_percentile
-# at accuracy=10000 (rank error <= N/10000 ranks).
+# the guarantees each sketch actually makes (ADVICE r5): HLL's bound is
+# RELATIVE-VALUE (rsd=0.01 -> 5% = 5 sigma; catches wiring bugs, not
+# noise), but approx_percentile guarantees RANK error <= N/accuracy —
+# on heavy-tailed values a valid sketch can exceed any fixed value
+# tolerance, so the percentile check counts the rows that actually lie
+# between the approx and the exact value (its realized rank error) and
+# bounds THAT by 5 * N/accuracy (+2 for interpolation/tie slack).
 # --------------------------------------------------------------------------
 
-_SKETCH_TOL = 0.05
+_SKETCH_TOL = 0.05      # HLL: relative-value, 5x rsd
+_KLL_RANK_SLACK = 5.0   # approx_percentile: multiples of N/accuracy
+_KLL_ACCURACY = 10000
 
 
 def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,9 +522,29 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = distinct_pair(li, "l_partkey", "partes_vendidas", "_pa")
     b2 = li.agg(
         F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("_p"),
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
-        .alias("_px"))
-    return (a.crossJoin(b1).crossJoin(b2)  # 1-row x 1-row merges
+        F.expr(f"approx_percentile(l_extendedprice, array(0.5, 0.9), "
+               f"{_KLL_ACCURACY})").alias("_px"))
+
+    # Realized rank error of each percentile sketch: rows strictly between
+    # the approx value and the exact value. One extra narrow scan of the
+    # fact column against the broadcast 1-row bounds frame — the check a
+    # validation job would genuinely run, and the only check that matches
+    # approx_percentile's actual (rank-space) guarantee.
+    def _between(k: int):
+        ap = F.element_at("_px", k).cast("double")
+        ex = F.element_at("_p", k)
+        v = F.col("l_extendedprice")
+        return ((v > F.least(ap, ex)) & (v < F.greatest(ap, ex)))
+
+    rank = (li.select("l_extendedprice").crossJoin(F.broadcast(b2))
+            .agg(F.sum(_between(1).cast("long")).alias("_r50"),
+                 F.sum(_between(2).cast("long")).alias("_r90"),
+                 F.count(F.lit(1)).cast("long").alias("_n"),
+                 F.first("_p").alias("_p"),
+                 F.first("_px").alias("_px")))
+    rank_tol = F.greatest(
+        F.col("_n") / _KLL_ACCURACY * _KLL_RANK_SLACK, F.lit(2.0))
+    return (a.crossJoin(b1).crossJoin(rank)  # 1-row x 1-row merges
             .select(
         "clientes_activos", "partes_vendidas",
         r2(F.element_at("_p", 1)).alias("p50_precio"),
@@ -527,10 +553,8 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("clientes_hll_ok"),
         ok(F.col("_pa"), F.col("partes_vendidas").cast("double"))
         .alias("partes_hll_ok"),
-        ok(F.element_at("_px", 1).cast("double"), F.element_at("_p", 1))
-        .alias("p50_kll_ok"),
-        ok(F.element_at("_px", 2).cast("double"), F.element_at("_p", 2))
-        .alias("p90_kll_ok")))
+        (F.col("_r50") <= rank_tol).alias("p50_kll_ok"),
+        (F.col("_r90") <= rank_tol).alias("p90_kll_ok")))
 
 
 SQL_SKETCH_PROFILE = """

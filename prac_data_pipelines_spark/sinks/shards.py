@@ -77,7 +77,10 @@ def shard_manifest(docs: DataFrame, n_shards: int = DEFAULT_N_SHARDS
     return (assign_shards(docs, n_shards)
             .groupBy("shard")
             .agg(F.count(F.lit(1)).cast("long").alias("docs"),
-                 F.sum(F.length("text")).cast("long").alias("bytes"),
+                 # octet_length, not length: the manifest labels this
+                 # "bytes", so it must be UTF-8 octets (what a loader
+                 # checks file sizes against), not characters (ADVICE r5)
+                 F.sum(F.octet_length("text")).cast("long").alias("bytes"),
                  F.sum(F.expr(_CKTERM)).cast("long").alias("checksum"))
             .orderBy("shard"))
 
@@ -114,7 +117,7 @@ def verify_shards(spark, out_dir: str) -> DataFrame:
     actual = (spark.read.parquet(f"{out_dir}/data")
               .groupBy("shard")
               .agg(F.count(F.lit(1)).cast("long").alias("_docs"),
-                   F.sum(F.length("text")).cast("long").alias("_bytes"),
+                   F.sum(F.octet_length("text")).cast("long").alias("_bytes"),
                    F.sum(F.expr(_CKTERM)).cast("long").alias("_checksum")))
     return (stored.join(actual, "shard", "full_outer")
             .select("shard", "docs", "bytes", "checksum",
