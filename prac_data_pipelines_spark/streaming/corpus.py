@@ -12,16 +12,20 @@ At-least-once note: if a batch fails between the state append and the
 checkpoint commit, its files replay. Two mechanisms make the replay safe
 WITHOUT a transactional sink:
 
-- state: a re-probed doc matches the state rows its first attempt wrote
-  (``incremental_dedup`` keeps self-matches on the state probe), so its
-  verdict is a drop and its bands are never appended twice;
+- state: band rows carry the ``batch_id`` that appended them, so a
+  re-probed doc RECOGNIZES the rows its first attempt wrote (self-match
+  tagged with the current batch_id) — its verdict comes back
+  ``mantener=true`` again and the append skips it (no double-banding).
+  A self-match against an EARLIER batch's row is NOT replay: with
+  content-hash doc_ids it is a first-delivery doc whose text exactly
+  duplicates one already published, and it drops (ADVICE r5 — the old
+  ``dup_de == doc_id`` re-publish rule would have re-published it,
+  landing duplicate text in the corpus);
 - publish: output goes to a DETERMINISTIC per-batch directory
-  (``batch_id=N``, dynamic partition overwrite), and a doc whose only
-  match is ITSELF (``dup_de == doc_id`` — impossible on first delivery,
-  content-hash ids collide only on identical text which within-batch
-  dropDuplicates already collapsed) is re-published as kept. The replay
-  therefore rewrites exactly the first attempt's kept set — idempotent,
-  and a crash between state append and publish cannot lose the doc.
+  (``batch_id=N``, overwrite), and because verdicts are replay-
+  idempotent the ``mantener`` set IS the first attempt's kept set — the
+  replay rewrites exactly the same files, and a crash between state
+  append and publish cannot lose the doc.
 """
 
 from __future__ import annotations
@@ -64,14 +68,16 @@ def stream_ingest_dedup(docs_stream: DataFrame, state_dir: str,
         spark = batch_df.sparkSession
         batch_df = batch_df.dropDuplicates(["doc_id"]).localCheckpoint()
         verdicts = incremental_dedup_chunked(
-            spark, batch_df.select("doc_id", "text"), state_dir)
+            spark, batch_df.select("doc_id", "text"), state_dir,
+            batch_id=batch_id)
         # deterministic per-batch paths + overwrite = idempotent publish
-        # under replay (see module docstring); mantener OR self-match
-        # re-selects the first attempt's kept set.
+        # under replay (see module docstring); verdicts are replay-
+        # idempotent given batch_id, so mantener alone selects the first
+        # attempt's kept set.
         (verdicts.write.mode("overwrite")
          .parquet(f"{out_dir}/verdicts/batch_id={batch_id}"))
         kept = batch_df.join(
-            verdicts.filter("mantener OR dup_de = doc_id").select("doc_id"),
+            verdicts.filter("mantener").select("doc_id"),
             "doc_id", "left_semi")
         (kept.write.mode("overwrite")
          .parquet(f"{out_dir}/corpus/batch_id={batch_id}"))

@@ -236,12 +236,115 @@ def test_chunked_dedup_equals_one_shot(spark, tmp_path):
         _sh.rmtree(d, ignore_errors=True)
 
 
+def _chain_triple():
+    """(E, A, B) word-window texts with NON-transitive MinHash links:
+    je(E,A)=0.625 and je(A,B)=0.75 are above the 0.5 threshold with band
+    collisions, je(E,B)=0.375 is below it — verified constants for
+    MINHASH_K=8 / N_BANDS=4."""
+    base = [f"tok{i}" for i in range(60)]
+    return (" ".join(base[0:30]), " ".join(base[5:35]),
+            " ".join(base[12:42]))
+
+
+def test_chunked_chain_through_dropped_doc(spark, tmp_path):
+    """Exact one-shot equivalence must hold for drop-CHAINS through
+    dropped docs: A drops against state doc E, and B (a later, higher-id
+    chunk) matches A but NOT E. The one-shot within-batch join drops B
+    with dup_de=A even though A itself was dropped; the chunked path
+    must reproduce that via the transient dropped-doc probe set — before
+    the fix B was silently KEPT (ADVICE r5). Clone-based tests cannot
+    catch this because exact-clone similarity IS transitive."""
+    import shutil as _sh
+
+    from prac_data_pipelines_spark.incremental import (
+        incremental_dedup,
+        incremental_dedup_chunked,
+        init_dedup_state,
+    )
+
+    e_text, a_text, b_text = _chain_triple()
+    batch = _docs(spark, [(10, a_text), (20, b_text)])
+    dirs = [str(tmp_path / d) for d in ("one", "chunked")]
+    for d in dirs:
+        init_dedup_state(_docs(spark, [(1, e_text)]), d)
+    want = {r["doc_id"]: (r["mantener"], r["dup_de"]) for r in
+            incremental_dedup(spark, batch, dirs[0]).collect()}
+    # the scenario must actually materialize: A drops against E, B drops
+    # against the DROPPED A (not against E)
+    assert want == {10: (False, 1), 20: (False, 10)}
+    got = {r["doc_id"]: (r["mantener"], r["dup_de"]) for r in
+           incremental_dedup_chunked(spark, batch, dirs[1],
+                                     chunk_docs=1).collect()}
+    assert got == want
+    # neither state learned the dropped docs
+    for d in dirs:
+        ids = {r["doc_id"] for r in spark.read.parquet(f"{d}/bands")
+               .select("doc_id").distinct().collect()}
+        assert ids == {1}
+        _sh.rmtree(d, ignore_errors=True)
+
+
+def test_chunked_replay_at_chunk_boundary(spark, tmp_path):
+    """At-least-once replay that crashed BETWEEN chunk appends: chunk 1
+    appended its kept bands (tagged with the batch_id) and then the job
+    died before later chunks ran. The replay re-runs the whole chunk
+    sequence — verdicts and state must equal the no-crash run (chunk-1
+    docs re-keep via their own batch rows, nothing double-bands)."""
+    import shutil as _sh
+
+    from prac_data_pipelines_spark.incremental import (
+        incremental_dedup,
+        incremental_dedup_chunked,
+        init_dedup_state,
+    )
+
+    docs = [
+        (11, "chunk one keeper document alpha with plenty of words here"),
+        (12, "chunk one keeper document alpha with plenty of words here"),
+        (13, "chunk one keeper document alpha with plenty of words here"),
+        (14, "chunk two novel document omega speaking of other matters"),
+    ]
+    batch = _docs(spark, docs)
+    crash, clean = str(tmp_path / "crash"), str(tmp_path / "clean")
+    for d in (crash, clean):
+        init_dedup_state(_docs(spark, BASE), d)
+
+    # first attempt: chunk 1 (ids <= the median edge 12 for chunk_docs=2)
+    # completes its state append, then the job crashes
+    first_chunk = batch.filter(F.col("doc_id") <= 12)
+    incremental_dedup(spark, first_chunk, crash, batch_id=7)
+
+    # replay runs the FULL chunked sequence against the half-updated state
+    replayed = {r["doc_id"]: (r["mantener"], r["dup_de"]) for r in
+                incremental_dedup_chunked(spark, batch, crash,
+                                          chunk_docs=2,
+                                          batch_id=7).collect()}
+    no_crash = {r["doc_id"]: (r["mantener"], r["dup_de"]) for r in
+                incremental_dedup_chunked(spark, batch, clean,
+                                          chunk_docs=2,
+                                          batch_id=7).collect()}
+    assert replayed == no_crash == {11: (True, None), 12: (False, 11),
+                                    13: (False, 11), 14: (True, None)}
+    # identical state contents (base corpus + the two kept docs), and the
+    # same row count — the crashed path did not double-band doc 11
+    for d in (crash, clean):
+        ids = {r["doc_id"] for r in spark.read.parquet(f"{d}/bands")
+               .select("doc_id").distinct().collect()}
+        assert ids == {1, 2, 3, 11, 14}
+    n_crash = spark.read.parquet(f"{crash}/bands").count()
+    n_clean = spark.read.parquet(f"{clean}/bands").count()
+    assert n_crash == n_clean
+    for d in (crash, clean):
+        _sh.rmtree(d, ignore_errors=True)
+
+
 def test_stream_replay_is_idempotent(spark, state_dir, tmp_path):
     """At-least-once replay: wipe the checkpoint (so every micro-batch
     replays against a state that already contains its docs) and re-run.
-    The published corpus must be IDENTICAL — replayed kept docs re-publish
-    via their self-match (dup_de == doc_id), replayed dropped docs stay
-    dropped, and the state must not grow (no double-banding)."""
+    The published corpus must be IDENTICAL — replayed kept docs are
+    recognized via their own batch_id-tagged state rows and re-KEPT
+    (idempotent verdicts), replayed dropped docs stay dropped, and the
+    state must not grow (no double-banding)."""
     import shutil as _sh
 
     from prac_data_pipelines_spark.streaming.corpus import stream_ingest_dedup
@@ -274,11 +377,65 @@ def test_stream_replay_is_idempotent(spark, state_dir, tmp_path):
     assert sorted(r["doc_id"] for r in replayed.collect()) == [1, 3]
     verdicts = {r["doc_id"]: (r["mantener"], r["dup_de"]) for r in
                 spark.read.parquet(f"{out}/verdicts").collect()}
-    # replayed kept docs drop against their OWN state rows; the clone
-    # still points at the original
-    assert verdicts[1] == (False, 1) and verdicts[3] == (False, 3)
+    # replayed kept docs meet their OWN batch-tagged state rows and come
+    # back kept (verdicts idempotent); the clone still points at the
+    # original
+    assert verdicts[1] == (True, None) and verdicts[3] == (True, None)
     assert verdicts[2] == (False, 1)
     assert spark.read.parquet(f"{state_dir}/bands").count() == state_n
+
+
+def test_cross_batch_exact_dup_with_content_hash_ids(spark, state_dir,
+                                                     tmp_path):
+    """A FIRST-DELIVERY doc whose text exactly duplicates one published
+    in an EARLIER batch carries the same content-hash doc_id as that
+    doc's state rows. Its self-match must be read as a cross-batch dup
+    (drop), NOT as a replay (re-publish) — the r5 ``dup_de == doc_id``
+    rule republished it, landing duplicate text in the corpus
+    (ADVICE r5). The batch_id tag on state rows disambiguates."""
+    from prac_data_pipelines_spark.streaming.corpus import stream_ingest_dedup
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    text_a = "exact duplicate payload arriving twice across batches here"
+    # content-hash ids: the SAME text gets the SAME doc_id in both files
+    _docs(spark, [
+        (100, text_a),
+        (101, "first batch novel companion document with its own words"),
+    ]).coalesce(1).write.parquet(str(src / "f1.parquet"))
+    _docs(spark, [
+        (100, text_a),   # first delivery in batch 2, but text seen before
+        (102, "second batch genuinely new arrival on another topic"),
+    ]).coalesce(1).write.parquet(str(src / "f2.parquet"))
+    import os
+    import time
+
+    now = time.time()
+    for i, name in enumerate(("f1.parquet", "f2.parquet")):
+        for root, _dirs, files in os.walk(src / name):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i * 10, now + i * 10))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*.parquet"))
+    stream_ingest_dedup(stream, state_dir, out, ckpt)
+
+    # the duplicate text is published exactly once (batch 1); batch 2's
+    # copy dropped with dup_de pointing at the state row (its own id)
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [100, 101, 102]
+    b2 = {r["doc_id"]: (r["mantener"], r["dup_de"]) for r in
+          spark.read.parquet(f"{out}/verdicts/batch_id=1").collect()}
+    assert b2[100] == (False, 100)
+    assert b2[102] == (True, None)
+    # and the state holds ONE copy of the duplicate's bands
+    from prac_data_pipelines_spark.incremental import N_BANDS
+
+    state = spark.read.parquet(f"{state_dir}/bands")
+    assert state.filter(F.col("doc_id") == 100).count() == N_BANDS
 
 
 def test_hot_band_guard_at_init_and_compaction(spark, state_dir, monkeypatch):
