@@ -55,3 +55,53 @@ def global_positions(df: DataFrame, keys: list[Column],
     return (local.join(F.broadcast(offsets), "_pid")
             .withColumn(pos_col, (F.col("_off") + F.col("_lrn")).cast("long"))
             .drop("_pid", "_lrn", "_off"))
+
+
+def grouped_positions(df: DataFrame, group_cols: list[str],
+                      order_keys: list[Column], pos_col: str = "pos",
+                      n_col: str | None = None) -> DataFrame:
+    """Per-GROUP 1-based rank under a total order — without a
+    ``Window.partitionBy(group)`` whose parallelism is capped at
+    \\|groups\\| (one dominant group = one task at any data size).
+
+    The two-level ``global_positions`` idiom, keyed by group:
+
+    1. ``repartitionByRange(group, *order)`` — each group's rows land in
+       order across one or MORE partitions (a huge group spans many);
+    2. local ``row_number`` per (partition, group) — rows of a group
+       inside a partition are contiguous and ordered by construction;
+    3. per-(partition, group) counts prefix-summed via a triangular
+       broadcast join (\\|partitions x groups-touching-them\\| rows, never
+       data-sized) give each partition's starting offset within its
+       group.
+
+    ``order_keys`` must totally order rows WITHIN a group (unique
+    tiebreaker). With ``n_col``, the group's total row count is attached
+    from a broadcast of the same per-partition counts (no second scan).
+    """
+    keys = [F.col(c).asc() for c in group_cols] + order_keys
+    ranged = df.repartitionByRange(*keys).withColumn(
+        "_pid", F.spark_partition_id())
+    local = ranged.withColumn(
+        "_lrn", F.row_number().over(
+            Window.partitionBy("_pid", *group_cols).orderBy(*order_keys)))
+    counts = ranged.groupBy("_pid", *group_cols).agg(
+        F.count(F.lit(1)).alias("_cnt"))
+    earlier = counts.select(
+        F.col("_pid").alias("_bpid"), F.col("_cnt").alias("_bcnt"),
+        *[F.col(c).alias(f"_bg_{c}") for c in group_cols])
+    same_group = [F.col(f"_bg_{c}") == F.col(c) for c in group_cols]
+    before = F.col("_bpid") < F.col("_pid")
+    for cond in same_group:
+        before = before & cond
+    offsets = (counts.join(F.broadcast(earlier), before, "left")
+               .groupBy("_pid", *group_cols)
+               .agg(F.coalesce(F.sum("_bcnt"), F.lit(0)).alias("_off")))
+    out = (local.join(F.broadcast(offsets), ["_pid", *group_cols])
+           .withColumn(pos_col,
+                       (F.col("_off") + F.col("_lrn")).cast("long")))
+    if n_col is not None:
+        totals = counts.groupBy(*group_cols).agg(
+            F.sum("_cnt").cast("long").alias(n_col))
+        out = out.join(F.broadcast(totals), list(group_cols))
+    return out.drop("_pid", "_lrn", "_off")

