@@ -107,6 +107,8 @@ HEADLINE = [
     # rolling window now exercising the sharded path at sf0.1.
     "shard_manifest",
     "events_rolling",
+    # Round-6: the writer round-trip (write shards + loader-side verify)
+    "shard_verify",
     "doc_lm_quality",
     "doc_pack_fold",
     "bpe_merge_pairs",

@@ -732,6 +732,50 @@ register("shard_manifest", q_shard_manifest, _sql_shard_manifest())
 
 
 # --------------------------------------------------------------------------
+# shard_verify — the writer's ON-DISK contract, oracle-pinned: actually
+# write the shard set (data + manifest) to scratch, then run the
+# loader-side verification (re-aggregate the WRITTEN files, compare to
+# the stored manifest). The oracle is the manifest computed straight
+# from the documents table plus literal TRUEs — the row goes red if the
+# written files drift from the manifest in any way (assignment, order
+# spill, lost rows, encoding), not merely if the assignment expression
+# drifts (that is shard_manifest's job). The result is localCheckpointed
+# so the scratch dir can be reclaimed before the driver reads it.
+# --------------------------------------------------------------------------
+
+def q_shard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sinks.shards import verify_shards, write_training_shards
+
+    scratch = tempfile.mkdtemp(prefix="shard_verify_")
+    try:
+        write_training_shards(_docs(spark, sf_dir), scratch)
+        return (verify_shards(spark, scratch)
+                .withColumn("escrito", F.lit(True))
+                .localCheckpoint())
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _sql_shard_verify() -> str:
+    from ..sinks.shards import DEFAULT_N_SHARDS, SQL_CKTERM, SQL_SKEY
+
+    return f"""
+SELECT ({SQL_SKEY} % {DEFAULT_N_SHARDS})::INT AS shard,
+       count(*)::BIGINT AS docs,
+       sum(strlen(text))::BIGINT AS bytes,
+       sum({SQL_CKTERM})::BIGINT AS checksum,
+       TRUE AS ok, TRUE AS escrito
+FROM documents GROUP BY shard ORDER BY shard
+"""
+
+
+register("shard_verify", q_shard_verify, _sql_shard_verify())
+
+
+# --------------------------------------------------------------------------
 # doc_lm_quality — CCNet-style language-model quality filter: train a
 # bigram LM on the corpus ITSELF (the standard perplexity-filtering setup
 # trains on a trusted corpus; self-training is its degenerate in-engine
