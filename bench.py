@@ -107,8 +107,11 @@ HEADLINE = [
     # rolling window now exercising the sharded path at sf0.1.
     "shard_manifest",
     "events_rolling",
-    # Round-6: the writer round-trip (write shards + loader-side verify)
+    # Round-6: the writer round-trip (write shards + loader-side verify),
+    # the int8 quantization audit, and the duplicated-n-gram audit.
     "shard_verify",
+    "emb_quantize",
+    "doc_dup_ngrams",
     "doc_lm_quality",
     "doc_pack_fold",
     "bpe_merge_pairs",

@@ -587,6 +587,76 @@ register("doc_ngram_jaccard", q_doc_ngram_jaccard, SQL_DOC_NGRAM_JACCARD)
 
 
 # --------------------------------------------------------------------------
+# doc_dup_ngrams — corpus-level duplicated-n-gram audit (the "what
+# fraction of each document is copied text" measurement behind
+# exact-substring train-data dedup, Lee et al. 2022): an n-gram is
+# duplicated when it occurs in >= 2 DISTINCT documents; per source this
+# reports the mean duplicated fraction per doc and how many docs are
+# mostly copies (>= half their distinct n-grams duplicated) — the
+# curation signal for substring-level dedup, complementing the
+# whole-doc MinHash family.
+#
+# Scale shape: n-grams are hashed to bigints before any shuffle (the
+# wide strings never leave the row), the gram-frequency aggregation is
+# map-side partial, and the flag join is gram-keyed equi-join (AQE
+# handles hot grams). Two corpus-sized shuffles — the canonical cost of
+# this job at any scale; nothing is collected or broadcast-sized by the
+# corpus.
+# --------------------------------------------------------------------------
+
+def q_doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    ds = (docs.selectExpr("doc_id", "source", "text", f"{WORDS} AS _ws")
+          .selectExpr("doc_id", "source",
+                      f"array_distinct(transform({_SHINGLES_WS}, "
+                      f"s -> {_h('s')})) AS _gs"))
+    pairs = ds.select("doc_id", "source", F.explode("_gs").alias("g"))
+    # per-doc grams are distinct, so count(*) per gram == distinct docs
+    gcounts = pairs.groupBy("g").agg(F.count(F.lit(1)).alias("_n"))
+    per_doc = (pairs.join(gcounts, "g")
+               .groupBy("doc_id", "source")
+               .agg(F.count(F.lit(1)).alias("_total"),
+                    F.sum(F.when(F.col("_n") >= 2, 1).otherwise(0))
+                    .alias("_dup")))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("_dup").cast("long").alias("ngramas_dup"),
+                 F.sum("_total").cast("long").alias("ngramas"),
+                 r4(F.avg(F.col("_dup") / F.col("_total")))
+                 .alias("frac_dup_media"),
+                 F.sum(F.when(F.col("_dup") * 2 >= F.col("_total"), 1)
+                       .otherwise(0)).cast("long").alias("docs_mitad_dup"))
+            .orderBy("source"))
+
+
+SQL_DOC_DUP_NGRAMS = f"""
+WITH ds AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}))
+           AS gs
+  FROM documents
+), p AS (
+  SELECT doc_id, source, unnest(gs) AS g FROM ds
+), gc AS (
+  SELECT g, count(*) AS n FROM p GROUP BY g
+), d AS (
+  SELECT p.doc_id, p.source, count(*) AS total,
+         sum(CASE WHEN gc.n >= 2 THEN 1 ELSE 0 END) AS dup
+  FROM p JOIN gc USING (g) GROUP BY p.doc_id, p.source
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(dup)::BIGINT AS ngramas_dup, sum(total)::BIGINT AS ngramas,
+       floor(avg(dup::DOUBLE / total) * 10000 + 0.5) / 10000
+         AS frac_dup_media,
+       sum(CASE WHEN dup * 2 >= total THEN 1 ELSE 0 END)::BIGINT
+         AS docs_mitad_dup
+FROM d GROUP BY source ORDER BY source
+"""
+
+register("doc_dup_ngrams", q_doc_dup_ngrams, SQL_DOC_DUP_NGRAMS)
+
+
+# --------------------------------------------------------------------------
 # doc_simhash — 28-bit SimHash from frequency-weighted token-hash bit votes.
 # --------------------------------------------------------------------------
 

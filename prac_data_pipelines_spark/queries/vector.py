@@ -215,6 +215,88 @@ register("embedding_norms", q_embedding_norms, SQL_EMBEDDING_NORMS)
 
 
 # --------------------------------------------------------------------------
+# emb_quantize — int8 scalar-quantization audit: the standard memory/
+# bandwidth lever for serving and ANN-indexing a large embedding corpus
+# (4x smaller than float32) is per-dimension min/max uint8 quantization;
+# this query measures what that costs BEFORE committing the corpus to
+# it: per-label mean reconstruction RMSE and worst per-element error.
+#
+# Scale shape: per-dim ranges come from one posexplode + groupBy(dim)
+# with map-side partial aggregation (the shuffle carries |dims| rows per
+# partition, never the corpus); the |dims|-row parameter table collapses
+# to ONE broadcast row (array_sort(collect_list(...)) — the kmeans
+# broadcast-fold idiom), and reconstruction is a per-row zip_with fold.
+# The corpus is scanned twice and never shuffled or joined wide.
+#
+# Determinism: quantize/reconstruct is per-element IEEE double
+# arithmetic in the same expression shape on both engines (floor(x+0.5)
+# grid snap); per-vector folds are sequential on both; only the
+# per-label AVG re-associates, and it is r6-rounded like every grouped
+# mean in the registry.
+# --------------------------------------------------------------------------
+
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    dims = (emb.select(F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("dim")
+            .agg(F.min(F.col("v").cast("double")).alias("mn"),
+                 F.max(F.col("v").cast("double")).alias("mx")))
+    params = dims.agg(
+        F.expr("array_sort(collect_list(struct(dim, mn, mx)))").alias("P"))
+    scale = "((p.mx - p.mn) / cast(255 as double))"
+    errs = (
+        "zip_with(embedding, P, (v, p) -> "
+        "CASE WHEN p.mx = p.mn THEN 0D ELSE "
+        f"cast(v as double) - (p.mn + floor((cast(v as double) - p.mn) / "
+        f"{scale} + 0.5D) * {scale}) END)")
+    per_vec = (emb.crossJoin(broadcast(params))
+               .withColumn("_e", F.expr(errs))
+               .withColumn("_rmse", F.expr(
+                   "sqrt(aggregate(_e, 0D, (acc, e) -> acc + e * e) "
+                   "/ size(_e))"))
+               .withColumn("_amax", F.expr(
+                   "array_max(transform(_e, e -> abs(e)))")))
+    return (per_vec.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vectores"),
+                 F.min(F.size("embedding")).cast("long").alias("dims"),
+                 r6(F.avg("_rmse")).alias("rmse_media"),
+                 r6(F.max("_amax")).alias("error_max"))
+            .orderBy("label"))
+
+
+SQL_EMB_QUANTIZE = """
+WITH x AS (
+  SELECT unnest(embedding)::DOUBLE AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+), d AS (
+  SELECT dim, min(v) AS mn, max(v) AS mx FROM x GROUP BY dim
+), pp AS (
+  SELECT list({'mn': mn, 'mx': mx} ORDER BY dim) AS P FROM d
+), e AS (
+  SELECT label, embedding,
+         list_transform(range(1, len(embedding) + 1), i ->
+           CASE WHEN P[i].mx = P[i].mn THEN 0.0::DOUBLE ELSE
+             embedding[i]::DOUBLE - (P[i].mn
+               + floor((embedding[i]::DOUBLE - P[i].mn)
+                       / ((P[i].mx - P[i].mn) / CAST(255 AS DOUBLE)) + 0.5)
+                 * ((P[i].mx - P[i].mn) / CAST(255 AS DOUBLE)))
+           END) AS errs
+  FROM embeddings CROSS JOIN pp
+)
+SELECT label, count(*)::BIGINT AS n_vectores,
+       min(len(embedding))::BIGINT AS dims,
+       floor(avg(sqrt(list_sum(list_transform(errs, e -> e * e))
+                      / len(errs))) * 1000000 + 0.5) / 1000000 AS rmse_media,
+       floor(max(list_max(list_transform(errs, e -> abs(e))))
+             * 1000000 + 0.5) / 1000000 AS error_max
+FROM e GROUP BY label ORDER BY label
+"""
+
+register("emb_quantize", q_emb_quantize, SQL_EMB_QUANTIZE)
+
+
+# --------------------------------------------------------------------------
 # kmeans_embeddings — distributed Lloyd's k-means over the embedding
 # corpus: deterministic init (first K vectors), 3 refinement rounds of
 # assign-to-nearest-centroid (cosine, broadcast centroids) followed by a

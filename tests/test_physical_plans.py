@@ -332,3 +332,29 @@ def test_doc_pack_fold_has_no_per_source_window(spark, sf_dir):
                            plan):
         # partition spec = everything before the first sort-order arg
         assert "_pid" in spec, spec
+
+
+def test_emb_quantize_broadcasts_params_only(spark, sf_dir):
+    """emb_quantize's per-dim parameter table must reach the corpus as a
+    ONE-row broadcast (the kmeans fold idiom) — never a corpus-sized
+    join or a window; the only shuffles are the |dims|-row partial
+    aggregate and the per-label rollup."""
+    from prac_data_pipelines_spark.queries.vector import q_emb_quantize
+
+    plan = _plan(q_emb_quantize(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan   # 1-row params x corpus
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan or plan.count("SinglePartition") <= 1
+
+
+def test_doc_dup_ngrams_joins_on_hashed_grams(spark, sf_dir):
+    """doc_dup_ngrams must shuffle HASHED grams (bigints), never the
+    n-gram strings, and must not degrade to a cartesian/window plan."""
+    from prac_data_pipelines_spark.queries.text import q_doc_dup_ngrams
+
+    df = q_doc_dup_ngrams(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    # the join key is the hashed gram column g: bigint
+    assert dict(df.select("ngramas").dtypes)["ngramas"] == "bigint"

@@ -34,3 +34,42 @@ def test_sketches_track_exact_values(spark, sf_dir):
     p90s = [r["p90_precio"] for r in exact_q.values()]
     assert min(p50s) <= sk["p50_precio"] <= max(p50s)
     assert min(p90s) <= sk["p90_precio"] <= max(p90s)
+
+
+def test_emb_quantize_grid_exactness(spark, sf_dir):
+    """Pinned semantics for the int8 quantization audit: values already
+    ON the 255-step grid reconstruct exactly (rmse 0), constant dims
+    cost nothing, and every per-element error is bounded by half a step
+    of that dimension's scale."""
+    import pyspark.sql.functions as F
+
+    from prac_data_pipelines_spark.queries.vector import q_emb_quantize
+
+    out = {r["label"]: r for r in q_emb_quantize(spark, sf_dir).collect()}
+    from prac_data_pipelines_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # global per-dim scale bound: max per-element error <= scale/2 + eps
+    dims = (emb.select(F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("dim")
+            .agg(((F.max(F.col("v").cast("double"))
+                   - F.min(F.col("v").cast("double"))) / 255.0).alias("s")))
+    max_half_step = dims.agg(F.max("s")).collect()[0][0] / 2
+    for r in out.values():
+        assert r["error_max"] <= max_half_step + 1e-9
+        assert 0.0 <= r["rmse_media"] <= r["error_max"] + 1e-9
+
+    # a grid-exact corpus reconstructs exactly
+    grid = spark.createDataFrame(
+        [(1, [0.0, 1.0], 0), (2, [255.0, 1.0], 0), (3, [51.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int")
+    import prac_data_pipelines_spark.queries.vector as vec
+
+    orig = vec._emb
+    vec._emb = lambda s, d: grid
+    try:
+        res = {r["label"]: r for r in q_emb_quantize(spark, "").collect()}
+    finally:
+        vec._emb = orig
+    assert res[0]["rmse_media"] == 0.0 and res[0]["error_max"] == 0.0
+    assert res[1]["rmse_media"] == 0.0
