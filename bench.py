@@ -112,6 +112,7 @@ HEADLINE = [
     "shard_verify",
     "emb_quantize",
     "doc_dup_ngrams",
+    "source_cross_dup",
     "doc_lm_quality",
     "doc_pack_fold",
     "bpe_merge_pairs",

@@ -29,40 +29,19 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # not yet received a driver-green row first so every operator accumulates a
 # driver verdict across rounds; the remainder keeps registration order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-5 rotation: the driver's ~50-row gate should re-verdict the
-    # 74 queries whose last driver row predates round 4 (r4 covered the
-    # other 50). Head = 2 new/changed + all 27 r2-era stale + the r3-era
-    # stale with this round's modified members hoisted — exactly 50.
+    # Round-6 rotation (completes the freshness plan from
+    # docs/ROUND5_NOTES.md: after this head runs, every registered
+    # query's driver verdict is <= 2 rounds old). Head = 3 new + 5
+    # modified this round + the 26 r3-era stale + the 6 that slipped
+    # past r5's 50-row budget + 10 r4-era re-verdicts — exactly 50.
     #
-    # New (shard_manifest, doc_lm_quality) / made driver-checkable this
-    # round (sketch_profile now has a real oracle instead of
-    # err: no_oracle):
-    "shard_manifest", "sketch_profile", "doc_lm_quality", "doc_pack_fold",
-    "bpe_merge_pairs", "emb_label_centroids", "doc_lang_confusion",
-    "events_dau_wau",
-    # Last driver verdict r2 (27):
-    "emb_near_dup", "multimodal_features", "multimodal_resize",
-    "multimodal_frames", "doc_decontaminate", "doc_pii_scrub",
-    "doc_pack_sequences", "tfidf_top_terms", "doc_repetition",
-    "doc_stratified_sample", "priority_late_lines",
-    "customer_order_distribution", "large_quantity_orders",
-    "volume_shipping", "market_share", "waiting_suppliers",
-    "important_stock", "top_supplier", "sql_text", "distinct_values",
-    "quantiles", "window_suite", "rollup_summary", "set_ops",
-    "asof_latest_order", "distribution_windows", "cube_summary",
-    # Last driver verdict r3, modified in r5 first (two-level Pareto
-    # cumsum rewrite):
-    "pareto_abc", "cxc_concentracion",
-    # Last driver verdict r3 (first 19 — the rest slips to the r6
-    # rotation; all were judge-mirror green in r4):
-    "master_denorm", "order_balance", "order_last_ship",
-    "open_order_lines", "flag_full_outer", "customer_first_order",
-    "aging_buckets", "aging_pivot", "customer_metrics", "running_balance",
-    "zscore_outliers", "dual_sort", "top_customers", "band_groups",
-    "scalar_suite", "cancelled_filter", "union_views", "column_profile",
-    "distinct_counts",
-    # --- 50-row budget boundary ---
-    # Remaining r3-era stale (next rotation's head):
+    # New in r6:
+    "shard_verify", "emb_quantize", "doc_dup_ngrams", "source_cross_dup",
+    # Modified in r6 (grouped-positions pack fold, pinned Pareto tail,
+    # rank-space sketch check, byte-true shard manifest):
+    "doc_pack_fold", "pareto_abc", "cxc_concentracion", "sketch_profile",
+    "shard_manifest",
+    # Last driver verdict r3 (26):
     "cxc_master_summary", "cxc_saldo_factura", "cxc_antiguedad",
     "cxc_antiguedad_cliente", "cxc_cartera", "cxc_resumen_concepto",
     "cxc_cancelados", "cxc_ajustes", "cxc_auditoria_nulos", "cxc_kpis",
@@ -71,12 +50,32 @@ _PRIORITY: tuple[str, ...] = (
     "doc_bpe_tokens", "doc_quality", "doc_lang_id", "doc_fingerprint",
     "doc_simhash", "doc_sample", "knn_brute", "embedding_norms",
     "fuzzy_name_blocks", "fuzzy_block_stats",
-    # Modified in r5 but r4-driver-green (money() seam refactor /
-    # events_rolling volume routing / transitions window-order fix —
-    # re-oracle-checked locally this round):
+    # Slipped past r5's 50-row budget (r3-era verdicts):
+    "band_groups", "scalar_suite", "cancelled_filter", "union_views",
+    "column_profile", "distinct_counts",
+    # r4-era verdicts turning 2 rounds old — r5-modified members first,
+    # then the dedup-family neighbors of this round's n-gram work:
     "events_rolling", "events_transitions", "pricing_summary",
     "parts_never_ordered", "rich_inactive_customers", "min_cost_supplier",
-    "order_vs_customer_avg",
+    "order_vs_customer_avg", "doc_curation", "doc_minhash_pairs",
+    # --- 50-row budget boundary ---
+    "doc_ngram_jaccard",
+    # r5-verdict queries (freshest; next rotation re-verdicts the r4-era
+    # remainder first):
+    "doc_lm_quality", "bpe_merge_pairs", "emb_label_centroids",
+    "doc_lang_confusion", "events_dau_wau", "emb_near_dup",
+    "multimodal_features", "multimodal_resize", "multimodal_frames",
+    "doc_decontaminate", "doc_pii_scrub", "doc_pack_sequences",
+    "tfidf_top_terms", "doc_repetition", "doc_stratified_sample",
+    "priority_late_lines", "customer_order_distribution",
+    "large_quantity_orders", "volume_shipping", "market_share",
+    "waiting_suppliers", "important_stock", "top_supplier", "sql_text",
+    "distinct_values", "quantiles", "window_suite", "rollup_summary",
+    "set_ops", "asof_latest_order", "distribution_windows",
+    "cube_summary", "master_denorm", "order_balance", "order_last_ship",
+    "open_order_lines", "flag_full_outer", "customer_first_order",
+    "aging_buckets", "aging_pivot", "customer_metrics", "running_balance",
+    "zscore_outliers", "dual_sort", "top_customers",
 )
 
 

@@ -251,13 +251,29 @@ def _rolling_summary(rolled: DataFrame) -> DataFrame:
 def _events_rows(spark: SparkSession, sf_dir: str, ev: DataFrame) -> int:
     """Row count for the routing probe: parquet footer metadata when the
     table is a plain parquet path (free — no scan; Spark's count() scans
-    unless aggregate pushdown is on), else one column-less count."""
-    try:
-        import pyarrow.parquet as pq
+    unless aggregate pushdown is on), else one column-less count.
 
-        return pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
-    except Exception:
-        return ev.count()
+    Only the two EXPECTED shapes fall through to the scan count — the
+    file not being a single parquet file (directory-style table, other
+    format) — and the fallback is logged; anything else (typo'd sf_dir,
+    permissions) raises rather than silently paying a full scan per
+    invocation (VERDICT r5)."""
+    import pyarrow.lib
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/events.parquet"
+    import os
+
+    if os.path.isfile(path):
+        try:
+            return pq.ParquetFile(path).metadata.num_rows
+        except pyarrow.lib.ArrowInvalid:
+            pass  # not a parquet file despite the name
+    import warnings
+
+    warnings.warn(f"events routing probe: {path} is not a single parquet "
+                  f"file; falling back to a count() scan", stacklevel=2)
+    return ev.count()
 
 
 def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -657,6 +657,80 @@ register("doc_dup_ngrams", q_doc_dup_ngrams, SQL_DOC_DUP_NGRAMS)
 
 
 # --------------------------------------------------------------------------
+# source_cross_dup — cross-SOURCE near-duplication matrix: the corpus
+# governance view of the MinHash pair family ("which sources copy from
+# which"). Above-threshold (0.5 — the dedup drop threshold) LSH pairs
+# joined to each side's source, canonicalized to an unordered source
+# pair, rolled up to pair counts + mean similarity. Mixture design and
+# licensing audits read this before deciding per-source sampling.
+#
+# Scale shape: identical to doc_minhash_pairs up to the band join (the
+# only corpus-sized shuffle); the source lookups join the PAIRS (tiny by
+# construction after thresholding) against the narrow (doc_id, source)
+# projection; the final matrix is |sources|^2 at most.
+# --------------------------------------------------------------------------
+
+CROSS_DUP_THRESHOLD = 0.5
+
+
+def q_source_cross_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    src = docs.select("doc_id", "source")
+    sigs = _with_sigs(docs).cache()
+    bands = _band_guard(sigs.selectExpr("doc_id", "sigs", _BANDS_EXPR))
+    left = bands.select(F.col("doc_id").alias("d1"),
+                        F.col("sigs").alias("s1"), "banda")
+    right = bands.select(F.col("doc_id").alias("d2"),
+                         F.col("sigs").alias("s2"), "banda")
+    est = F.expr(
+        f"size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v)) "
+        f"/ cast({MINHASH_K} as double)")
+    pairs = (left.join(right, "banda")
+             .filter(F.col("d1") < F.col("d2"))
+             .select("d1", "d2", r4(est).alias("je"))
+             .filter(F.col("je") >= CROSS_DUP_THRESHOLD)
+             .dropDuplicates(["d1", "d2"]))
+    j = (pairs
+         .join(src.selectExpr("doc_id AS d1", "source AS sa"), "d1")
+         .join(src.selectExpr("doc_id AS d2", "source AS sb"), "d2"))
+    return (j.select(F.least("sa", "sb").alias("fuente_a"),
+                     F.greatest("sa", "sb").alias("fuente_b"), "je")
+            .groupBy("fuente_a", "fuente_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pares"),
+                 r4(F.avg("je")).alias("similitud_media"))
+            .orderBy("fuente_a", "fuente_b"))
+
+
+SQL_SOURCE_CROSS_DUP = f"""
+WITH hs AS (
+  SELECT doc_id, list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}) AS hs
+  FROM documents
+), sigs AS (
+  SELECT doc_id, {SQL_SIGS} AS sigs FROM hs
+), {SQL_BANDS_CTE}, cand AS (
+  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+         floor(list_sum(list_transform(range(0, {MINHASH_K}),
+                       i -> CASE WHEN l.sigs[i+1] = r.sigs[i+1]
+                            THEN 1 ELSE 0 END))
+               / {MINHASH_K}.0 * 10000 + 0.5) / 10000 AS je
+  FROM bands l JOIN bands r ON l.banda = r.banda AND l.doc_id < r.doc_id
+), pairs AS (
+  SELECT least(da.source, db.source) AS fuente_a,
+         greatest(da.source, db.source) AS fuente_b, je
+  FROM cand
+  JOIN documents da ON da.doc_id = cand.d1
+  JOIN documents db ON db.doc_id = cand.d2
+  WHERE je >= {CROSS_DUP_THRESHOLD}
+)
+SELECT fuente_a, fuente_b, count(*)::BIGINT AS n_pares,
+       floor(avg(je) * 10000 + 0.5) / 10000 AS similitud_media
+FROM pairs GROUP BY fuente_a, fuente_b ORDER BY fuente_a, fuente_b
+"""
+
+register("source_cross_dup", q_source_cross_dup, SQL_SOURCE_CROSS_DUP)
+
+
+# --------------------------------------------------------------------------
 # doc_simhash — 28-bit SimHash from frequency-weighted token-hash bit votes.
 # --------------------------------------------------------------------------
 

@@ -244,6 +244,27 @@ def stream_ohlc(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_dau(events: DataFrame) -> DataFrame:
+    """Streaming daily-active-users — the incremental twin of the DAU
+    half of ``queries.events.q_events_dau_wau``. Streaming aggregations
+    cannot run ``countDistinct``, so distinctness is its OWN stateful
+    stage: ``dropDuplicatesWithinWatermark`` on (user_id, day) keeps one
+    row per active user-day (state = active user-days inside the
+    watermark horizon, evicted as the watermark passes), chained into an
+    epoch-aligned 1-day tumbling count — two keyed stateful operators,
+    both sharding by their key at any scale. Day identity is
+    ``sec // 86400`` exactly like the batch query (``F.window`` '1 day'
+    windows are epoch-anchored), so emitted rows equal the batch DAU for
+    every watermark-closed day."""
+    ev = (events.withWatermark("ts", WATERMARK)
+          .withColumn("dia", F.floor(F.col("ts").cast("long") / 86400))
+          .dropDuplicatesWithinWatermark(["user_id", "dia"]))
+    return (ev.groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).cast("long").alias("dau"))
+            .select(F.floor(F.col("w.start").cast("long") / 86400)
+                    .cast("long").alias("dia"), "dau"))
+
+
 def stream_hopping_rollup(events: DataFrame) -> DataFrame:
     """Hopping-window (1 h window / 15 min slide) incremental rollup — the
     streaming twin of ``queries.events.q_events_hopping``. Each event lands

@@ -267,3 +267,31 @@ def test_stream_ohlc_matches_batch(spark, stream_dir, sf_dir):
         for r in q_events_ohlc(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_stream_dau_matches_batch(spark, stream_dir, sf_dir):
+    """Chained stateful DAU (per-(user, day) dedup -> day-window count)
+    must equal the batch countDistinct for every watermark-closed day;
+    append mode holds back only the trailing horizon."""
+    import pyspark.sql.functions as F
+
+    from prac_data_pipelines_spark.operators.timeops import epoch_sec
+    from prac_data_pipelines_spark.queries.events import q_events_dau_wau
+    from prac_data_pipelines_spark.sources import load_table
+    from prac_data_pipelines_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+        stream_dau,
+    )
+
+    run_to_memory(stream_dau(read_event_stream(spark, stream_dir)),
+                  "dau_test", output_mode="append")
+    got = {(r["dia"], r["dau"]) for r in spark.table("dau_test").collect()}
+    batch = {(r["dia"], r["dau"])
+             for r in q_events_dau_wau(spark, sf_dir).collect()}
+    max_sec = (load_table(spark, sf_dir, "events")
+               .agg(F.max(epoch_sec("ts"))).collect()[0][0])
+    # days whose window end is strictly past the final watermark MUST
+    # have emitted; nothing may emit that disagrees with batch
+    closed = {(d, n) for d, n in batch if (d + 1) * 86400 < max_sec - 7200}
+    assert closed and closed <= got <= batch
