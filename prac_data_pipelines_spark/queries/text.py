@@ -611,9 +611,13 @@ def q_doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                       f"array_distinct(transform({_SHINGLES_WS}, "
                       f"s -> {_h('s')})) AS _gs"))
     pairs = ds.select("doc_id", "source", F.explode("_gs").alias("g"))
-    # per-doc grams are distinct, so count(*) per gram == distinct docs
-    gcounts = pairs.groupBy("g").agg(F.count(F.lit(1)).alias("_n"))
-    per_doc = (pairs.join(gcounts, "g")
+    # per-doc grams are distinct, so count(*) per gram == distinct docs.
+    # The count attaches via a gram-partitioned window, not groupBy+self-
+    # join: one shuffle either way, but the join form scans (and re-md5s)
+    # the exploded gram set twice — min-of-2 at 8x/40k docs: 19.5s join
+    # form vs 12.0s window form
+    gram_n = F.count(F.lit(1)).over(Window.partitionBy("g"))
+    per_doc = (pairs.withColumn("_n", gram_n)
                .groupBy("doc_id", "source")
                .agg(F.count(F.lit(1)).alias("_total"),
                     F.sum(F.when(F.col("_n") >= 2, 1).otherwise(0))

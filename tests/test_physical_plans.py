@@ -347,14 +347,23 @@ def test_emb_quantize_broadcasts_params_only(spark, sf_dir):
     assert "SinglePartition" not in plan or plan.count("SinglePartition") <= 1
 
 
-def test_doc_dup_ngrams_joins_on_hashed_grams(spark, sf_dir):
+def test_doc_dup_ngrams_windows_on_hashed_grams(spark, sf_dir):
     """doc_dup_ngrams must shuffle HASHED grams (bigints), never the
-    n-gram strings, and must not degrade to a cartesian/window plan."""
+    n-gram strings, and attach the gram frequency via ONE
+    gram-partitioned window (gram cardinality scales with the corpus, so
+    parallelism is unbounded) — not a groupBy + self-join that scans and
+    re-hashes the exploded gram set twice."""
     from prac_data_pipelines_spark.queries.text import q_doc_dup_ngrams
 
     df = q_doc_dup_ngrams(spark, sf_dir)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
-    assert "Window" not in plan
-    # the join key is the hashed gram column g: bigint
+    assert "SinglePartition" not in plan
+    # exactly one window, partitioned by the hashed gram column g
+    assert plan.count("Window [") == 1
+    import re
+
+    spec = re.search(r"Window \[count\(1\) windowspecdefinition\((\w+)#",
+                     plan)
+    assert spec and spec.group(1) == "g", plan[:2000]
     assert dict(df.select("ngramas").dtypes)["ngramas"] == "bigint"
