@@ -113,6 +113,7 @@ HEADLINE = [
     "emb_quantize",
     "doc_dup_ngrams",
     "source_cross_dup",
+    "doc_token_budget",
     "doc_lm_quality",
     "doc_pack_fold",
     "bpe_merge_pairs",

@@ -59,7 +59,9 @@ def global_positions(df: DataFrame, keys: list[Column],
 
 def grouped_positions(df: DataFrame, group_cols: list[str],
                       order_keys: list[Column], pos_col: str = "pos",
-                      n_col: str | None = None) -> DataFrame:
+                      n_col: str | None = None,
+                      cum_of: Column | None = None, cum_col: str = "cum",
+                      total_col: str | None = None) -> DataFrame:
     """Per-GROUP 1-based rank under a total order — without a
     ``Window.partitionBy(group)`` whose parallelism is capped at
     \\|groups\\| (one dominant group = one task at any data size).
@@ -78,30 +80,55 @@ def grouped_positions(df: DataFrame, group_cols: list[str],
     ``order_keys`` must totally order rows WITHIN a group (unique
     tiebreaker). With ``n_col``, the group's total row count is attached
     from a broadcast of the same per-partition counts (no second scan).
+
+    With ``cum_of``, the same machinery also produces the per-group
+    RUNNING SUM of that value (as ``cum_col``; group grand total as
+    ``total_col``) — the grouped form of ``pareto_abc``'s two-level
+    cumsum. Exact for integral values (offsets re-associate the sum,
+    which only matters for floats — see pareto_abc's regrouping note).
     """
     keys = [F.col(c).asc() for c in group_cols] + order_keys
     ranged = df.repartitionByRange(*keys).withColumn(
         "_pid", F.spark_partition_id())
-    local = ranged.withColumn(
-        "_lrn", F.row_number().over(
-            Window.partitionBy("_pid", *group_cols).orderBy(*order_keys)))
-    counts = ranged.groupBy("_pid", *group_cols).agg(
-        F.count(F.lit(1)).alias("_cnt"))
+    if cum_of is not None:
+        ranged = ranged.withColumn("_val", cum_of)
+    wloc = Window.partitionBy("_pid", *group_cols).orderBy(*order_keys)
+    local = ranged.withColumn("_lrn", F.row_number().over(wloc))
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    if cum_of is not None:
+        local = local.withColumn(
+            "_lcum", F.sum("_val").over(
+                wloc.rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow)))
+        aggs.append(F.sum("_val").alias("_vs"))
+    counts = ranged.groupBy("_pid", *group_cols).agg(*aggs)
+    bcols = [F.col("_pid").alias("_bpid"), F.col("_cnt").alias("_bcnt")]
+    if cum_of is not None:
+        bcols.append(F.col("_vs").alias("_bvs"))
     earlier = counts.select(
-        F.col("_pid").alias("_bpid"), F.col("_cnt").alias("_bcnt"),
-        *[F.col(c).alias(f"_bg_{c}") for c in group_cols])
-    same_group = [F.col(f"_bg_{c}") == F.col(c) for c in group_cols]
+        *bcols, *[F.col(c).alias(f"_bg_{c}") for c in group_cols])
     before = F.col("_bpid") < F.col("_pid")
-    for cond in same_group:
-        before = before & cond
+    for c in group_cols:
+        before = before & (F.col(f"_bg_{c}") == F.col(c))
+    offs = [F.coalesce(F.sum("_bcnt"), F.lit(0)).alias("_off")]
+    if cum_of is not None:
+        offs.append(F.coalesce(F.sum("_bvs"), F.lit(0)).alias("_voff"))
     offsets = (counts.join(F.broadcast(earlier), before, "left")
-               .groupBy("_pid", *group_cols)
-               .agg(F.coalesce(F.sum("_bcnt"), F.lit(0)).alias("_off")))
+               .groupBy("_pid", *group_cols).agg(*offs))
     out = (local.join(F.broadcast(offsets), ["_pid", *group_cols])
            .withColumn(pos_col,
                        (F.col("_off") + F.col("_lrn")).cast("long")))
-    if n_col is not None:
-        totals = counts.groupBy(*group_cols).agg(
-            F.sum("_cnt").cast("long").alias(n_col))
+    if cum_of is not None:
+        out = out.withColumn(cum_col, F.col("_voff") + F.col("_lcum"))
+    if n_col is not None or total_col is not None:
+        taggs = []
+        if n_col is not None:
+            taggs.append(F.sum("_cnt").cast("long").alias(n_col))
+        if total_col is not None:
+            taggs.append(F.sum("_vs").alias(total_col))
+        totals = counts.groupBy(*group_cols).agg(*taggs)
         out = out.join(F.broadcast(totals), list(group_cols))
-    return out.drop("_pid", "_lrn", "_off")
+    drop = ["_pid", "_lrn", "_off"]
+    if cum_of is not None:
+        drop += ["_val", "_lcum", "_voff", "_vs"]
+    return out.drop(*drop)

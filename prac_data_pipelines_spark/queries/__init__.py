@@ -37,6 +37,7 @@ _PRIORITY: tuple[str, ...] = (
     #
     # New in r6:
     "shard_verify", "emb_quantize", "doc_dup_ngrams", "source_cross_dup",
+    "doc_token_budget",
     # Modified in r6 (grouped-positions pack fold, pinned Pareto tail,
     # rank-space sketch check, byte-true shard manifest):
     "doc_pack_fold", "pareto_abc", "cxc_concentracion", "sketch_profile",
@@ -57,9 +58,9 @@ _PRIORITY: tuple[str, ...] = (
     # then the dedup-family neighbors of this round's n-gram work:
     "events_rolling", "events_transitions", "pricing_summary",
     "parts_never_ordered", "rich_inactive_customers", "min_cost_supplier",
-    "order_vs_customer_avg", "doc_curation", "doc_minhash_pairs",
+    "order_vs_customer_avg", "doc_curation",
     # --- 50-row budget boundary ---
-    "doc_ngram_jaccard",
+    "doc_minhash_pairs", "doc_ngram_jaccard",
     # r5-verdict queries (freshest; next rotation re-verdicts the r4-era
     # remainder first):
     "doc_lm_quality", "bpe_merge_pairs", "emb_label_centroids",

@@ -233,20 +233,28 @@ register("doc_bpe_tokens", q_doc_bpe_tokens, SQL_DOC_BPE_TOKENS)
 _STOPWORDS = "'the','a','of','and','is','el','la','de','los','un'"
 
 
-def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    expr = docs.selectExpr(
-        "doc_id",
-        f"cast(size({WORDS}) as double) AS _n",
-        f"cast(size(array_distinct({WORDS})) as double) AS _u",
-        f"cast(size(filter({WORDS}, w -> w in ({_STOPWORDS}))) as double) AS _s",
-        "cast(length(text) as double) AS _c",
-    )
-    score = (
+_QUALITY_COLS = [
+    f"cast(size({WORDS}) as double) AS _n",
+    f"cast(size(array_distinct({WORDS})) as double) AS _u",
+    f"cast(size(filter({WORDS}, w -> w in ({_STOPWORDS}))) as double) AS _s",
+    "cast(length(text) as double) AS _c",
+]
+
+
+def _quality_score():
+    """The shared composite score over the ``_QUALITY_COLS`` projection
+    (also used by doc_token_budget's ranking)."""
+    return (
         F.least(F.col("_c") / 400, F.lit(1.0)) * 0.4
         + (F.col("_u") / F.col("_n")) * 0.4
         + (1 - F.abs(F.col("_s") / F.col("_n") - 0.2)) * 0.2
     )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    expr = docs.selectExpr("doc_id", *_QUALITY_COLS)
+    score = _quality_score()
     out = expr.select(
         "doc_id",
         r4(score).alias("calidad"),
@@ -732,6 +740,97 @@ FROM pairs GROUP BY fuente_a, fuente_b ORDER BY fuente_a, fuente_b
 """
 
 register("source_cross_dup", q_source_cross_dup, SQL_SOURCE_CROSS_DUP)
+
+
+# --------------------------------------------------------------------------
+# doc_token_budget — token-budget curation: per source, rank documents
+# by quality (desc, doc_id tiebreak) and select the best until their
+# cumulative token count reaches 40% of the source's tokens — the
+# "spend a fixed token budget on the highest-quality data" primitive of
+# corpus construction. Reports the achieved quality cutoff (min selected
+# score) and budget utilization per source.
+#
+# Scale shape: the per-source quality ranking AND running token sum run
+# through grouped_positions' two-level machinery (range partition +
+# local rank/cumsum + triangular broadcast offsets) — no per-source
+# window, parallelism scales with data. Token counts are BIGINTs, so
+# the regrouped running sum is exact, and the 40% cutoff is integer
+# arithmetic (cum*5 <= total*2) — no float boundary on either engine.
+# --------------------------------------------------------------------------
+
+BUDGET_NUM, BUDGET_DEN = 2, 5   # keep while cum_toks/total_toks <= 2/5
+
+
+def q_doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sorting import grouped_positions
+
+    docs = _docs(spark, sf_dir)
+    base = (docs.selectExpr(
+        "doc_id", "source", f"cast(size({WORDS}) as bigint) AS toks",
+        *_QUALITY_COLS)
+        .withColumn("calidad", r4(_quality_score()))
+        .select("doc_id", "source", "toks", "calidad"))
+    ranked = grouped_positions(
+        base, ["source"], [F.desc("calidad"), F.asc("doc_id")],
+        pos_col="_rn", cum_of=F.col("toks"), cum_col="_cum",
+        total_col="_tot")
+    kept = F.col("_cum") * BUDGET_DEN <= F.col("_tot") * BUDGET_NUM
+    return (ranked.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.when(kept, 1).otherwise(0)).cast("long")
+                 .alias("docs_sel"),
+                 F.sum("toks").cast("long").alias("toks_total"),
+                 F.coalesce(F.sum(F.when(kept, F.col("toks"))), F.lit(0))
+                 .cast("long").alias("toks_sel"),
+                 F.min(F.when(kept, F.col("calidad")))
+                 .alias("calidad_corte"))
+            .withColumn("utilizacion",
+                        r6(F.col("toks_sel")
+                           / (F.col("toks_total") * BUDGET_NUM
+                              / F.lit(BUDGET_DEN))))
+            .orderBy("source"))
+
+
+SQL_DOC_TOKEN_BUDGET = f"""
+WITH base AS (
+  SELECT doc_id, source, len({SQL_WORDS})::BIGINT AS toks,
+         len({SQL_WORDS})::DOUBLE AS _n,
+         len(list_distinct({SQL_WORDS}))::DOUBLE AS _u,
+         len(list_filter({SQL_WORDS}, w -> w IN ({_STOPWORDS})))::DOUBLE
+           AS _s,
+         strlen(text)::DOUBLE AS _c
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, toks,
+         floor((least(_c / 400, 1.0) * 0.4 + (_u / _n) * 0.4
+                + (1 - abs(_s / _n - 0.2)) * 0.2) * 10000 + 0.5) / 10000
+           AS calidad
+  FROM base
+), ranked AS (
+  SELECT source, toks, calidad,
+         sum(toks) OVER (PARTITION BY source
+                         ORDER BY calidad DESC, doc_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(toks) OVER (PARTITION BY source) AS tot
+  FROM scored
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN cum * {BUDGET_DEN} <= tot * {BUDGET_NUM}
+                THEN 1 ELSE 0 END)::BIGINT AS docs_sel,
+       sum(toks)::BIGINT AS toks_total,
+       coalesce(sum(CASE WHEN cum * {BUDGET_DEN} <= tot * {BUDGET_NUM}
+                         THEN toks END), 0)::BIGINT AS toks_sel,
+       min(CASE WHEN cum * {BUDGET_DEN} <= tot * {BUDGET_NUM}
+                THEN calidad END) AS calidad_corte,
+       floor(coalesce(sum(CASE WHEN cum * {BUDGET_DEN} <= tot * {BUDGET_NUM}
+                               THEN toks END), 0)
+             / (sum(toks) * {BUDGET_NUM} / CAST({BUDGET_DEN} AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS utilizacion
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+register("doc_token_budget", q_doc_token_budget, SQL_DOC_TOKEN_BUDGET)
 
 
 # --------------------------------------------------------------------------

@@ -319,3 +319,34 @@ def test_grouped_positions_equal_window_rank(spark, rows, parts):
             df, ["g"], [F.desc("v"), F.asc("id")],
             pos_col="pos", n_col="n").collect())
     assert got == want
+
+
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50),
+                            st.integers(1, 30)),
+                  min_size=1, max_size=60),
+    parts=st.integers(1, 7),
+)
+@settings(**SETTINGS)
+def test_grouped_positions_cumsum_equal_window(spark, rows, parts):
+    """The grouped two-level running sum (cum_of/total_col) must equal
+    Window.partitionBy(group) sum exactly for integral values — offsets
+    re-associate the sum, which is only observable for floats."""
+    from prac_data_pipelines_spark.operators.sorting import grouped_positions
+
+    df = spark.createDataFrame(
+        [(i, g, v, t) for i, (g, v, t) in enumerate(rows)],
+        "id long, g int, v int, t long").repartition(parts)
+
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+    want = sorted(
+        (r["id"], r["cum"], r["tot"]) for r in df.withColumn(
+            "cum", F.sum("t").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", F.sum("t").over(Window.partitionBy("g")))
+        .collect())
+    got = sorted(
+        (r["id"], r["cum"], r["tot"]) for r in grouped_positions(
+            df, ["g"], [F.desc("v"), F.asc("id")],
+            cum_of=F.col("t"), cum_col="cum", total_col="tot").collect())
+    assert got == want

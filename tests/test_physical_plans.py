@@ -367,3 +367,18 @@ def test_doc_dup_ngrams_windows_on_hashed_grams(spark, sf_dir):
                      plan)
     assert spec and spec.group(1) == "g", plan[:2000]
     assert dict(df.select("ngramas").dtypes)["ngramas"] == "bigint"
+
+
+def test_doc_token_budget_has_no_per_source_window(spark, sf_dir):
+    """doc_token_budget's quality ranking + running token sum must use
+    the grouped two-level machinery: every Window partitions by
+    (range-partition id, source), never source alone, and nothing
+    funnels through SinglePartition."""
+    import re
+
+    from prac_data_pipelines_spark.queries.text import q_doc_token_budget
+
+    plan = _plan(q_doc_token_budget(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in spec, spec
