@@ -309,7 +309,15 @@ def compact_dedup_state(spark: SparkSession, state_dir: str,
     Returns before/after file counts."""
     from .sinks.lake import compact_partitions
 
+    def guard_and_tag(df: DataFrame) -> DataFrame:
+        # pre-batch_id states compact to the current schema
+        if "batch_id" not in df.columns:
+            df = df.withColumn("batch_id", F.lit(NO_BATCH).cast("long"))
+        return _guard_hot_bands(df).withColumn(
+            "batch_id", F.coalesce("batch_id", F.lit(NO_BATCH)))
+
     return compact_partitions(spark, f"{state_dir}/bands",
                               target_file_mb=target_file_mb,
                               partition_cols=["bkt"],
-                              transform=_guard_hot_bands)
+                              transform=guard_and_tag,
+                              read_options={"mergeSchema": "true"})
