@@ -57,13 +57,21 @@ def ingest_text_dir(spark: SparkSession, text_dir: str, out_dir: str,
 
 def curate(spark: SparkSession, sf_dir: str,
            min_quality: float | None = None,
-           min_lm_prob: float | None = None) -> dict[str, DataFrame]:
+           min_lm_prob: float | None = None,
+           token_budget: float | None = None) -> dict[str, DataFrame]:
     """Build the named-view dictionary of the curation flow.
 
     ``min_lm_prob`` switches on the LM filter (CCNet-shape): documents
     whose mean smoothed bigram probability under the corpus-trained LM
     falls below the threshold drop with motivo ``lm_improbable``. Off by
-    default — it is a tuning knob, not a fixed contract."""
+    default — it is a tuning knob, not a fixed contract.
+
+    ``token_budget`` (fraction, e.g. 0.4) switches on the final
+    budget cut: per source, the surviving docs are ranked by quality
+    and only the best kept until that fraction of the source's
+    surviving tokens is spent (motivo ``presupuesto``) — the
+    ``doc_token_budget`` operator applied as a pipeline stage, on the
+    per-group two-level cumsum (no per-source window)."""
     from .queries.corpus import (
         BENCH_MOD,
         _KGRAMS,
@@ -132,6 +140,22 @@ def curate(spark: SparkSession, sf_dir: str,
 
     kept = (docs.join(quality, "doc_id").join(lang, "doc_id")
             .join(dropped.select("doc_id").distinct(), "doc_id", "left_anti"))
+    if token_budget is not None:
+        from .operators.sorting import grouped_positions
+
+        base = kept.selectExpr("doc_id", "source", "calidad",
+                               f"cast(size({WORDS}) as bigint) AS toks")
+        ranked = grouped_positions(
+            base, ["source"], [F.desc("calidad"), F.asc("doc_id")],
+            pos_col="_rn", cum_of=F.col("toks"), cum_col="_cum",
+            total_col="_tot")
+        over = (ranked
+                .filter(F.col("_cum") > F.col("_tot") * F.lit(token_budget))
+                .select("doc_id"))
+        dropped = dropped.unionByName(
+            over.withColumn("motivo", F.lit("presupuesto")))
+        views["descartados"] = dropped
+        kept = kept.join(over, "doc_id", "left_anti")
     views["curado"] = kept
     views["stats_fuente"] = (
         kept.selectExpr("source", "idioma", "calidad",
@@ -181,6 +205,11 @@ def main() -> int:
     ap.add_argument("--min-lm-prob", type=float, default=None,
                     help="drop docs whose mean bigram-LM probability under "
                          "the corpus-trained LM is below this threshold")
+    ap.add_argument("--token-budget", type=float, default=None,
+                    metavar="FRAC",
+                    help="after all filters, keep only each source's "
+                         "highest-quality docs until FRAC of its surviving "
+                         "tokens are spent (motivo: presupuesto)")
     ap.add_argument("--skip-index", action="store_true")
     ap.add_argument("--ingest-text", metavar="DIR", default=None,
                     help="ingest a raw text directory as the corpus "
@@ -221,7 +250,8 @@ def main() -> int:
         sf_dir = kept_dir
         build_index = False
     views = curate(spark, sf_dir, args.min_quality,
-                   min_lm_prob=args.min_lm_prob)
+                   min_lm_prob=args.min_lm_prob,
+                   token_budget=args.token_budget)
     export(spark, views, args.out, sf_dir, build_index=build_index)
     n = spark.read.parquet(f"{args.out}/curado").count()
     print(f"curated corpus: {n} docs -> {args.out}")

@@ -136,3 +136,45 @@ def test_cli_lm_filter_stage(spark, sf_dir, tmp_path, monkeypatch):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert lm_dropped > 0.9 * docs  # only <2-word docs can escape
     assert spark.read.parquet(f"{out}/curado").count() < docs * 0.1
+
+
+def test_cli_token_budget_stage(spark, sf_dir, tmp_path, monkeypatch):
+    """--token-budget FRAC: after all filters, each source keeps only its
+    highest-quality docs until FRAC of its surviving tokens are spent;
+    the overflow lands in descartados with motivo presupuesto and the
+    per-source kept tokens respect the budget."""
+    import sys
+
+    from prac_data_pipelines_spark import corpus_pipeline
+    from prac_data_pipelines_spark.queries.text import WORDS
+
+    out = str(tmp_path / "budget")
+    monkeypatch.setattr(sys, "argv", [
+        "corpus_pipeline", "--sf-dir", sf_dir, "--out", out,
+        "--token-budget", "0.5", "--skip-index"])
+    assert corpus_pipeline.main() == 0
+
+    curado = spark.read.parquet(f"{out}/curado")
+    dropped = spark.read.parquet(f"{out}/descartados")
+    motivos = {r.motivo for r in dropped.select("motivo").distinct().collect()}
+    assert "presupuesto" in motivos
+
+    # survivors (pre-budget) = curado + presupuesto drops; per source the
+    # kept tokens must be within the 50% budget of the survivor tokens
+    # (up to the last doc that crossed the line, which is excluded)
+    pres = dropped.filter("motivo = 'presupuesto'").select("doc_id")
+    toks = lambda df: df.selectExpr(  # noqa: E731
+        "source", f"cast(size({WORDS}) as bigint) AS toks")
+    kept_t = {r["source"]: r["t"] for r in toks(curado)
+              .groupBy("source").agg(F.sum("toks").alias("t")).collect()}
+    # survivors (pre-budget) = curado ∪ (docs ∩ presupuesto)
+    from prac_data_pipelines_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pres_docs = docs.join(pres, "doc_id", "left_semi")
+    surv_t = {r["source"]: r["t"] for r in
+              toks(curado.select("source", "text")
+                   .unionByName(pres_docs.select("source", "text")))
+              .groupBy("source").agg(F.sum("toks").alias("t")).collect()}
+    for s, total in surv_t.items():
+        assert kept_t.get(s, 0) <= 0.5 * total + 1e-9, s
