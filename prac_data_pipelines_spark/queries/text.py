@@ -618,7 +618,14 @@ def q_doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
           .selectExpr("doc_id", "source",
                       f"array_distinct(transform({_SHINGLES_WS}, "
                       f"s -> {_h('s')})) AS _gs"))
-    pairs = ds.select("doc_id", "source", F.explode("_gs").alias("g"))
+    # explode_outer, deliberately: plain explode triggers Catalyst's
+    # InferFiltersFromGenerate, which pushes `size(_gs) > 0` BELOW the
+    # projection — re-evaluating the whole shingle+md5 pipeline in an
+    # interpreted Filter (measured 9.4s vs 2.4s for the exploded count at
+    # sf0.1). The rule skips outer generate, and _gs is never empty (the
+    # shingle CASE falls back to array(trim(text))), so the semantics are
+    # identical.
+    pairs = ds.select("doc_id", "source", F.explode_outer("_gs").alias("g"))
     # per-doc grams are distinct, so count(*) per gram == distinct docs.
     # The count attaches via a gram-partitioned window, not groupBy+self-
     # join: one shuffle either way, but the join form scans (and re-md5s)
