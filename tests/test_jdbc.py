@@ -92,3 +92,30 @@ def test_cli_test_connection_flag(spark, derby_url, monkeypatch, capsys):
         "pipeline", "--test-connection", "jdbc:derby:/nonexistent/nope",
         "--probe-query", "VALUES 1"])
     assert pipeline.main() == 1
+
+
+def test_jdbc_write_roundtrip(spark, derby_url):
+    """The return path: write a computed frame to a new Derby table, read
+    it back, and get identical rows; append mode accumulates."""
+    from prac_data_pipelines_spark.sinks.jdbc import write_jdbc_table
+    from prac_data_pipelines_spark.sources.registry import load_jdbc_table
+
+    from pyspark.sql import functions as F
+
+    kpis = spark.createDataFrame(
+        [(1, "DSO", 42.5), (2, "CEI", 0.91), (3, "MOROSIDAD", 0.07)],
+        "id int, kpi string, valor double")
+    write_jdbc_table(kpis, derby_url, "kpis_out", mode="overwrite",
+                     properties=DERBY)
+    # SELECT * — Spark creates the table with QUOTED (case-sensitive)
+    # column names in Derby, so unquoted identifiers would not resolve
+    back = load_jdbc_table(
+        spark, derby_url, "SELECT * FROM kpis_out", properties=DERBY)
+    assert sorted(tuple(r) for r in back.collect()) \
+        == [(1, "DSO", 42.5), (2, "CEI", 0.91), (3, "MOROSIDAD", 0.07)]
+
+    write_jdbc_table(kpis.withColumn("id", F.col("id") + 10),
+                     derby_url, "kpis_out", mode="append", properties=DERBY)
+    assert load_jdbc_table(spark, derby_url,
+                           'SELECT count(*) AS "n" FROM kpis_out',
+                           properties=DERBY).collect()[0][0] == 6
