@@ -120,6 +120,11 @@ HEADLINE = [
     "emb_label_centroids",
     "doc_lang_confusion",
     "events_dau_wau",
+    # Round-6 (late batch): DSIR importance weights, exact-substring
+    # dedup coverage, and the LSH recall audit vs brute-force.
+    "doc_dsir_weights",
+    "doc_substring_dedup",
+    "ann_recall_audit",
 ]
 
 

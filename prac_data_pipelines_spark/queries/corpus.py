@@ -1011,3 +1011,144 @@ FROM counts ORDER BY frecuencia DESC, s1 ASC, s2 ASC LIMIT {BPE_PAIRS}
 """
 
 register("bpe_merge_pairs", q_bpe_merge_pairs, SQL_BPE_MERGE_PAIRS)
+
+
+# --------------------------------------------------------------------------
+# doc_dsir_weights — data selection via importance resampling (DSIR,
+# Xie et al., NeurIPS 2023): score every raw document by how much more
+# likely its hashed-bigram features are under a target distribution
+# (here: the English subset, the usual "match the target domain" setup)
+# than under the raw-corpus distribution. The classic formulation sums
+# log-ratios; log/exp are not bit-portable across engines (libm), so the
+# weight is kept as the equivalent PRODUCT of smoothed per-gram
+# likelihood ratios, folded over the document's gram sequence in
+# position order — every multiply/divide is a correctly-rounded IEEE
+# binary64 op with identical association on both engines, so the result
+# is bit-exact. Extreme documents can under/overflow the double range;
+# IEEE over/underflow is deterministic and identical on both engines
+# (gradual underflow to 0, overflow to inf), and the rollup below only
+# compares/ranks weights, so the semantics degrade gracefully.
+#
+# Scale: feature hashing confines the model to DSIR_B buckets — one
+# wordcount-class shuffle over bucket ids (map-side combined to
+# ≤ partitions×DSIR_B rows), then ONE broadcast row carrying the two
+# bucket-count maps (KBs). The per-doc fold is embarrassingly parallel;
+# the corpus is never self-joined and never reshuffled. At 100 TB the
+# plan is unchanged — only the two count maps grow their values, never
+# their width. Per-source rollup uses min/median/max (order-free,
+# portable), never a float mean over unbounded magnitudes.
+# --------------------------------------------------------------------------
+
+DSIR_B = 1024  # hashed feature buckets
+DSIR_TARGET_LANG = "en"
+
+from .text import _h, _sql_h  # noqa: E402  (28-bit md5 hash, both engines)
+
+# zip_with over the word array and its shifted tail: both gram words are
+# lambda INPUTS (evaluated once per element), ~3x cheaper than the
+# index-transform form (sequence + element_at per gram). zip_with pads
+# the shorter side with null, so the trailing (last_word, null) pair is
+# sliced off; slice length greatest(n-1, 0) makes <2-word docs empty.
+_DSIR_GRAM = "concat_ws(' ', x, y)"
+_DSIR_BUCKETS = (
+    f"slice(zip_with(_ws, slice(_ws, 2, size(_ws)), "
+    f"(x, y) -> {_h(_DSIR_GRAM)} % {DSIR_B}), "
+    f"1, greatest(size(_ws) - 1, 0))"
+)
+_SQL_DSIR_GRAM = "concat(w[i], ' ', w[i+1])"
+_SQL_DSIR_BUCKETS = (
+    f"CASE WHEN len(w) >= 2 THEN "
+    f"list_transform(range(1, len(w)), i -> {_sql_h(_SQL_DSIR_GRAM)} % {DSIR_B}) "
+    f"ELSE []::BIGINT[] END"
+)
+
+# smoothed likelihood ratio of bucket b under (target / raw), add-one
+# smoothed over the DSIR_B buckets; integer products stay < 2^53 so the
+# doubles entering the division are exact on both engines
+_DSIR_RATIO = (
+    f"cast((coalesce(try_element_at(_mt, b), 0L) + 1L) * (_nr + {DSIR_B}L) as double)"
+    f" / cast((coalesce(try_element_at(_mr, b), 0L) + 1L) * (_nt + {DSIR_B}L) as double)"
+)
+_SQL_DSIR_RATIO = (
+    f"((coalesce(map_extract(_mt, b)[1], 0) + 1) * (_nr + {DSIR_B}))::DOUBLE"
+    f" / ((coalesce(map_extract(_mr, b)[1], 0) + 1) * (_nt + {DSIR_B}))::DOUBLE"
+)
+
+
+def doc_dsir_doc_weights(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, peso) — per-document DSIR importance weight
+    (product of smoothed hashed-bigram likelihood ratios, target = the
+    ``DSIR_TARGET_LANG`` subset). Shared by the registered rollup and
+    the bit-equality property test; a curation pass selects on
+    ``peso >= 1.0`` (document more target-like than raw-like)."""
+    bl = docs.selectExpr("doc_id", "source", "lang",
+                         f"{WORDS} AS _ws").selectExpr(
+        "doc_id", "source", "lang", f"{_DSIR_BUCKETS} AS _bs")
+    # explode_outer: plain explode makes InferFiltersFromGenerate push a
+    # size(_bs) > 0 filter below the projection, re-evaluating the whole
+    # split+hash pipeline per row (the doc_dup_ngrams lesson). The null
+    # row explode_outer emits for <2-word docs is filtered on the cheap
+    # exploded VALUE instead.
+    counts = (bl.selectExpr("lang", "explode_outer(_bs) AS _b")
+              .filter("_b IS NOT NULL")
+              .groupBy("_b")
+              .agg(F.count(F.lit(1)).cast("long").alias("_cr"),
+                   F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long"))
+                   .cast("long").alias("_ct")))
+    stats = counts.agg(
+        F.expr("map_from_entries(collect_list(struct(_b, _cr)))").alias("_mr"),
+        F.expr("map_from_entries(collect_list(struct(_b, _ct)))").alias("_mt"),
+        F.sum("_cr").cast("long").alias("_nr"),
+        F.sum("_ct").cast("long").alias("_nt"))
+    return (bl.crossJoin(broadcast(stats))
+            .selectExpr(
+                "doc_id", "source",
+                f"aggregate(_bs, cast(1.0 as double), "
+                f"(acc, b) -> acc * ({_DSIR_RATIO})) AS peso"))
+
+
+def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = doc_dsir_doc_weights(_docs(spark, sf_dir))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum((F.col("peso") >= 1.0).cast("long")).cast("long")
+                 .alias("seleccionados"),
+                 r6(F.min("peso")).alias("min_peso"),
+                 r6(F.expr("percentile(peso, 0.5)")).alias("p50_peso"),
+                 r6(F.max("peso")).alias("max_peso"))
+            .orderBy("source"))
+
+
+SQL_DOC_DSIR_WEIGHTS = f"""
+WITH ws AS (
+  SELECT doc_id, source, lang, {SQL_WORDS} AS w FROM documents
+), bl AS (
+  SELECT doc_id, source, lang, {_SQL_DSIR_BUCKETS} AS bs FROM ws
+), g AS (
+  SELECT lang, unnest(bs) AS _b FROM bl
+), counts AS (
+  SELECT _b, count(*)::BIGINT AS _cr,
+         sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)::BIGINT
+           AS _ct
+  FROM g GROUP BY _b
+), stats AS (
+  SELECT map(list(_b ORDER BY _b), list(_cr ORDER BY _b)) AS _mr,
+         map(list(_b ORDER BY _b), list(_ct ORDER BY _b)) AS _mt,
+         sum(_cr)::BIGINT AS _nr, sum(_ct)::BIGINT AS _nt
+  FROM counts
+), per_doc AS (
+  SELECT doc_id, source,
+         list_reduce(list_prepend(1.0::DOUBLE,
+           list_transform(bs, b -> {_SQL_DSIR_RATIO})), (a, x) -> a * x)
+           AS peso
+  FROM bl CROSS JOIN stats
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN peso >= 1.0 THEN 1 ELSE 0 END)::BIGINT AS seleccionados,
+       floor(min(peso) * 1000000 + 0.5) / 1000000 AS min_peso,
+       floor(quantile_cont(peso, 0.5) * 1000000 + 0.5) / 1000000 AS p50_peso,
+       floor(max(peso) * 1000000 + 0.5) / 1000000 AS max_peso
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+register("doc_dsir_weights", q_doc_dsir_weights, SQL_DOC_DSIR_WEIGHTS)

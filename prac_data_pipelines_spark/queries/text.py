@@ -1314,3 +1314,116 @@ ORDER BY doc_id, chunk_idx
 """
 
 register("doc_chunks", q_doc_chunks, SQL_DOC_CHUNKS)
+
+
+# --------------------------------------------------------------------------
+# doc_substring_dedup — repeated-substring coverage, the exact-substring
+# dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+# Language Models Better"): flag every SUBSTR_K-token window whose text
+# occurs more than once in the corpus (within OR across documents — the
+# paper removes both), then measure, per document, how many of its
+# tokens are covered by at least one repeated window. The suffix-array
+# formulation of the paper is replaced by the hashed sliding-window
+# equivalent (same flagged spans for window-aligned repeats; md5-derived
+# 28-bit hashes keep both engines bit-identical).
+#
+# Token coverage of the flagged windows is an interval-union problem;
+# because every interval has the same length K, the union size over the
+# SORTED start positions is K + Σ min(K, s_i − s_{i−1}) — one lag window
+# partitioned by doc_id (high-cardinality key, scale-safe), no fold.
+#
+# Scale: one wordcount-class shuffle on window hashes (map-side combined
+# counts), one hash-keyed semi join (both sides shuffle on g; no
+# all-pairs anywhere), one per-doc window. At 100 TB the window-hash key
+# space grows with the corpus so no key gets hot; the doc_id window
+# partitions by document — millions of partitions, never a funnel.
+# --------------------------------------------------------------------------
+
+SUBSTR_K = 8
+_SUB_TERMS = ", ".join(f"element_at(_ws, i+{j})" for j in range(1, SUBSTR_K + 1))
+_SQL_SUB_TERMS = ", ".join(f"w[i+{j}]" for j in range(1, SUBSTR_K + 1))
+
+
+def doc_substring_coverage(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, _n, _cov) — per-document token count and the
+    number of tokens covered by at least one repeated ``SUBSTR_K``-token
+    window (interval union over the flagged window starts). Separated
+    from the registered rollup so the union formula can be
+    property-tested against a brute-force set union."""
+    base = docs.selectExpr("doc_id", "source", f"{WORDS} AS _ws")
+    wins = (base.filter(f"size(_ws) >= {SUBSTR_K}")
+            .selectExpr(
+                "doc_id",
+                f"explode(transform(sequence(0, size(_ws) - {SUBSTR_K}), "
+                f"i -> struct(i AS pos, "
+                f"{_h(f'concat_ws(chr(32), {_SUB_TERMS})')} AS g))) AS _w")
+            .select("doc_id", "_w.pos", "_w.g"))
+    dup = (wins.groupBy("g")
+           .agg(F.count(F.lit(1)).alias("_n"))
+           .filter("_n >= 2")
+           .select("g"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = (wins.join(dup, "g")
+           .withColumn("_prev", F.lag("pos").over(w))
+           .withColumn("_add",
+                       F.when(F.col("_prev").isNull(), F.lit(SUBSTR_K))
+                       .otherwise(F.least(F.lit(SUBSTR_K),
+                                          F.col("pos") - F.col("_prev"))))
+           .groupBy("doc_id")
+           .agg(F.sum("_add").cast("long").alias("_cov")))
+    return (base.selectExpr("doc_id", "source",
+                            "cast(size(_ws) as bigint) AS _n")
+            .join(cov, "doc_id", "left")
+            .fillna(0, ["_cov"]))
+
+
+def q_doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = doc_substring_coverage(_docs(spark, sf_dir))
+    frac = F.col("_cov").cast("double") / F.col("_n")
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("docs_total"),
+                 F.sum((F.col("_cov") > 0).cast("long")).cast("long")
+                 .alias("docs_con_dup"),
+                 F.sum("_cov").cast("long").alias("tokens_repetidos"),
+                 r4(F.avg(frac)).alias("frac_media"),
+                 r4(F.max(frac)).alias("frac_max"))
+            .orderBy("source"))
+
+
+SQL_DOC_SUBSTRING_DEDUP = f"""
+WITH ws AS (
+  SELECT doc_id, source, {SQL_WORDS} AS w FROM documents
+), wins0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(w) - {SUBSTR_K - 1}),
+                i -> {{'pos': i,
+                       'g': {_sql_h(f"concat_ws(chr(32), {_SQL_SUB_TERMS})")}}}))
+           AS s
+  FROM ws WHERE len(w) >= {SUBSTR_K}
+), wins AS (
+  SELECT doc_id, s.pos AS pos, s.g AS g FROM wins0
+), dup AS (
+  SELECT g FROM wins GROUP BY g HAVING count(*) >= 2
+), st AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS _prev
+  FROM wins JOIN dup USING (g)
+), pc AS (
+  SELECT doc_id,
+         sum(CASE WHEN _prev IS NULL THEN {SUBSTR_K}
+                  ELSE least({SUBSTR_K}, pos - _prev) END)::BIGINT AS _cov
+  FROM st GROUP BY doc_id
+), pd AS (
+  SELECT ws.doc_id, ws.source, len(w)::BIGINT AS _n,
+         coalesce(_cov, 0)::BIGINT AS _cov
+  FROM ws LEFT JOIN pc USING (doc_id)
+)
+SELECT source, count(*)::BIGINT AS docs_total,
+       sum(CASE WHEN _cov > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_con_dup,
+       sum(_cov)::BIGINT AS tokens_repetidos,
+       floor(avg(_cov::DOUBLE / _n) * 10000 + 0.5) / 10000 AS frac_media,
+       floor(max(_cov::DOUBLE / _n) * 10000 + 0.5) / 10000 AS frac_max
+FROM pd GROUP BY source ORDER BY source
+"""
+
+register("doc_substring_dedup", q_doc_substring_dedup, SQL_DOC_SUBSTRING_DEDUP)

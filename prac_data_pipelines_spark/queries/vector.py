@@ -809,3 +809,129 @@ FROM coh JOIN vecino v USING (label) ORDER BY label
 
 register("emb_label_centroids", q_emb_label_centroids,
          SQL_EMB_LABEL_CENTROIDS)
+
+
+# --------------------------------------------------------------------------
+# ann_recall_audit — recall@k evaluation of the LSH ANN path against the
+# exact brute-force ranking, the standard ANN quality metric (recall@k at
+# a measured scan fraction). Both rankings run on the SAME query/corpus
+# split and k as knn_lsh; per query the audit reports the candidate-set
+# size (what fraction of the corpus the LSH actually scanned) and the
+# overlap of the approximate top-k with the exact top-k. "Measure, don't
+# guess": this is the operator that turns the LSH's recall claim into a
+# number the pipeline can regression-gate.
+#
+# Scale: the exact side is the documented O(|Q|·|C|) baseline — |Q| is a
+# small serving/eval batch (broadcast), so the corpus is scanned once,
+# never shuffled. The LSH side reuses the bucketed-candidate plan
+# (narrow id+bucket frame, union of per-table buckets). The final
+# per-qid rollups join on qid — |Q|-sized frames, broadcast.
+# --------------------------------------------------------------------------
+
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qe = (emb.filter(F.col("vec_id") < 50)
+          .selectExpr("vec_id AS qid", "embedding AS qe"))
+    ce = (emb.filter(F.col("vec_id") >= 50)
+          .selectExpr("vec_id AS cid", "embedding AS ce"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(),
+                                          F.col("cid").asc())
+    exact = (broadcast(qe).crossJoin(ce)
+             .selectExpr("qid", "cid", f"{cosine_expr('qe', 'ce')} AS _cos")
+             .select("qid", "cid", r6(F.col("_cos")).alias("cos"))
+             .withColumn("rango", F.row_number().over(w))
+             .filter(F.col("rango") <= LSH_TOP_K)
+             .select("qid", "cid"))
+    bucketed = (
+        emb.selectExpr("vec_id", f"{_BITS_EXPR} AS _bits")
+        .selectExpr("vec_id", f"explode({_KEYS_EXPR}) AS cubo"))
+    q_keys = (bucketed.filter(F.col("vec_id") < 50)
+              .selectExpr("vec_id AS qid", "cubo"))
+    c_keys = (bucketed.filter(F.col("vec_id") >= 50)
+              .selectExpr("vec_id AS cid", "cubo"))
+    cand = (broadcast(q_keys).join(c_keys, "cubo")
+            .select("qid", "cid").dropDuplicates(["qid", "cid"]))
+    approx = (broadcast(cand.join(broadcast(qe), "qid")).join(ce, "cid")
+              .selectExpr("qid", "cid", f"{cosine_expr('qe', 'ce')} AS _cos")
+              .select("qid", "cid", r6(F.col("_cos")).alias("cos"))
+              .withColumn("rango", F.row_number().over(w))
+              .filter(F.col("rango") <= LSH_TOP_K)
+              .select("qid", "cid"))
+    cand_n = cand.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("candidatos"))
+    hits = (approx.join(exact, ["qid", "cid"])
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).cast("long").alias("aciertos")))
+    return (qe.select("qid")
+            .join(cand_n, "qid", "left")
+            .join(hits, "qid", "left")
+            .fillna(0, ["candidatos", "aciertos"])
+            .select("qid", "candidatos", "aciertos",
+                    r4(F.col("aciertos").cast("double") / LSH_TOP_K)
+                    .alias("recall"))
+            .orderBy("qid"))
+
+
+SQL_ANN_RECALL_AUDIT = f"""
+WITH exact_scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         floor({sql_cosine_expr('q.embedding', 'c.embedding')} * 1000000
+               + 0.5) / 1000000 AS cos
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 50 AND c.vec_id >= 50
+), exact_top AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, cid ASC) AS rango
+    FROM exact_scored)
+  WHERE rango <= {LSH_TOP_K}
+), bits AS (
+  SELECT vec_id, embedding,
+         list_transform({_PLANES_SQL}, h ->
+           list_sum(list_transform(list_zip(embedding, h),
+                    x -> (x[1]::DOUBLE) * x[2])) >= 0) AS _bits
+  FROM embeddings
+), bucketed AS (
+  SELECT vec_id, embedding,
+         concat(t, ':', list_reduce(list_prepend(0,
+           list_transform(list_slice(_bits, t * {LSH_BITS} + 1,
+                                     t * {LSH_BITS} + {LSH_BITS}),
+                          b -> CASE WHEN b THEN 1 ELSE 0 END)),
+           (acc, x) -> acc * 2 + x)) AS cubo
+  FROM bits CROSS JOIN (SELECT unnest(range(0, {LSH_TABLES})) AS t)
+), cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid,
+         q.embedding AS qe, c.embedding AS ce
+  FROM bucketed q JOIN bucketed c ON q.cubo = c.cubo
+  WHERE q.vec_id < 50 AND c.vec_id >= 50
+), approx_top AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, cid ASC) AS rango
+    FROM (SELECT qid, cid,
+                 floor({sql_cosine_expr('qe', 'ce')} * 1000000 + 0.5)
+                   / 1000000 AS cos
+          FROM cand))
+  WHERE rango <= {LSH_TOP_K}
+), cand_n AS (
+  SELECT qid, count(*)::BIGINT AS candidatos FROM cand GROUP BY qid
+), hits AS (
+  SELECT a.qid, count(*)::BIGINT AS aciertos
+  FROM approx_top a JOIN exact_top e ON a.qid = e.qid AND a.cid = e.cid
+  GROUP BY a.qid
+)
+SELECT q.vec_id AS qid,
+       coalesce(candidatos, 0)::BIGINT AS candidatos,
+       coalesce(aciertos, 0)::BIGINT AS aciertos,
+       floor(coalesce(aciertos, 0)::DOUBLE / {LSH_TOP_K} * 10000 + 0.5)
+         / 10000 AS recall
+FROM embeddings q
+LEFT JOIN cand_n ON cand_n.qid = q.vec_id
+LEFT JOIN hits ON hits.qid = q.vec_id
+WHERE q.vec_id < 50
+ORDER BY qid
+"""
+
+register("ann_recall_audit", q_ann_recall_audit, SQL_ANN_RECALL_AUDIT)

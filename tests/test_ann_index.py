@@ -96,3 +96,25 @@ def test_append_then_probe_finds_new_vectors(spark, sf_dir, tmp_path):
     for r in top1:
         assert r.cos == 1.0
         assert r.cid in (r.qid, r.qid + 5000000)
+
+
+def test_ann_recall_audit_invariants(spark, sf_dir):
+    """Per query: 0 <= aciertos <= LSH_TOP_K, recall = aciertos / K, and
+    a query whose candidate set spans the whole corpus must score recall
+    1.0 (the approximate ranking degenerates to the exact one)."""
+    from prac_data_pipelines_spark.queries.vector import (
+        LSH_TOP_K,
+        q_ann_recall_audit,
+    )
+    from prac_data_pipelines_spark.sources import load_table
+
+    corpus_n = (load_table(spark, sf_dir, "embeddings")
+                .filter(F.col("vec_id") >= 50).count())
+    rows = q_ann_recall_audit(spark, sf_dir).collect()
+    assert len(rows) == 50  # one row per query, kept even when no cands
+    for r in rows:
+        assert 0 <= r["aciertos"] <= LSH_TOP_K
+        assert 0 <= r["candidatos"] <= corpus_n
+        assert abs(r["recall"] - round(r["aciertos"] / LSH_TOP_K, 4)) < 1e-9
+        if r["candidatos"] == corpus_n:
+            assert r["aciertos"] == LSH_TOP_K

@@ -350,3 +350,95 @@ def test_grouped_positions_cumsum_equal_window(spark, rows, parts):
             df, ["g"], [F.desc("v"), F.asc("id")],
             cum_of=F.col("t"), cum_col="cum", total_col="tot").collect())
     assert got == want
+
+
+_substr_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b"]), min_size=0, max_size=30),
+    min_size=1, max_size=10)
+
+
+@given(docs=_substr_docs)
+@settings(**SETTINGS)
+def test_substring_coverage_equals_interval_union(spark, docs):
+    """The same-length-interval union shortcut (K + sum min(K, gap) over
+    sorted starts, one lag window) must equal a brute-force positional
+    set union of the repeated K-token windows — including window-less
+    short docs, fully-repeated docs, and overlapping flagged spans."""
+    from prac_data_pipelines_spark.queries.text import (
+        SUBSTR_K,
+        doc_substring_coverage,
+    )
+
+    rows = [(i, " ".join(toks) if toks else "", "s") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: (r["_n"], r["_cov"])
+           for r in doc_substring_coverage(df).collect()}
+
+    # brute force: flag windows whose token text occurs >= 2 times
+    # corpus-wide, union their [i, i+K) spans per doc
+    toks_by_doc = {i: (t.strip().split() if t.strip() else [""])
+                   for i, (_, t, _) in enumerate(rows)}
+    counts: dict[tuple, int] = {}
+    for toks in toks_by_doc.values():
+        for i in range(len(toks) - SUBSTR_K + 1):
+            w = tuple(toks[i:i + SUBSTR_K])
+            counts[w] = counts.get(w, 0) + 1
+    for doc_id, toks in toks_by_doc.items():
+        covered = set()
+        for i in range(len(toks) - SUBSTR_K + 1):
+            if counts[tuple(toks[i:i + SUBSTR_K])] >= 2:
+                covered.update(range(i, i + SUBSTR_K))
+        assert got[doc_id] == (len(toks), len(covered)), doc_id
+
+
+_dsir_docs = st.lists(
+    st.tuples(st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=12),
+              st.sampled_from(["en", "es", "fr"])),
+    min_size=1, max_size=12)
+
+
+@given(docs=_dsir_docs)
+@settings(**SETTINGS)
+def test_dsir_weights_equal_python_fold(spark, docs):
+    """The distributed DSIR weight (broadcast bucket-count maps + per-doc
+    in-order ratio product) must be BIT-equal to a sequential Python
+    reimplementation using the same md5-derived feature hash — every
+    multiply/divide is a correctly-rounded IEEE op with identical
+    association, so == on floats is the right assertion."""
+    import hashlib
+
+    from prac_data_pipelines_spark.queries.corpus import (
+        DSIR_B,
+        DSIR_TARGET_LANG,
+        doc_dsir_doc_weights,
+    )
+
+    rows = [(i, " ".join(toks) if toks else "", lang, "s")
+            for i, (toks, lang) in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    got = {r["doc_id"]: r["peso"]
+           for r in doc_dsir_doc_weights(df).collect()}
+
+    def h28(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+    toks_by_doc = {i: (t.strip().split() if t.strip() else [""])
+                   for i, (_, t, _, _) in enumerate(rows)}
+    buckets_by_doc = {
+        i: [h28(f"{a} {b}") % DSIR_B for a, b in zip(toks, toks[1:])]
+        for i, toks in toks_by_doc.items()}
+    cr: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    for i, bs in buckets_by_doc.items():
+        for b in bs:
+            cr[b] = cr.get(b, 0) + 1
+            if rows[i][2] == DSIR_TARGET_LANG:
+                ct[b] = ct.get(b, 0) + 1
+    nr, nt = sum(cr.values()), sum(ct.values())
+    for doc_id, bs in buckets_by_doc.items():
+        peso = 1.0
+        for b in bs:
+            peso = peso * (float((ct.get(b, 0) + 1) * (nr + DSIR_B))
+                           / float((cr.get(b, 0) + 1) * (nt + DSIR_B)))
+        assert got[doc_id] == peso, (doc_id, got[doc_id], peso)

@@ -382,3 +382,52 @@ def test_doc_token_budget_has_no_per_source_window(spark, sf_dir):
     assert "SinglePartition" not in plan
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "_pid" in spec, spec
+
+
+def test_doc_dsir_weights_one_broadcast_no_window(spark, sf_dir):
+    """doc_dsir_weights' two bucket-count maps must reach the corpus as a
+    ONE-row broadcast (the kmeans/quantize fold idiom); the per-document
+    ratio fold is embarrassingly parallel, so the plan has NO window and
+    the only SinglePartition is the DSIR_B-bounded map_from_entries
+    aggregate (<= 1024 rows by construction, corpus-size independent)."""
+    from prac_data_pipelines_spark.queries.corpus import q_doc_dsir_weights
+
+    plan = _plan(q_doc_dsir_weights(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats x corpus
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("SinglePartition") <= 1
+
+
+def test_doc_substring_dedup_windows_on_doc_id(spark, sf_dir):
+    """doc_substring_dedup's interval-union lag window must partition by
+    doc_id (cardinality = corpus size, never a funnel), and the repeated
+    -window flagging must join on the hashed window key — no all-pairs
+    comparison, no single-partition stage anywhere."""
+    import re
+
+    from prac_data_pipelines_spark.queries.text import q_doc_substring_dedup
+
+    plan = _plan(q_doc_substring_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("Window [") == 1
+    spec = re.search(r"windowspecdefinition\((\w+)#", plan)
+    assert spec and spec.group(1) == "doc_id", plan[:2000]
+
+
+def test_ann_recall_audit_broadcasts_queries(spark, sf_dir):
+    """ann_recall_audit's exact baseline must broadcast the (small) query
+    batch against the corpus — exactly one corpus-wide nested-loop pass —
+    and every ranking window must partition by qid (|Q| partitions of
+    top-k work, never a global sort)."""
+    import re
+
+    from prac_data_pipelines_spark.queries.vector import q_ann_recall_audit
+
+    plan = _plan(q_ann_recall_audit(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    for spec in re.findall(r"windowspecdefinition\((\w+)#", plan):
+        assert spec == "qid", spec

@@ -83,7 +83,9 @@ def probe_llm(spark, sf_dir: str, k: int) -> None:
                  "doc_quality_quantiles", "doc_pii_scrub",
                  "emb_semantic_dedup", "doc_passage_dedup",
                  # round-6 additions
-                 "doc_dup_ngrams", "source_cross_dup", "emb_quantize"):
+                 "doc_dup_ngrams", "source_cross_dup", "emb_quantize",
+                 "doc_dsir_weights", "doc_substring_dedup",
+                 "ann_recall_audit"):
         t0 = time.time()
         queries[name](spark, scratch).write.format("noop").mode("overwrite").save()
         print(f"{name} at {k}x: {time.time()-t0:.2f}s")
