@@ -125,6 +125,9 @@ HEADLINE = [
     "doc_dsir_weights",
     "doc_substring_dedup",
     "ann_recall_audit",
+    "doc_winnowing",
+    "doc_minhash_est_error",
+    "doc_gopher_quality",
 ]
 
 

@@ -1427,3 +1427,379 @@ FROM pd GROUP BY source ORDER BY source
 """
 
 register("doc_substring_dedup", q_doc_substring_dedup, SQL_DOC_SUBSTRING_DEDUP)
+
+
+# --------------------------------------------------------------------------
+# doc_winnowing — positional winnowing fingerprints (Schleimer, Wilkerson
+# & Aiken, SIGMOD 2003 — the MOSS algorithm). Unlike doc_fingerprint's
+# single global min-shingle, winnowing slides a window of FP_W consecutive
+# shingle hashes over each document and keeps, per window, the RIGHTMOST
+# minimal hash with its position; consecutive windows usually agree, so
+# the distinct fingerprint set has expected density 2/(FP_W+1) and — the
+# paper's guarantee — any shared run of >= FP_W + shingle_k - 1 tokens
+# between two documents shares at least one selected fingerprint. The
+# rollup reports per-source fingerprint density and how much of each
+# source's fingerprint mass collides with OTHER documents (the MOSS
+# plagiarism signal, here a boilerplate/contamination signal).
+#
+# Each candidate is packed as hash * 2^30 + (2^30 - 1 - pos) into ONE
+# bigint (hash < 2^28, pos << 2^30 → < 2^58, exact): the packed MIN over
+# a window IS the rightmost-minimal-hash selection (inverted position
+# breaks hash ties toward the larger pos), so selection is a plain
+# array_min over a slice — no fold, no tie-break drift, and the packing
+# keeps (hash, pos) identity for the distinct step. DuckDB's
+# list_distinct can't deduplicate nested lists, which also makes the
+# flat packed bigint the portable representation.
+#
+# Scale: selection is embarrassingly parallel (per-row array ops,
+# O(n·FP_W) integer compares, no shuffle). The only shuffles are the
+# fingerprint-hash groupBy and the hash-keyed join back — ~0.4x the
+# shingle count (the density bound), keyed by a hash space that grows
+# with the corpus, so no key gets hot at 100 TB; the corpus is never
+# self-joined all-pairs.
+# --------------------------------------------------------------------------
+
+FP_W = 4  # winnowing window (in shingle-hash positions)
+_FP_PACK = 1 << 30
+
+# packed candidates: pk[j] = g[j]*2^30 + (2^30-1-j), 0-based j
+_FP_PK = (
+    f"transform(sequence(0, _m - 1), "
+    f"j -> element_at(_g, j + 1) * {_FP_PACK}L + ({_FP_PACK - 1}L - j))"
+)
+_FP_SELECT = (
+    f"array_distinct(transform(sequence(0, _nw - 1), "
+    f"w -> array_min(slice(_pk, w + 1, least({FP_W}, _m - w)))))"
+)
+
+
+def doc_winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, _nw, fps array<bigint>) — per-document winnowing
+    fingerprints as distinct ``hash * 2^30 + (2^30-1-pos)`` packed pairs
+    plus the window count. Shared by the registered rollup and the
+    brute-force property test."""
+    return (
+        docs.selectExpr("doc_id", "source", "text", f"{WORDS} AS _ws")
+        .selectExpr("doc_id", "source", "text", f"{_SHINGLES_WS} AS _sh")
+        .selectExpr("doc_id", "source",
+                    f"transform(_sh, s -> {_h('s')}) AS _g")
+        .selectExpr("doc_id", "source", "_g", "size(_g) AS _m")
+        .selectExpr("doc_id", "source", "_m",
+                    f"greatest(_m - {FP_W - 1}, 1) AS _nw",
+                    f"{_FP_PK} AS _pk")
+        .selectExpr("doc_id", "source", "_nw", f"{_FP_SELECT} AS fps")
+    )
+
+
+def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    # doc-level frame feeds both the rollup and the overlap join — cache
+    # so the shingle+hash+select pipeline runs once over the corpus
+    pd_ = (doc_winnow_fingerprints(docs)
+           .selectExpr("doc_id", "source", "_nw",
+                       "cast(size(fps) as bigint) AS _nfp", "fps")
+           .cache())
+    ex = pd_.selectExpr("doc_id", "explode(fps) AS p").selectExpr(
+        "doc_id", f"p div {_FP_PACK}L AS fh")
+    shared = (ex.groupBy("fh")
+              .agg(F.countDistinct("doc_id").alias("_nd"))
+              .filter("_nd >= 2")
+              .select("fh"))
+    per_doc_shared = (ex.join(shared, "fh")
+                      .groupBy("doc_id")
+                      .agg(F.count(F.lit(1)).cast("long").alias("_comp")))
+    return (pd_.join(per_doc_shared, "doc_id", "left")
+            .fillna(0, ["_comp"])
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("docs_total"),
+                 F.sum("_nfp").cast("long").alias("huellas"),
+                 r4(F.avg(F.col("_nfp").cast("double") / F.col("_nw")))
+                 .alias("densidad_media"),
+                 F.sum("_comp").cast("long").alias("huellas_compartidas"),
+                 F.sum((F.col("_comp") > 0).cast("long")).cast("long")
+                 .alias("docs_con_overlap"))
+            .orderBy("source"))
+
+
+SQL_DOC_WINNOWING = f"""
+WITH hs AS (
+  SELECT doc_id, source,
+         list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}) AS g
+  FROM documents
+), fp0 AS (
+  SELECT doc_id, source, len(g) AS m, greatest(len(g) - {FP_W - 1}, 1) AS nw,
+         list_transform(range(0, len(g)),
+                        j -> g[j + 1] * {_FP_PACK} + ({_FP_PACK - 1} - j))
+           AS pk
+  FROM hs
+), pd AS (
+  SELECT doc_id, source, nw,
+         list_distinct(list_transform(range(0, nw),
+           w -> list_min(list_slice(pk, w + 1, least(w + {FP_W}, m))))) AS fps
+  FROM fp0
+), pdn AS (
+  SELECT doc_id, source, nw, len(fps)::BIGINT AS nfp, fps FROM pd
+), ex0 AS (
+  SELECT doc_id, unnest(fps) AS p FROM pdn
+), ex AS (
+  SELECT doc_id, p // {_FP_PACK} AS fh FROM ex0
+), shared AS (
+  SELECT fh FROM ex GROUP BY fh HAVING count(DISTINCT doc_id) >= 2
+), ds AS (
+  SELECT doc_id, count(*)::BIGINT AS comp
+  FROM ex JOIN shared USING (fh) GROUP BY doc_id
+), doc AS (
+  SELECT pdn.doc_id, pdn.source, nfp, nw,
+         coalesce(comp, 0)::BIGINT AS comp
+  FROM pdn LEFT JOIN ds ON pdn.doc_id = ds.doc_id
+)
+SELECT source, count(*)::BIGINT AS docs_total, sum(nfp)::BIGINT AS huellas,
+       floor(avg(nfp::DOUBLE / nw) * 10000 + 0.5) / 10000 AS densidad_media,
+       sum(comp)::BIGINT AS huellas_compartidas,
+       sum(CASE WHEN comp > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_con_overlap
+FROM doc GROUP BY source ORDER BY source
+"""
+
+register("doc_winnowing", q_doc_winnowing, SQL_DOC_WINNOWING)
+
+
+# --------------------------------------------------------------------------
+# doc_minhash_est_error — sketch-accuracy audit of the MinHash estimator
+# against the exact Jaccard it estimates, the dedup-family companion of
+# ann_recall_audit ("measure, don't guess"): over the SAME banded LSH
+# candidate pairs the dedup pipeline actually considers, bucket pairs by
+# exact-Jaccard decile and report the mean/max absolute error of the
+# K-component signature estimate per decile. This is the number that
+# justifies (or refutes) MINHASH_K=8 before anyone trusts jaccard_est
+# as a drop threshold — the theoretical std of the estimator is
+# sqrt(J(1-J)/K); the audit measures the realized error.
+#
+# Exact Jaccard is computed over the DISTINCT 28-bit shingle hashes —
+# the set the MinHash permutations actually sketch — so estimator error
+# is isolated from hash-collision noise, and both engines intersect
+# identical bigint sets (bit-portable; no string set ops).
+#
+# Scale: identical shape to doc_ngram_jaccard — banded candidate join
+# (hot-band guarded), then per-pair array intersection; the audit adds
+# one decile groupBy over the pair set (tiny). The corpus is never
+# all-pairs joined; candidate count is what LSH yields at threshold.
+# --------------------------------------------------------------------------
+
+def q_doc_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    base = (docs.selectExpr("doc_id", "text", f"{WORDS} AS _ws")
+            .selectExpr("doc_id", f"{_SHINGLES_WS} AS _sh")
+            .selectExpr("doc_id", f"transform(_sh, s -> {_h('s')}) AS _hs")
+            .selectExpr("doc_id", "array_distinct(_hs) AS ghs",
+                        f"{SIGS} AS sigs")
+            .cache())
+    bands = _band_guard(base.selectExpr("doc_id", "sigs", _BANDS_EXPR))
+    cand = (bands.select(F.col("doc_id").alias("d1"), "banda")
+            .join(bands.select(F.col("doc_id").alias("d2"), "banda"), "banda")
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2")
+            .dropDuplicates(["d1", "d2"]))
+    paired = (cand
+              .join(base.select(F.col("doc_id").alias("d1"),
+                                F.col("ghs").alias("g1"),
+                                F.col("sigs").alias("s1")), "d1")
+              .join(base.select(F.col("doc_id").alias("d2"),
+                                F.col("ghs").alias("g2"),
+                                F.col("sigs").alias("s2")), "d2"))
+    est = F.expr(
+        f"size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v)) "
+        f"/ cast({MINHASH_K} as double)")
+    inter = F.expr("size(array_intersect(g1, g2))").cast("double")
+    union = (F.expr("size(g1) + size(g2)").cast("double") - inter)
+    scored = paired.select(
+        F.least(F.floor((inter / union) * 10), F.lit(9)).cast("long")
+        .alias("decil"),
+        (inter / union).alias("_jac"), est.alias("_est"),
+        F.abs(est - inter / union).alias("_err"))
+    return (scored.groupBy("decil")
+            .agg(F.count(F.lit(1)).cast("long").alias("pares"),
+                 r4(F.avg("_jac")).alias("jac_media"),
+                 r4(F.avg("_est")).alias("est_media"),
+                 r4(F.avg("_err")).alias("err_medio"),
+                 r6(F.max("_err")).alias("err_max"))
+            .orderBy("decil"))
+
+
+SQL_DOC_MINHASH_EST_ERROR = f"""
+WITH hs0 AS (
+  SELECT doc_id, list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}) AS hs
+  FROM documents
+), base AS (
+  SELECT doc_id, list_distinct(hs) AS ghs, hs FROM hs0
+), sigs AS (
+  SELECT doc_id, {SQL_SIGS} AS sigs FROM base
+), {SQL_BANDS_CTE}, cand AS (
+  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+  FROM bands l JOIN bands r ON l.banda = r.banda AND l.doc_id < r.doc_id
+), scored0 AS (
+  SELECT len(list_intersect(b1.ghs, b2.ghs))::DOUBLE AS inter,
+         (len(b1.ghs) + len(b2.ghs))::DOUBLE
+           - len(list_intersect(b1.ghs, b2.ghs))::DOUBLE AS un,
+         list_sum(list_transform(range(0, {MINHASH_K}),
+           i -> CASE WHEN s1.sigs[i+1] = s2.sigs[i+1] THEN 1 ELSE 0 END))
+           / {MINHASH_K}.0 AS est
+  FROM cand
+  JOIN base b1 ON b1.doc_id = cand.d1
+  JOIN base b2 ON b2.doc_id = cand.d2
+  JOIN sigs s1 ON s1.doc_id = cand.d1
+  JOIN sigs s2 ON s2.doc_id = cand.d2
+), scored AS (
+  SELECT least(floor((inter / un) * 10), 9)::BIGINT AS decil,
+         inter / un AS jac, est, abs(est - inter / un) AS err
+  FROM scored0
+)
+SELECT decil, count(*)::BIGINT AS pares,
+       floor(avg(jac) * 10000 + 0.5) / 10000 AS jac_media,
+       floor(avg(est) * 10000 + 0.5) / 10000 AS est_media,
+       floor(avg(err) * 10000 + 0.5) / 10000 AS err_medio,
+       floor(max(err) * 1000000 + 0.5) / 1000000 AS err_max
+FROM scored GROUP BY decil ORDER BY decil
+"""
+
+register("doc_minhash_est_error", q_doc_minhash_est_error,
+         SQL_DOC_MINHASH_EST_ERROR)
+
+
+# --------------------------------------------------------------------------
+# doc_gopher_quality — the Gopher document-filtering rule set (Rae et al.
+# 2021, "Scaling Language Models: ... Gopher", Appendix A1.1), the
+# published heuristic battery that complements the composite doc_quality
+# score: word-count bounds, mean-word-length band, symbol-to-word ratio
+# (# and ellipsis), minimum alphabetic-word fraction, required-stopword
+# presence, and the bullet/ellipsis line-shape rules. The audit reports,
+# per source, how many documents pass EACH rule and how many pass all —
+# the per-rule attribution a curation run needs to tune thresholds.
+#
+# Every rule is evaluated as an INTEGER cross-multiplied comparison
+# (e.g. mean word length in [3,10] as 3·n <= Σlen AND Σlen <= 10·n), so
+# there is no float anywhere until the final rounded fraction — the
+# verdicts are bit-portable by construction.
+#
+# Scale: per-row token/line folds (embarrassingly parallel, zero
+# shuffle) into one map-side-combined per-source aggregate — the
+# cheapest possible shape; nothing grows with the corpus but the scan.
+# --------------------------------------------------------------------------
+
+_GOPHER_STOPS = "'the','be','to','of','and','that','have','with'"
+
+_GOPHER_COLS = [
+    f"cast(size({WORDS}) as bigint) AS _n",
+    f"aggregate({WORDS}, 0L, (a, w) -> a + length(w)) AS _sumlen",
+    "cast(length(text) - length(replace(text, '#', '')) as bigint) AS _hash",
+    "cast((length(text) - length(replace(text, '...', ''))) div 3 as bigint)"
+    " AS _ell",
+    f"cast(size(filter({WORDS}, x -> x rlike '[A-Za-z]')) as bigint) AS _alfa",
+    f"cast(size(array_intersect(array_distinct({WORDS}), "
+    f"array({_GOPHER_STOPS}))) as bigint) AS _stops",
+    "split(text, '\\n') AS _ls",
+]
+
+_GOPHER_RULES = {
+    # word count in [50, 100000]
+    "palabras": "_n >= 50 AND _n <= 100000",
+    # mean word length in [3, 10] chars
+    "long_media": "3 * _n <= _sumlen AND _sumlen <= 10 * _n",
+    # symbol-to-word ratio (# + '...') < 0.1
+    "simbolos": "10 * (_hash + _ell) < _n",
+    # >= 80% of words contain an alphabetic character
+    "alfabetico": "5 * _alfa >= 4 * _n",
+    # >= 2 of the 8 required stopwords present
+    "stopwords": "_stops >= 2",
+    # < 90% of lines start with a bullet
+    "vinetas": "10 * _bul < 9 * _nl",
+    # < 30% of lines end with an ellipsis
+    "elipsis": "10 * _fin < 3 * _nl",
+}
+
+
+def doc_gopher_flags(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, _r_<rule>..., _hits) — per-document Gopher rule
+    verdicts (1/0) plus the pass count. Shared by the registered rollup
+    and the Python-reference property test."""
+    base = (docs.selectExpr("doc_id", "source", *_GOPHER_COLS)
+            .selectExpr(
+                "*", "cast(size(_ls) as bigint) AS _nl",
+                "cast(size(filter(_ls, l -> trim(l) like '-%' "
+                "or trim(l) like '*%' or trim(l) like '•%')) as bigint)"
+                " AS _bul",
+                "cast(size(filter(_ls, l -> trim(l) like '%...')) as bigint)"
+                " AS _fin"))
+    return base.selectExpr(
+        "doc_id", "source",
+        *[f"cast(({cond}) as long) AS _r_{name}"
+          for name, cond in _GOPHER_RULES.items()],
+    ).selectExpr(
+        "doc_id", "source", *[f"_r_{n}" for n in _GOPHER_RULES],
+        " + ".join(f"_r_{n}" for n in _GOPHER_RULES) + " AS _hits")
+
+
+def q_doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flags = doc_gopher_flags(_docs(spark, sf_dir))
+    n_rules = len(_GOPHER_RULES)
+    return (flags.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("docs_total"),
+                 *[F.sum(f"_r_{n}").cast("long").alias(f"pasa_{n}")
+                   for n in _GOPHER_RULES],
+                 F.sum((F.col("_hits") == n_rules).cast("long")).cast("long")
+                 .alias("pasa_todo"))
+            .withColumn("frac_pasa",
+                        r4(F.col("pasa_todo").cast("double")
+                           / F.col("docs_total")))
+            .orderBy("source"))
+
+
+_SQL_GOPHER_RULES = {
+    "palabras": "_n >= 50 AND _n <= 100000",
+    "long_media": "3 * _n <= _sumlen AND _sumlen <= 10 * _n",
+    "simbolos": "10 * (_hash + _ell) < _n",
+    "alfabetico": "5 * _alfa >= 4 * _n",
+    "stopwords": "_stops >= 2",
+    "vinetas": "10 * _bul < 9 * _nl",
+    "elipsis": "10 * _fin < 3 * _nl",
+}
+
+SQL_DOC_GOPHER_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         len({SQL_WORDS})::BIGINT AS _n,
+         list_sum(list_transform({SQL_WORDS}, w -> length(w)))::BIGINT
+           AS _sumlen,
+         (length(text) - length(replace(text, '#', '')))::BIGINT AS _hash,
+         ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT
+           AS _ell,
+         len(list_filter({SQL_WORDS},
+             x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS _alfa,
+         len(list_intersect(list_distinct({SQL_WORDS}),
+             [{_GOPHER_STOPS}]))::BIGINT AS _stops,
+         str_split(text, chr(10)) AS _ls
+  FROM documents
+), lines AS (
+  SELECT *, len(_ls)::BIGINT AS _nl,
+         len(list_filter(_ls, l -> trim(l) LIKE '-%' OR trim(l) LIKE '*%'
+             OR trim(l) LIKE '•%'))::BIGINT AS _bul,
+         len(list_filter(_ls, l -> trim(l) LIKE '%...'))::BIGINT AS _fin
+  FROM base
+), flags AS (
+  SELECT source,
+         {', '.join(f"CASE WHEN {c} THEN 1 ELSE 0 END AS _r_{n}"
+                    for n, c in _SQL_GOPHER_RULES.items())},
+         {' + '.join(f"CASE WHEN {c} THEN 1 ELSE 0 END"
+                     for c in _SQL_GOPHER_RULES.values())} AS _hits
+  FROM lines
+)
+SELECT source, count(*)::BIGINT AS docs_total,
+       {', '.join(f"sum(_r_{n})::BIGINT AS pasa_{n}"
+                  for n in _SQL_GOPHER_RULES)},
+       sum(CASE WHEN _hits = {len(_SQL_GOPHER_RULES)} THEN 1 ELSE 0 END)::BIGINT
+         AS pasa_todo,
+       floor(sum(CASE WHEN _hits = {len(_SQL_GOPHER_RULES)} THEN 1 ELSE 0 END)
+             ::DOUBLE / count(*) * 10000 + 0.5) / 10000 AS frac_pasa
+FROM flags GROUP BY source ORDER BY source
+"""
+
+register("doc_gopher_quality", q_doc_gopher_quality, SQL_DOC_GOPHER_QUALITY)

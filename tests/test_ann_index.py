@@ -118,3 +118,20 @@ def test_ann_recall_audit_invariants(spark, sf_dir):
         assert abs(r["recall"] - round(r["aciertos"] / LSH_TOP_K, 4)) < 1e-9
         if r["candidatos"] == corpus_n:
             assert r["aciertos"] == LSH_TOP_K
+
+
+def test_minhash_est_error_decile_invariants(spark, sf_dir):
+    """Per decile: the bucket's mean exact Jaccard must lie inside the
+    decile's range, estimates are K-quantized in [0,1], and the mean
+    absolute error cannot exceed the max."""
+    from prac_data_pipelines_spark.queries.text import q_doc_minhash_est_error
+
+    rows = q_doc_minhash_est_error(spark, sf_dir).collect()
+    assert rows, "LSH candidates must exist at this SF"
+    for r in rows:
+        assert 0 <= r["decil"] <= 9
+        assert r["pares"] >= 1
+        lo, hi = r["decil"] / 10, (r["decil"] + 1) / 10 if r["decil"] < 9 else 1.0
+        assert lo - 1e-4 <= r["jac_media"] <= hi + 1e-4
+        assert 0.0 <= r["est_media"] <= 1.0
+        assert r["err_medio"] <= r["err_max"] + 1e-4

@@ -442,3 +442,109 @@ def test_dsir_weights_equal_python_fold(spark, docs):
             peso = peso * (float((ct.get(b, 0) + 1) * (nr + DSIR_B))
                            / float((cr.get(b, 0) + 1) * (nt + DSIR_B)))
         assert got[doc_id] == peso, (doc_id, got[doc_id], peso)
+
+
+_winnow_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=20),
+    min_size=1, max_size=8)
+
+
+@given(docs=_winnow_docs)
+@settings(**SETTINGS)
+def test_winnowing_fingerprints_equal_brute_force(spark, docs):
+    """The packed-min winnowing selection (array_min over packed
+    hash*2^30 + inverted-pos) must equal a literal implementation of the
+    SIGMOD'03 algorithm: per window of FP_W shingle hashes, keep the
+    rightmost minimal hash with its position, then dedupe — including
+    short docs (single-window fallback) and hash-tie windows."""
+    import hashlib
+
+    from prac_data_pipelines_spark.queries.text import (
+        FP_W,
+        _FP_PACK,
+        doc_winnow_fingerprints,
+    )
+
+    rows = [(i, " ".join(toks) if toks else "", "s") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: (r["_nw"], sorted(r["fps"]))
+           for r in doc_winnow_fingerprints(df).collect()}
+
+    def h28(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+    for doc_id, (_, text, _src) in enumerate(rows):
+        toks = text.strip().split() if text.strip() else [""]
+        if len(toks) >= 3:
+            grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        else:
+            grams = [text.strip()]
+        g = [h28(s) for s in grams]
+        m = len(g)
+        nw = max(m - FP_W + 1, 1)
+        sel = set()
+        for w in range(nw):
+            window = list(enumerate(g))[w:w + FP_W]
+            mn = min(h for _, h in window)
+            pos = max(j for j, h in window if h == mn)  # rightmost minimal
+            sel.add(g[pos] * _FP_PACK + (_FP_PACK - 1 - pos))
+        assert got[doc_id] == (nw, sorted(sel)), doc_id
+
+
+_gopher_tokens = st.sampled_from(
+    ["the", "and", "have", "with", "data", "#", "x...", "...", "-",
+     "*item", "ab", "xyzzy", "12345", "a#b", "longwordindeed"])
+_gopher_docs = st.lists(  # each doc: list of lines, each line: tokens
+    st.lists(st.lists(_gopher_tokens, min_size=0, max_size=8),
+             min_size=1, max_size=3),
+    min_size=1, max_size=8)
+
+
+@given(docs=_gopher_docs)
+@settings(**SETTINGS)
+def test_gopher_rules_equal_python_reference(spark, docs):
+    """Every Gopher rule verdict (integer cross-multiplied comparisons
+    over token/line folds) must match a literal Python reimplementation
+    of the Rae et al. A1.1 rules — including empty-text docs (engine
+    split yields [''] where Python's split yields []), '#'/ellipsis
+    counting, bullet/ellipsis line shapes, and the stopword minimum."""
+    import re
+
+    from prac_data_pipelines_spark.queries.text import q_doc_gopher_quality  # noqa: F401  (import parity)
+    from prac_data_pipelines_spark.queries.text import (
+        _GOPHER_RULES,
+        doc_gopher_flags,
+    )
+
+    rows = [(i, "\n".join(" ".join(line) for line in lines), str(i))
+            for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {int(r["source"]): {n: r[f"_r_{n}"] for n in _GOPHER_RULES}
+           for r in doc_gopher_flags(df).collect()}
+
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    for i, (_, text, _src) in enumerate(rows):
+        # mirror ENGINE tokenization: trim() strips spaces only (not \n),
+        # and regex split keeps leading/trailing empty fields
+        toks = re.split(r"\s+", text.strip(" "))
+        n = len(toks)
+        sumlen = sum(len(w) for w in toks)
+        n_hash = text.count("#")
+        n_ell = (len(text) - len(text.replace("...", ""))) // 3
+        alfa = sum(1 for w in toks if re.search("[A-Za-z]", w))
+        nstop = len(set(toks) & stops)
+        lines = text.split("\n")
+        nl = len(lines)
+        bul = sum(1 for l in lines
+                  if l.strip().startswith(("-", "*", "•")))
+        fin = sum(1 for l in lines if l.strip().endswith("..."))
+        want = {
+            "palabras": int(50 <= n <= 100000),
+            "long_media": int(3 * n <= sumlen <= 10 * n),
+            "simbolos": int(10 * (n_hash + n_ell) < n),
+            "alfabetico": int(5 * alfa >= 4 * n),
+            "stopwords": int(nstop >= 2),
+            "vinetas": int(10 * bul < 9 * nl),
+            "elipsis": int(10 * fin < 3 * nl),
+        }
+        assert got[i] == want, (i, text, got[i], want)

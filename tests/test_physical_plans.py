@@ -431,3 +431,37 @@ def test_ann_recall_audit_broadcasts_queries(spark, sf_dir):
     assert "SinglePartition" not in plan
     for spec in re.findall(r"windowspecdefinition\((\w+)#", plan):
         assert spec == "qid", spec
+
+
+def test_doc_winnowing_no_single_partition_no_cartesian(spark, sf_dir):
+    """Winnowing selection is a per-row array op; the only shuffles are
+    the fingerprint-hash groupBy and the hash-keyed join back — never a
+    global window, never an all-pairs join."""
+    from prac_data_pipelines_spark.queries.text import q_doc_winnowing
+
+    plan = _plan(q_doc_winnowing(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_doc_minhash_est_error_banded_not_all_pairs(spark, sf_dir):
+    """The audit must score only the banded LSH candidates — the corpus
+    is never cross-joined, and the band-guard window partitions by the
+    banda key, not a global sort."""
+    from prac_data_pipelines_spark.queries.text import q_doc_minhash_est_error
+
+    plan = _plan(q_doc_minhash_est_error(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_doc_gopher_quality_no_window_no_join(spark, sf_dir):
+    """Every Gopher rule is a per-row fold: the whole audit is one scan
+    into a map-side-combined per-source aggregate — no window, no join,
+    no shuffle beyond the groupBy/sort."""
+    from prac_data_pipelines_spark.queries.text import q_doc_gopher_quality
+
+    plan = _plan(q_doc_gopher_quality(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
