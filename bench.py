@@ -128,6 +128,7 @@ HEADLINE = [
     "doc_winnowing",
     "doc_minhash_est_error",
     "doc_gopher_quality",
+    "bpe_encode_curve",
 ]
 
 

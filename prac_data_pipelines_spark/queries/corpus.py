@@ -1152,3 +1152,153 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 register("doc_dsir_weights", q_doc_dsir_weights, SQL_DOC_DSIR_WEIGHTS)
+
+
+# --------------------------------------------------------------------------
+# bpe_encode_curve — the APPLY side of BPE tokenization, closing the loop
+# bpe_merge_pairs opens: take the ranked merge candidates and actually
+# encode the corpus with the first m of them, for m along a curve, and
+# report the compression each prefix buys (total weighted tokens,
+# tokens/word, token-vocabulary size). This is the measurement a
+# tokenizer-training pipeline gates on — "how many merges until
+# tokens/word crosses X" — computed corpus-size-free: encoding folds run
+# over the DISTINCT word vocabulary weighted by frequency, exactly like
+# training (one wordcount shuffle; the fold then touches |vocab|·|curve|
+# rows only).
+#
+# The merge list is the single-ranking candidate set (frequency desc,
+# pair asc — identical ordering to bpe_merge_pairs); true iterative BPE
+# re-counts pairs after each merge, which at scale is a short driver-side
+# loop over the (tiny) pair-count frame, same pattern as
+# kmeans_embeddings' Lloyd iterations. The one-shot ranked list is the
+# oracle-checkable kernel, and each merge PASS itself (leftmost,
+# non-overlapping, left-to-right — "aaa" + (a,a) → [aa, a]) has exact
+# BPE semantics in both engines: an in-order fold appending or fusing
+# against the accumulator's last token.
+#
+# Scale: one wordcount shuffle + one BPE_PAIRS-row broadcast; encoding
+# is embarrassingly parallel over the vocab. The token-vocab distinct
+# count shuffles |vocab|·tokens rows of short strings — bounded by
+# corpus vocabulary, not corpus size.
+# --------------------------------------------------------------------------
+
+BPE_CURVE = (0, 5, 10, 20)
+
+# merge pass fold: tokens ts + merge pair mg (2-element array) → merged
+# token list, leftmost non-overlapping left-to-right
+_BPE_ENC = (
+    "aggregate(slice(_mgs, 1, fusiones), _chars, "
+    "(ts, mg) -> aggregate(ts, cast(array() as array<string>), "
+    "(acc, t) -> if(size(acc) > 0 AND element_at(acc, -1) = element_at(mg, 1)"
+    " AND t = element_at(mg, 2), "
+    "concat(slice(acc, 1, size(acc) - 1), "
+    "array(concat(element_at(mg, 1), element_at(mg, 2)))), "
+    "concat(acc, array(t)))))"
+)
+
+
+def bpe_encode_curve_frame(docs: DataFrame) -> DataFrame:
+    """The full train-rank-encode pipeline over a documents frame;
+    shared by the registered query and the Python-reference property
+    test."""
+    vocab = (docs.selectExpr(f"explode({WORDS}) AS w")
+             .filter("w != ''")
+             .groupBy("w")
+             .agg(F.count(F.lit(1)).cast("long").alias("_freq")))
+    pares = (vocab.filter("length(w) >= 2")
+             .selectExpr(
+                 "_freq",
+                 "explode(transform(sequence(1, length(w) - 1), "
+                 "i -> struct(substring(w, i, 1) AS s1, "
+                 "substring(w, i + 1, 1) AS s2))) AS p")
+             .select("p.s1", "p.s2", "_freq"))
+    counts = (pares.groupBy("s1", "s2")
+              .agg(F.sum("_freq").cast("long").alias("frecuencia")))
+    top = (counts.orderBy(F.col("frecuencia").desc(),
+                          F.col("s1").asc(), F.col("s2").asc())
+           .limit(BPE_PAIRS))
+    # ONE broadcast row carrying the rank-ordered merge list (sorting by
+    # (-freq, s1, s2) structs makes collect_list order-independent)
+    mg_row = top.agg(F.expr(
+        "transform(array_sort(collect_list("
+        "struct(-frecuencia AS nf, s1, s2))), x -> array(x.s1, x.s2))")
+        .alias("_mgs"))
+    enc = (vocab.crossJoin(broadcast(mg_row))
+           .selectExpr(
+               "_freq", "_mgs",
+               "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+               " AS _chars")
+           .selectExpr("_freq", "_chars", "_mgs",
+                       f"explode(array{BPE_CURVE}) AS fusiones")
+           .selectExpr("cast(fusiones as bigint) AS fusiones", "_freq",
+                       f"{_BPE_ENC} AS _tk")
+           .cache())
+    summary = (enc.groupBy("fusiones")
+               .agg(F.sum("_freq").cast("long").alias("total_palabras"),
+                    F.sum(F.expr("_freq * size(_tk)")).cast("long")
+                    .alias("total_tokens")))
+    vocabu = (enc.selectExpr("fusiones", "explode(_tk) AS t")
+              .groupBy("fusiones")
+              .agg(F.countDistinct("t").cast("long").alias("vocab_tokens")))
+    return (summary.join(vocabu, "fusiones")
+            .select("fusiones", "total_palabras", "total_tokens",
+                    r4(F.col("total_tokens").cast("double")
+                       / F.col("total_palabras")).alias("tokens_por_palabra"),
+                    "vocab_tokens")
+            .orderBy("fusiones"))
+
+
+def q_bpe_encode_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_encode_curve_frame(_docs(spark, sf_dir))
+
+
+SQL_BPE_ENCODE_CURVE = f"""
+WITH vocab AS (
+  SELECT w, count(*)::BIGINT AS _freq
+  FROM (SELECT unnest({SQL_WORDS}) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+), pares AS (
+  SELECT _freq,
+         unnest(list_transform(range(1, strlen(w)),
+                i -> {{'s1': substr(w, i, 1), 's2': substr(w, i + 1, 1)}})) AS p
+  FROM vocab WHERE strlen(w) >= 2
+), counts AS (
+  SELECT p.s1 AS s1, p.s2 AS s2, sum(_freq)::BIGINT AS frecuencia
+  FROM pares GROUP BY p.s1, p.s2
+), top AS (
+  SELECT * FROM counts ORDER BY frecuencia DESC, s1 ASC, s2 ASC
+  LIMIT {BPE_PAIRS}
+), mg AS (
+  SELECT list([s1, s2] ORDER BY frecuencia DESC, s1 ASC, s2 ASC) AS mgs
+  FROM top
+), encv AS (
+  SELECT fusiones::BIGINT AS fusiones, _freq,
+         list_reduce(
+           list_prepend(list_transform(range(1, strlen(w) + 1),
+                                       i -> substr(w, i, 1)),
+                        list_slice(mgs, 1, fusiones)),
+           (ts, mg) -> list_reduce(
+             list_prepend([]::VARCHAR[], list_transform(ts, t -> [t])),
+             (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = mg[1]
+                              AND x[1] = mg[2]
+                         THEN list_append(list_slice(acc, 1, len(acc) - 1),
+                                          mg[1] || mg[2])
+                         ELSE list_append(acc, x[1]) END)) AS tk
+  FROM vocab CROSS JOIN mg
+  CROSS JOIN (SELECT unnest([{', '.join(map(str, BPE_CURVE))}]) AS fusiones)
+), s AS (
+  SELECT fusiones, sum(_freq)::BIGINT AS total_palabras,
+         sum(_freq * len(tk))::BIGINT AS total_tokens
+  FROM encv GROUP BY fusiones
+), v AS (
+  SELECT fusiones, count(DISTINCT t)::BIGINT AS vocab_tokens
+  FROM (SELECT fusiones, unnest(tk) AS t FROM encv) GROUP BY fusiones
+)
+SELECT s.fusiones AS fusiones, total_palabras, total_tokens,
+       floor(total_tokens::DOUBLE / total_palabras * 10000 + 0.5) / 10000
+         AS tokens_por_palabra,
+       vocab_tokens
+FROM s JOIN v ON s.fusiones = v.fusiones ORDER BY s.fusiones
+"""
+
+register("bpe_encode_curve", q_bpe_encode_curve, SQL_BPE_ENCODE_CURVE)

@@ -548,3 +548,59 @@ def test_gopher_rules_equal_python_reference(spark, docs):
             "elipsis": int(10 * fin < 3 * nl),
         }
         assert got[i] == want, (i, text, got[i], want)
+
+
+_bpe_docs = st.lists(
+    st.lists(st.sampled_from(["ab", "aba", "abab", "ba", "bb", "a", "abc",
+                              "cab", "aabb"]),
+             min_size=1, max_size=10),
+    min_size=1, max_size=6)
+
+
+@given(docs=_bpe_docs)
+@settings(**SETTINGS)
+def test_bpe_encode_curve_equals_python_reference(spark, docs):
+    """The distributed train-rank-encode pipeline (wordcount → pair
+    counts → (freq desc, pair asc) ranked merges → per-word in-order
+    merge folds along the curve) must match a sequential Python BPE:
+    same merge ranking, same leftmost non-overlapping pass semantics
+    ("aaa" + (a,a) → [aa, a]), same totals and token-vocab sizes."""
+    from collections import Counter
+
+    from prac_data_pipelines_spark.queries.corpus import (
+        BPE_CURVE,
+        BPE_PAIRS,
+        bpe_encode_curve_frame,
+    )
+
+    rows = [(i, " ".join(toks), "s") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["fusiones"]: (r["total_palabras"], r["total_tokens"],
+                           r["vocab_tokens"])
+           for r in bpe_encode_curve_frame(df).collect()}
+
+    vocab = Counter(w for _, t, _ in rows for w in t.split())
+    pairs = Counter()
+    for w, f in vocab.items():
+        for a, b in zip(w, w[1:]):
+            pairs[(a, b)] += f
+    merges = sorted(pairs, key=lambda p: (-pairs[p], p))[:BPE_PAIRS]
+
+    def encode(word, m):
+        toks = list(word)
+        for a, b in merges[:m]:
+            out = []
+            for t in toks:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            toks = out
+        return toks
+
+    for m in BPE_CURVE:
+        total_w = sum(vocab.values())
+        enc = {w: encode(w, m) for w in vocab}
+        total_t = sum(f * len(enc[w]) for w, f in vocab.items())
+        vocab_t = len({t for ts in enc.values() for t in ts})
+        assert got[m] == (total_w, total_t, vocab_t), (m, got[m])

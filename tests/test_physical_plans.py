@@ -465,3 +465,14 @@ def test_doc_gopher_quality_no_window_no_join(spark, sf_dir):
     assert "Window" not in plan
     assert "Join" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_bpe_encode_curve_broadcasts_merge_list(spark, sf_dir):
+    """The ranked merge list must reach the vocab as a ONE-row broadcast
+    (the kmeans/DSIR fold idiom); the only SinglePartition aggregate is
+    the BPE_PAIRS-bounded collect (<= 20 rows by construction)."""
+    from prac_data_pipelines_spark.queries.corpus import q_bpe_encode_curve
+
+    plan = _plan(q_bpe_encode_curve(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
