@@ -58,6 +58,7 @@ def ingest_text_dir(spark: SparkSession, text_dir: str, out_dir: str,
 def curate(spark: SparkSession, sf_dir: str,
            min_quality: float | None = None,
            min_lm_prob: float | None = None,
+           min_dsir: float | None = None,
            token_budget: float | None = None) -> dict[str, DataFrame]:
     """Build the named-view dictionary of the curation flow.
 
@@ -65,6 +66,13 @@ def curate(spark: SparkSession, sf_dir: str,
     whose mean smoothed bigram probability under the corpus-trained LM
     falls below the threshold drop with motivo ``lm_improbable``. Off by
     default — it is a tuning knob, not a fixed contract.
+
+    ``min_dsir`` switches on DSIR domain selection (Xie et al. 2023):
+    documents whose importance weight under the target-language model
+    (product of smoothed hashed-bigram likelihood ratios,
+    ``queries.corpus.doc_dsir_doc_weights``) falls below the threshold
+    drop with motivo ``dsir_fuera_dominio`` — ``1.0`` keeps exactly the
+    docs more target-like than raw-like. Off by default.
 
     ``token_budget`` (fraction, e.g. 0.4) switches on the final
     budget cut: per source, the surviving docs are ranked by quality
@@ -136,6 +144,14 @@ def curate(spark: SparkSession, sf_dir: str,
                      .select("doc_id")
                      .withColumn("motivo", F.lit("lm_improbable")))
         dropped = dropped.unionByName(lm_losers)
+    if min_dsir is not None:
+        from .queries.corpus import doc_dsir_doc_weights
+
+        dsir_losers = (doc_dsir_doc_weights(docs)
+                       .filter(F.col("peso") < min_dsir)
+                       .select("doc_id")
+                       .withColumn("motivo", F.lit("dsir_fuera_dominio")))
+        dropped = dropped.unionByName(dsir_losers)
     views["descartados"] = dropped
 
     kept = (docs.join(quality, "doc_id").join(lang, "doc_id")
@@ -202,6 +218,9 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--out", default="corpus_output")
     ap.add_argument("--min-quality", type=float, default=None)
+    ap.add_argument("--min-dsir", type=float, default=None,
+                   help="drop docs with DSIR importance weight below this "
+                        "(1.0 = keep docs more target-like than raw-like)")
     ap.add_argument("--min-lm-prob", type=float, default=None,
                     help="drop docs whose mean bigram-LM probability under "
                          "the corpus-trained LM is below this threshold")
@@ -251,6 +270,7 @@ def main() -> int:
         build_index = False
     views = curate(spark, sf_dir, args.min_quality,
                    min_lm_prob=args.min_lm_prob,
+                   min_dsir=args.min_dsir,
                    token_budget=args.token_budget)
     export(spark, views, args.out, sf_dir, build_index=build_index)
     n = spark.read.parquet(f"{args.out}/curado").count()

@@ -178,3 +178,33 @@ def test_cli_token_budget_stage(spark, sf_dir, tmp_path, monkeypatch):
               .groupBy("source").agg(F.sum("toks").alias("t")).collect()}
     for s, total in surv_t.items():
         assert kept_t.get(s, 0) <= 0.5 * total + 1e-9, s
+
+
+def test_cli_dsir_filter_stage(spark, sf_dir, tmp_path, monkeypatch):
+    """--min-dsir 1.0: exactly the documents whose DSIR importance
+    weight is < 1.0 (less target-language-like than raw-like) land in
+    descartados with motivo dsir_fuera_dominio."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from prac_data_pipelines_spark import corpus_pipeline
+    from prac_data_pipelines_spark.queries.corpus import doc_dsir_doc_weights
+    from prac_data_pipelines_spark.sources import load_table
+
+    out = str(tmp_path / "out_dsir")
+    monkeypatch.setattr(sys, "argv", [
+        "corpus_pipeline", "--sf-dir", sf_dir, "--out", out,
+        "--skip-index", "--min-dsir", "1.0"])
+    assert corpus_pipeline.main() == 0
+    dropped = spark.read.parquet(f"{out}/descartados")
+    got = {r.doc_id for r in
+           dropped.filter("motivo = 'dsir_fuera_dominio'").collect()}
+    want = {r.doc_id for r in
+            doc_dsir_doc_weights(load_table(spark, sf_dir, "documents"))
+            .filter(F.col("peso") < 1.0).collect()}
+    assert got == want and got  # non-trivial on the synthetic corpus
+    # and none of them survived into the curated output
+    curados = {r.doc_id for r in
+               spark.read.parquet(f"{out}/curado").collect()}
+    assert not (got & curados)
