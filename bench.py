@@ -129,6 +129,7 @@ HEADLINE = [
     "doc_minhash_est_error",
     "doc_gopher_quality",
     "bpe_encode_curve",
+    "ivf_recall_audit",
 ]
 
 

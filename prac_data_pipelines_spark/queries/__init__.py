@@ -31,15 +31,15 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 _PRIORITY: tuple[str, ...] = (
     # Round-6 rotation (completes the freshness plan from
     # docs/ROUND5_NOTES.md: after this head runs, every registered
-    # query's driver verdict is <= 2 rounds old). Head = 12 new + 5
+    # query's driver verdict is <= 2 rounds old). Head = 13 new + 5
     # modified this round + the 26 r3-era stale + the 6 that slipped
-    # past r5's 50-row budget + 1 r4-era re-verdict — exactly 50.
+    # past r5's 50-row budget — exactly 50.
     #
     # New in r6:
     "shard_verify", "emb_quantize", "doc_dup_ngrams", "source_cross_dup",
     "doc_token_budget", "doc_dsir_weights", "doc_substring_dedup",
     "ann_recall_audit", "doc_winnowing", "doc_minhash_est_error",
-    "doc_gopher_quality", "bpe_encode_curve",
+    "doc_gopher_quality", "bpe_encode_curve", "ivf_recall_audit",
     # Modified in r6 (grouped-positions pack fold, pinned Pareto tail,
     # rank-space sketch check, byte-true shard manifest):
     "doc_pack_fold", "pareto_abc", "cxc_concentracion", "sketch_profile",
@@ -56,11 +56,10 @@ _PRIORITY: tuple[str, ...] = (
     # Slipped past r5's 50-row budget (r3-era verdicts):
     "band_groups", "scalar_suite", "cancelled_filter", "union_views",
     "column_profile", "distinct_counts",
-    # r4-era verdicts turning 2 rounds old — the r6-modified member
-    # (the rest of the r4 tail leads the r7 rotation):
-    "events_rolling",
     # --- 50-row budget boundary ---
-    "events_transitions", "pricing_summary", "parts_never_ordered", "rich_inactive_customers",
+    # (r4-era re-verdicts lead the r7 rotation; events_rolling was
+    # r6-modified and heads that list)
+    "events_rolling", "events_transitions", "pricing_summary", "parts_never_ordered", "rich_inactive_customers",
     "min_cost_supplier", "order_vs_customer_avg", "doc_curation",
     "doc_minhash_pairs", "doc_ngram_jaccard",
     # r5-verdict queries (freshest; next rotation re-verdicts the r4-era

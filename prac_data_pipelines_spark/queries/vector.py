@@ -421,7 +421,11 @@ IVF_TOP_K = 3
 IVF_NPROBE = 2
 
 
-def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, centroid_id, _rn) — every vector ranked
+    against the trained IVF coarse quantizer (rank 1 = home list,
+    ranks <= IVF_NPROBE = probe lists). Shared by knn_ivf and
+    ivf_recall_audit so both run the identical index."""
     emb = _emb(spark, sf_dir).selectExpr(
         "vec_id", "transform(embedding, v -> cast(v as double)) AS embedding")
     centroids = (emb.filter(F.col("vec_id") < KMEANS_K)
@@ -436,7 +440,11 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"{cosine_expr('embedding', 'ce')} AS _sim"))
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("_sim").desc(), F.col("centroid_id").asc())
-    ranked = scored.withColumn("_rn", F.row_number().over(w_assign)).cache()
+    return scored.withColumn("_rn", F.row_number().over(w_assign)).cache()
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = _ivf_ranked(spark, sf_dir)
     queries = (ranked.filter((F.col("vec_id") < 40)
                              & (F.col("_rn") <= IVF_NPROBE))
                .selectExpr("vec_id AS qid", "embedding AS qe", "centroid_id"))
@@ -935,3 +943,124 @@ ORDER BY qid
 """
 
 register("ann_recall_audit", q_ann_recall_audit, SQL_ANN_RECALL_AUDIT)
+
+
+# --------------------------------------------------------------------------
+# ivf_recall_audit — recall@k of the IVF ANN path against the exact
+# brute-force ranking, completing the audit symmetry with
+# ann_recall_audit (LSH): same query/corpus split and k as knn_ivf, per
+# query the probed-list candidate count (the scan fraction nprobe buys)
+# and the overlap of the IVF top-k with the exact top-k. Together the
+# two audits make BOTH approximate serving paths regression-gateable
+# numbers instead of claims.
+#
+# Scale: exact side is the documented O(|Q|·|C|) eval baseline with the
+# |Q| queries broadcast (corpus scanned once, never shuffled); the IVF
+# side reuses _ivf_ranked — centroids broadcast, candidates keyed by
+# centroid_id (the inverted lists ARE the partitioning). Rollups join
+# on qid — |Q|-sized broadcast frames.
+# --------------------------------------------------------------------------
+
+def q_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = _ivf_ranked(spark, sf_dir)
+    qe = (ranked.filter((F.col("vec_id") < 40) & (F.col("_rn") == 1))
+          .selectExpr("vec_id AS qid", "embedding AS qe"))
+    ce = (ranked.filter((F.col("vec_id") >= 40) & (F.col("_rn") == 1))
+          .selectExpr("vec_id AS cid", "embedding AS ce"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(),
+                                          F.col("cid").asc())
+    exact = (broadcast(qe).crossJoin(ce)
+             .selectExpr("qid", "cid", f"{cosine_expr('qe', 'ce')} AS _cos")
+             .select("qid", "cid", r6(F.col("_cos")).alias("cos"))
+             .withColumn("rango", F.row_number().over(w))
+             .filter(F.col("rango") <= IVF_TOP_K)
+             .select("qid", "cid"))
+    queries = (ranked.filter((F.col("vec_id") < 40)
+                             & (F.col("_rn") <= IVF_NPROBE))
+               .selectExpr("vec_id AS qid", "embedding AS qe", "centroid_id"))
+    corpus = (ranked.filter((F.col("vec_id") >= 40) & (F.col("_rn") == 1))
+              .selectExpr("vec_id AS cid", "embedding AS ce", "centroid_id"))
+    cand = (queries.join(corpus, "centroid_id")
+            .dropDuplicates(["qid", "cid"]))
+    approx = (cand
+              .selectExpr("qid", "cid", f"{cosine_expr('qe', 'ce')} AS _cos")
+              .select("qid", "cid", r6(F.col("_cos")).alias("cos"))
+              .withColumn("rango", F.row_number().over(w))
+              .filter(F.col("rango") <= IVF_TOP_K)
+              .select("qid", "cid"))
+    cand_n = (cand.groupBy("qid")
+              .agg(F.count(F.lit(1)).cast("long").alias("candidatos")))
+    hits = (approx.join(exact, ["qid", "cid"])
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).cast("long").alias("aciertos")))
+    return (qe.select("qid")
+            .join(cand_n, "qid", "left")
+            .join(hits, "qid", "left")
+            .fillna(0, ["candidatos", "aciertos"])
+            .select("qid", "candidatos", "aciertos",
+                    r4(F.col("aciertos").cast("double") / IVF_TOP_K)
+                    .alias("recall"))
+            .orderBy("qid"))
+
+
+SQL_IVF_RECALL_AUDIT = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS embedding
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS centroid_id, embedding AS ce FROM emb
+  WHERE vec_id < {KMEANS_K}
+), a1 AS {_sql_assign('emb', 'c0')}, c1 AS {_SQL_RECENTER.format(src='a1')},
+a2 AS {_sql_assign('emb', 'c1')}, c2 AS {_SQL_RECENTER.format(src='a2')},
+a3 AS {_sql_assign('emb', 'c2')}, c3 AS {_SQL_RECENTER.format(src='a3')},
+ranked_assign AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {sql_cosine_expr('e.embedding', 'c.ce')} DESC,
+                                     c.centroid_id ASC) AS rn
+  FROM emb e CROSS JOIN c3 c
+), exact_top AS (
+  SELECT qid, cid FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY floor({sql_cosine_expr('q.embedding', 'c.embedding')}
+                                             * 1000000 + 0.5) / 1000000 DESC,
+                                       c.vec_id ASC) AS rango
+    FROM emb q CROSS JOIN emb c
+    WHERE q.vec_id < 40 AND c.vec_id >= 40)
+  WHERE rango <= {IVF_TOP_K}
+), cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid,
+         q.embedding AS qe, c.embedding AS ce
+  FROM ranked_assign q JOIN ranked_assign c ON q.centroid_id = c.centroid_id
+  WHERE q.vec_id < 40 AND q.rn <= {IVF_NPROBE}
+    AND c.vec_id >= 40 AND c.rn = 1
+), approx_top AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY floor({sql_cosine_expr('qe', 'ce')}
+                                             * 1000000 + 0.5) / 1000000 DESC,
+                                       cid ASC) AS rango
+    FROM cand)
+  WHERE rango <= {IVF_TOP_K}
+), cand_n AS (
+  SELECT qid, count(*)::BIGINT AS candidatos FROM cand GROUP BY qid
+), hits AS (
+  SELECT a.qid, count(*)::BIGINT AS aciertos
+  FROM approx_top a JOIN exact_top e ON a.qid = e.qid AND a.cid = e.cid
+  GROUP BY a.qid
+)
+SELECT q.vec_id AS qid,
+       coalesce(candidatos, 0)::BIGINT AS candidatos,
+       coalesce(aciertos, 0)::BIGINT AS aciertos,
+       floor(coalesce(aciertos, 0)::DOUBLE / {IVF_TOP_K} * 10000 + 0.5)
+         / 10000 AS recall
+FROM embeddings q
+LEFT JOIN cand_n ON cand_n.qid = q.vec_id
+LEFT JOIN hits ON hits.qid = q.vec_id
+WHERE q.vec_id < 40
+ORDER BY qid
+"""
+
+register("ivf_recall_audit", q_ivf_recall_audit, SQL_IVF_RECALL_AUDIT)

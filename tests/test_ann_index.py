@@ -135,3 +135,25 @@ def test_minhash_est_error_decile_invariants(spark, sf_dir):
         assert lo - 1e-4 <= r["jac_media"] <= hi + 1e-4
         assert 0.0 <= r["est_media"] <= 1.0
         assert r["err_medio"] <= r["err_max"] + 1e-4
+
+
+def test_ivf_recall_audit_invariants(spark, sf_dir):
+    """Per query: 0 <= aciertos <= IVF_TOP_K, recall = aciertos / K,
+    candidate set bounded by the corpus, and full-corpus candidates
+    imply perfect recall."""
+    from prac_data_pipelines_spark.queries.vector import (
+        IVF_TOP_K,
+        q_ivf_recall_audit,
+    )
+    from prac_data_pipelines_spark.sources import load_table
+
+    corpus_n = (load_table(spark, sf_dir, "embeddings")
+                .filter(F.col("vec_id") >= 40).count())
+    rows = q_ivf_recall_audit(spark, sf_dir).collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert 0 <= r["aciertos"] <= IVF_TOP_K
+        assert 0 <= r["candidatos"] <= corpus_n
+        assert abs(r["recall"] - round(r["aciertos"] / IVF_TOP_K, 4)) < 1e-9
+        if r["candidatos"] == corpus_n:
+            assert r["aciertos"] == IVF_TOP_K
