@@ -130,6 +130,7 @@ HEADLINE = [
     "doc_gopher_quality",
     "bpe_encode_curve",
     "ivf_recall_audit",
+    "emb_anisotropy_audit",
 ]
 
 

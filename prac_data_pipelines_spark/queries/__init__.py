@@ -31,19 +31,21 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 _PRIORITY: tuple[str, ...] = (
     # Round-6 rotation (completes the freshness plan from
     # docs/ROUND5_NOTES.md: after this head runs, every registered
-    # query's driver verdict is <= 2 rounds old). Head = 13 new + 5
+    # query's driver verdict is <= 2 rounds old). Head = 14 new + 4
     # modified this round + the 26 r3-era stale + the 6 that slipped
-    # past r5's 50-row budget — exactly 50.
+    # past r5's 50-row budget — exactly 50. (shard_manifest, also
+    # r6-modified, sits first past the boundary: the new shard_verify
+    # in-head pins the same writer contract more strictly.)
     #
     # New in r6:
     "shard_verify", "emb_quantize", "doc_dup_ngrams", "source_cross_dup",
     "doc_token_budget", "doc_dsir_weights", "doc_substring_dedup",
     "ann_recall_audit", "doc_winnowing", "doc_minhash_est_error",
     "doc_gopher_quality", "bpe_encode_curve", "ivf_recall_audit",
+    "emb_anisotropy_audit",
     # Modified in r6 (grouped-positions pack fold, pinned Pareto tail,
     # rank-space sketch check, byte-true shard manifest):
     "doc_pack_fold", "pareto_abc", "cxc_concentracion", "sketch_profile",
-    "shard_manifest",
     # Last driver verdict r3 (26):
     "cxc_master_summary", "cxc_saldo_factura", "cxc_antiguedad",
     "cxc_antiguedad_cliente", "cxc_cartera", "cxc_resumen_concepto",
@@ -57,9 +59,9 @@ _PRIORITY: tuple[str, ...] = (
     "band_groups", "scalar_suite", "cancelled_filter", "union_views",
     "column_profile", "distinct_counts",
     # --- 50-row budget boundary ---
-    # (r4-era re-verdicts lead the r7 rotation; events_rolling was
-    # r6-modified and heads that list)
-    "events_rolling", "events_transitions", "pricing_summary", "parts_never_ordered", "rich_inactive_customers",
+    # (r4-era re-verdicts lead the r7 rotation; shard_manifest and
+    # events_rolling were r6-modified and head that list)
+    "shard_manifest", "events_rolling", "events_transitions", "pricing_summary", "parts_never_ordered", "rich_inactive_customers",
     "min_cost_supplier", "order_vs_customer_avg", "doc_curation",
     "doc_minhash_pairs", "doc_ngram_jaccard",
     # r5-verdict queries (freshest; next rotation re-verdicts the r4-era

@@ -1064,3 +1064,185 @@ ORDER BY qid
 """
 
 register("ivf_recall_audit", q_ivf_recall_audit, SQL_IVF_RECALL_AUDIT)
+
+
+# --------------------------------------------------------------------------
+# emb_anisotropy_audit — spectral health check of the embedding space
+# (the "all-but-the-top" diagnosis, Mu & Viswanath, ICLR 2018): estimate
+# the top eigenvalue of the centered covariance by power iteration and
+# report what fraction of total variance (trace) it captures. A high
+# ratio means the space is anisotropic — cosine similarities are
+# dominated by one common direction — and retrieval/dedup thresholds
+# (knn_*, emb_near_dup) degrade; this is the audit run before trusting
+# them, and the whitening decision gate.
+#
+# Determinism: the ONLY order-dependent float reductions (per-dim means,
+# covariance-entry sums) are r6-rounded before anything else touches
+# them — the per-group rounded-avg idiom emb_label_centroids established
+# — so the unrolled power iteration (fixed association matvec folds,
+# sqrt normalization; both correctly-rounded IEEE ops) is a pure
+# function of bit-identical inputs on both engines. The iterate starts
+# at the exactly-unit vector (1/8, ..., 1/8) [64 · 0.015625 = 1].
+#
+# Scale: one posexplode shuffle for the means (map-side partial), one
+# outer-product explode whose groupBy(idx) is map-side combined (the
+# shuffle carries partitions x D² rows, corpus-size-free), then a
+# D²-bounded single-row assembly and O(D²) driver-free iteration math on
+# a 1-row frame. The corpus is scanned twice and never self-joined; at
+# 100 TB only the two scans grow.
+# --------------------------------------------------------------------------
+
+EMB_D = 64
+POWER_ITERS = 4
+
+
+def _matvec(c: str, x: str) -> str:
+    return (f"transform(sequence(0, {EMB_D - 1}), i -> "
+            f"aggregate(sequence(0, {EMB_D - 1}), cast(0.0 as double), "
+            f"(a, j) -> a + element_at({c}, i * {EMB_D} + j + 1) "
+            f"* element_at({x}, j + 1)))")
+
+
+def _sql_matvec(c: str, x: str) -> str:
+    return (f"list_transform(range(0, {EMB_D}), i -> "
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(0, {EMB_D}), "
+            f"j -> {c}[i * {EMB_D} + j + 1] * {x}[j + 1])), "
+            f"(a, b) -> a + b))")
+
+
+def _norm2(x: str) -> str:
+    return (f"sqrt(aggregate({x}, cast(0.0 as double), "
+            f"(a, v) -> a + v * v))")
+
+
+def _sql_norm2(x: str) -> str:
+    return (f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform({x}, v -> v * v)), (a, b) -> a + b))")
+
+
+def emb_anisotropy_frame(emb_raw: DataFrame) -> DataFrame:
+    """Audit over an (vec_id, embedding) frame; shared by the registered
+    query and the bit-equality property test."""
+    emb = emb_raw.selectExpr(
+        "vec_id", "transform(embedding, v -> cast(v as double)) AS e")
+    mu = (emb.select(F.posexplode("e").alias("d", "v"))
+          .groupBy("d")
+          .agg(F.expr("floor(avg(v) * 1000000 + 0.5) / 1000000").alias("m"))
+          .agg(F.expr("transform(array_sort(collect_list(struct(d, m))), "
+                      "s -> s.m)").alias("_mu"),
+               F.count(F.lit(1)).alias("_dchk")))
+    centered = (emb.crossJoin(broadcast(mu))
+                .selectExpr("zip_with(e, _mu, (a, b) -> a - b) AS cv"))
+    cov = (centered
+           .selectExpr("posexplode(flatten(transform(cv, "
+                       "a -> transform(cv, b -> a * b)))) AS (idx, val)")
+           .groupBy("idx")
+           .agg(F.sum("val").alias("_s")))
+    n_row = emb.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    c_row = (cov.crossJoin(broadcast(n_row))
+             .selectExpr("idx",
+                         "floor(_s / (_n - 1) * 1000000 + 0.5) / 1000000"
+                         " AS c", "_n")
+             .groupBy("_n")
+             .agg(F.expr("transform(array_sort(collect_list("
+                         "struct(idx, c))), s -> s.c)").alias("_C")))
+    # unrolled power iteration from the exact unit vector (1/8,...,1/8)
+    it = c_row.selectExpr(
+        "_n", "_C",
+        f"transform(sequence(0, {EMB_D - 1}), i -> cast(0.125 as double))"
+        " AS _x0")
+    for k in range(POWER_ITERS):
+        it = (it.selectExpr("_n", "_C", f"{_matvec('_C', f'_x{k}')} AS _y")
+              .selectExpr("_n", "_C", "_y", f"{_norm2('_y')} AS _nr")
+              .selectExpr(
+                  "_n", "_C",
+                  f"if(_nr = 0.0, _y, transform(_y, v -> v / _nr))"
+                  f" AS _x{k + 1}"))
+    xf = f"_x{POWER_ITERS}"
+    return (it.selectExpr(
+        "_n", "_C", xf,
+        f"{_matvec('_C', xf)} AS _cx")
+        .selectExpr(
+            "_n AS n_vectores",
+            f"aggregate(zip_with({xf}, _cx, (a, b) -> a * b), "
+            f"cast(0.0 as double), (a, v) -> a + v) AS _l1",
+            f"aggregate(sequence(0, {EMB_D - 1}), cast(0.0 as double), "
+            f"(a, i) -> a + element_at(_C, i * {EMB_D} + i + 1)) AS _tr")
+        .selectExpr(
+            "n_vectores",
+            "floor(_l1 * 1000000 + 0.5) / 1000000 AS lambda1",
+            "floor(_tr * 1000000 + 0.5) / 1000000 AS traza",
+            "if(_tr = 0.0, cast(0.0 as double), "
+            "floor(_l1 / _tr * 10000 + 0.5) / 10000) AS anisotropia"))
+
+
+def q_emb_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return emb_anisotropy_frame(_emb(spark, sf_dir))
+
+
+_SQL_POWER_CTES = []
+for _k in range(POWER_ITERS):
+    _SQL_POWER_CTES.append(
+        f"p{_k} AS (SELECT _n, c, "
+        f"{_sql_matvec('c', f'x{_k}')} AS y FROM i{_k}), "
+        f"i{_k + 1} AS (SELECT _n, c, CASE WHEN {_sql_norm2('y')} = 0.0 "
+        f"THEN y ELSE list_transform(y, v -> v / {_sql_norm2('y')}) END "
+        f"AS x{_k + 1} FROM p{_k})")
+
+SQL_EMB_ANISOTROPY_AUDIT = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e
+  FROM embeddings
+), mu AS (
+  SELECT list(m ORDER BY d) AS mu FROM (
+    SELECT d, floor(avg(e[d + 1]) * 1000000 + 0.5) / 1000000 AS m
+    FROM emb CROSS JOIN (SELECT unnest(range(0, {EMB_D})) AS d)
+    GROUP BY d)
+), centered AS (
+  SELECT list_transform(list_zip(e, mu), p -> p[1] - p[2]) AS cv
+  FROM emb CROSS JOIN mu
+), fo AS (
+  SELECT flatten(list_transform(cv, a -> list_transform(cv, b -> a * b)))
+           AS f
+  FROM centered
+), cov AS (
+  SELECT idx, sum(f[idx + 1]) AS s
+  FROM fo CROSS JOIN (SELECT unnest(range(0, {EMB_D * EMB_D})) AS idx)
+  GROUP BY idx
+), nr AS (
+  SELECT count(*)::BIGINT AS _n FROM emb
+), c_row AS (
+  SELECT _n, list(c ORDER BY idx) AS c FROM (
+    SELECT idx, floor(s / (_n - 1) * 1000000 + 0.5) / 1000000 AS c, _n
+    FROM cov CROSS JOIN nr)
+  GROUP BY _n
+), i0 AS (
+  SELECT _n, c,
+         list_transform(range(0, {EMB_D}), i -> 0.125::DOUBLE) AS x0
+  FROM c_row
+), {', '.join(_SQL_POWER_CTES)}, fin AS (
+  SELECT _n, c, x{POWER_ITERS} AS xf,
+         {_sql_matvec('c', f'x{POWER_ITERS}')} AS cx
+  FROM i{POWER_ITERS}
+), met AS (
+  SELECT _n AS n_vectores,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(list_zip(xf, cx), p -> p[1] * p[2])),
+           (a, b) -> a + b) AS _l1,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(range(0, {EMB_D}),
+                          i -> c[i * {EMB_D} + i + 1])),
+           (a, b) -> a + b) AS _tr
+  FROM fin
+)
+SELECT n_vectores,
+       floor(_l1 * 1000000 + 0.5) / 1000000 AS lambda1,
+       floor(_tr * 1000000 + 0.5) / 1000000 AS traza,
+       CASE WHEN _tr = 0.0 THEN 0.0::DOUBLE
+            ELSE floor(_l1 / _tr * 10000 + 0.5) / 10000 END AS anisotropia
+FROM met
+"""
+
+register("emb_anisotropy_audit", q_emb_anisotropy_audit,
+         SQL_EMB_ANISOTROPY_AUDIT)

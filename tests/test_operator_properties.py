@@ -604,3 +604,60 @@ def test_bpe_encode_curve_equals_python_reference(spark, docs):
         total_t = sum(f * len(enc[w]) for w, f in vocab.items())
         vocab_t = len({t for ts in enc.values() for t in ts})
         assert got[m] == (total_w, total_t, vocab_t), (m, got[m])
+
+
+_aniso_rows = st.lists(
+    st.lists(st.integers(-4, 4), min_size=64, max_size=64),
+    min_size=2, max_size=10)
+
+
+@given(rows=_aniso_rows)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_anisotropy_audit_matches_python_power_iteration(spark, rows):
+    """The distributed spectral audit must match a sequential Python
+    run of the SAME algorithm (r6-rounded means/covariance, 4 unrolled
+    power iterations from the exact unit vector) to within one rounding
+    quantum, and its Rayleigh estimate can never exceed numpy's true
+    top eigenvalue of the same rounded covariance."""
+    import numpy as np
+
+    from prac_data_pipelines_spark.queries.vector import (
+        EMB_D,
+        POWER_ITERS,
+        emb_anisotropy_frame,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in r]) for i, r in enumerate(rows)],
+        "vec_id long, embedding array<float>")
+    got = emb_anisotropy_frame(df).collect()[0]
+
+    def r6(x):
+        import math
+        return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+    a = np.array(rows, dtype=np.float64)
+    n = len(rows)
+    mu = np.array([r6(float(a[:, d].sum()) / n) for d in range(EMB_D)])
+    c = a - mu
+    cov = np.empty((EMB_D, EMB_D))
+    for i in range(EMB_D):
+        for j in range(EMB_D):
+            cov[i, j] = r6(float(c[:, i] @ c[:, j]) / (n - 1))
+    x = np.full(EMB_D, 0.125)
+    for _ in range(POWER_ITERS):
+        y = cov @ x
+        nr = float(np.sqrt((y * y).sum()))
+        x = y if nr == 0.0 else y / nr
+    l1 = float(x @ (cov @ x))
+    tr = float(np.trace(cov))
+
+    assert got["n_vectores"] == n
+    assert abs(got["lambda1"] - r6(l1)) <= 2e-6
+    assert abs(got["traza"] - r6(tr)) <= 2e-6
+    lmax = float(np.linalg.eigvalsh(cov).max())
+    assert got["lambda1"] <= lmax + 1e-4
+    if tr > 0:
+        assert 0.0 <= got["anisotropia"] <= 1.0 + 1e-9

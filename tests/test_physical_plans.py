@@ -476,3 +476,18 @@ def test_bpe_encode_curve_broadcasts_merge_list(spark, sf_dir):
     plan = _plan(q_bpe_encode_curve(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_emb_anisotropy_covariance_is_map_side_combined(spark, sf_dir):
+    """The covariance groupBy(idx) must partial-aggregate before its
+    exchange (shuffle carries partitions x D^2 rows, corpus-size-free),
+    and the iteration math runs on 1-row frames — no corpus self-join,
+    no global window."""
+    from prac_data_pipelines_spark.queries.vector import (
+        q_emb_anisotropy_audit,
+    )
+
+    plan = _plan(q_emb_anisotropy_audit(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()  # map-side combine on the idx agg
+    assert "Window" not in plan
