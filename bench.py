@@ -131,6 +131,7 @@ HEADLINE = [
     "bpe_encode_curve",
     "ivf_recall_audit",
     "emb_anisotropy_audit",
+    "doc_ccnet_buckets",
 ]
 
 

@@ -1302,3 +1302,93 @@ FROM s JOIN v ON s.fusiones = v.fusiones ORDER BY s.fusiones
 """
 
 register("bpe_encode_curve", q_bpe_encode_curve, SQL_BPE_ENCODE_CURVE)
+
+
+# --------------------------------------------------------------------------
+# doc_ccnet_buckets — CCNet's head/middle/tail split (Wenzek et al.
+# 2020): per source, rank documents by language-model probability and
+# cut the ranking into thirds — head = most target-like (kept for
+# training), tail = least (dropped or down-weighted). The cut is
+# RANK-based (ntile semantics via the integer formula
+# ((rank-1)·3) div n, identical to SQL NTILE(3) for every n), not a
+# percentile-value cut — no float interpolation anywhere, so bucket
+# MEMBERSHIP is exact and portable; only the per-bucket prob summaries
+# are floats, r6-rounded like the rest of the LM family.
+#
+# Scale: the per-source ranking runs on grouped_positions (two-level
+# range-partition rank; parallelism is NOT capped at |sources| — the
+# doc_pack_fold lesson), and the LM scores reuse doc_lm_scores' one
+# corpus pass + vocab-sized count tables. The oracle uses the plain
+# windows (DuckDB at sf0.01), the Spark side the scale path; both
+# produce the same ranks by construction (property-tested for
+# grouped_positions).
+# --------------------------------------------------------------------------
+
+_CCNET_TRAMOS = ("head", "middle", "tail")
+
+
+def q_doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sorting import grouped_positions
+
+    per_doc = doc_lm_scores(_docs(spark, sf_dir))
+    ranked = grouped_positions(
+        per_doc, ["source"], [F.desc("_prob"), F.asc("doc_id")],
+        pos_col="_rn", n_col="_n")
+    b = F.expr("((_rn - 1) * 3) div _n")
+    tramo = (F.when(b == 0, _CCNET_TRAMOS[0])
+             .when(b == 1, _CCNET_TRAMOS[1])
+             .otherwise(_CCNET_TRAMOS[2]))
+    return (ranked.withColumn("orden", b.cast("long"))
+            .withColumn("tramo", tramo)
+            .groupBy("source", "orden", "tramo")
+            .agg(F.count(F.lit(1)).cast("long").alias("docs"),
+                 r6(F.avg("_prob")).alias("media_prob"),
+                 r6(F.min("_prob")).alias("min_prob"),
+                 r6(F.max("_prob")).alias("max_prob"))
+            .orderBy("source", "orden"))
+
+
+SQL_DOC_CCNET_BUCKETS = f"""
+WITH ws AS (
+  SELECT doc_id, source, {{SQL_WORDS}} AS ws FROM documents
+), bg0 AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> {{{{'prev': ws[i], 'w': ws[i + 1]}}}})) AS bg
+  FROM ws WHERE len(ws) >= 2
+), bg AS (
+  SELECT doc_id, source, bg.prev AS prev, bg.w AS w FROM bg0
+), c2 AS (
+  SELECT prev, w, count(*)::BIGINT AS c2 FROM bg GROUP BY prev, w
+), c1 AS (
+  SELECT prev, count(*)::BIGINT AS c1 FROM bg GROUP BY prev
+), v AS (
+  SELECT count(DISTINCT w)::BIGINT AS v
+  FROM (SELECT unnest({{SQL_WORDS}}) AS w FROM documents)
+), per_doc AS (
+  SELECT bg.doc_id, bg.source,
+         avg((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)) AS _prob
+  FROM bg JOIN c2 USING (prev, w) JOIN c1 USING (prev) CROSS JOIN v
+  GROUP BY bg.doc_id, bg.source
+), ranked AS (
+  SELECT source, _prob,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY _prob DESC, doc_id ASC) AS _rn,
+         count(*) OVER (PARTITION BY source) AS _n
+  FROM per_doc
+), bucketed AS (
+  SELECT source, _prob, ((_rn - 1) * 3) // _n AS orden FROM ranked
+)
+SELECT source, orden::BIGINT AS orden,
+       CASE orden WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+            ELSE 'tail' END AS tramo,
+       count(*)::BIGINT AS docs,
+       floor(avg(_prob) * 1000000 + 0.5) / 1000000 AS media_prob,
+       floor(min(_prob) * 1000000 + 0.5) / 1000000 AS min_prob,
+       floor(max(_prob) * 1000000 + 0.5) / 1000000 AS max_prob
+FROM bucketed GROUP BY source, orden ORDER BY source, orden
+"""
+
+SQL_DOC_CCNET_BUCKETS = SQL_DOC_CCNET_BUCKETS.format(SQL_WORDS=SQL_WORDS)
+
+register("doc_ccnet_buckets", q_doc_ccnet_buckets, SQL_DOC_CCNET_BUCKETS)

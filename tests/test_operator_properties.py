@@ -661,3 +661,27 @@ def test_anisotropy_audit_matches_python_power_iteration(spark, rows):
     assert got["lambda1"] <= lmax + 1e-4
     if tr > 0:
         assert 0.0 <= got["anisotropia"] <= 1.0 + 1e-9
+
+
+_ntile_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+    min_size=1, max_size=40)
+
+
+@given(rows=_ntile_rows)
+@settings(**SETTINGS)
+def test_ccnet_bucket_formula_equals_ntile(spark, rows):
+    """The integer bucket formula ((rank-1)*3) div n used by
+    doc_ccnet_buckets must equal SQL NTILE(3) for every group size —
+    including groups smaller than 3 and remainders in either spot."""
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)],
+        "id long, g long, v long")
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+    got = (df.withColumn("_rn", F.row_number().over(w))
+           .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+           .withColumn("b", F.expr("((_rn - 1) * 3) div _n"))
+           .withColumn("nt", F.ntile(3).over(w) - 1)
+           .collect())
+    for r in got:
+        assert r["b"] == r["nt"], (r["g"], r["_rn"], r["_n"])

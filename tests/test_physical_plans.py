@@ -491,3 +491,18 @@ def test_emb_anisotropy_covariance_is_map_side_combined(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "partial" in plan.lower()  # map-side combine on the idx agg
     assert "Window" not in plan
+
+
+def test_doc_ccnet_buckets_no_per_source_window(spark, sf_dir):
+    """The per-source ranking must run on grouped_positions (windows
+    keyed by (_pid, source)), never a Window.partitionBy(source) whose
+    parallelism caps at |sources|."""
+    import re
+
+    from prac_data_pipelines_spark.queries.corpus import q_doc_ccnet_buckets
+
+    plan = _plan(q_doc_ccnet_buckets(spark, sf_dir))
+    # (the vocab countDistinct scalar legitimately reduces through a
+    # bounded SinglePartition exchange — windows are what must scale)
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in spec, spec
