@@ -132,6 +132,7 @@ HEADLINE = [
     "ivf_recall_audit",
     "emb_anisotropy_audit",
     "doc_ccnet_buckets",
+    "bpe_train_steps",
 ]
 
 

@@ -31,8 +31,8 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 _PRIORITY: tuple[str, ...] = (
     # Round-6 rotation (completes the freshness plan from
     # docs/ROUND5_NOTES.md: after this head runs, every registered
-    # query's driver verdict is <= 2 rounds old). Head = 15 new + 4
-    # modified this round + 25 of the 26 r3-era stale + the 6 that
+    # query's driver verdict is <= 2 rounds old). Head = 16 new + 4
+    # modified this round + 24 of the 26 r3-era stale + the 6 that
     # slipped past r5's 50-row budget — exactly 50. (shard_manifest, also
     # r6-modified, sits first past the boundary: the new shard_verify
     # in-head pins the same writer contract more strictly.)
@@ -42,7 +42,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_token_budget", "doc_dsir_weights", "doc_substring_dedup",
     "ann_recall_audit", "doc_winnowing", "doc_minhash_est_error",
     "doc_gopher_quality", "bpe_encode_curve", "ivf_recall_audit",
-    "emb_anisotropy_audit", "doc_ccnet_buckets",
+    "emb_anisotropy_audit", "doc_ccnet_buckets", "bpe_train_steps",
     # Modified in r6 (grouped-positions pack fold, pinned Pareto tail,
     # rank-space sketch check, byte-true shard manifest):
     "doc_pack_fold", "pareto_abc", "cxc_concentracion", "sketch_profile",
@@ -53,7 +53,7 @@ _PRIORITY: tuple[str, ...] = (
     "cxc_limite_credito", "cxc_morosidad_cliente", "cxc_saldo_cliente",
     "cxc_movimientos_abiertos", "doc_exact_dedup", "doc_token_stats",
     "doc_bpe_tokens", "doc_quality", "doc_lang_id", "doc_fingerprint",
-    "doc_simhash", "doc_sample", "knn_brute", "embedding_norms",
+    "doc_simhash", "knn_brute", "embedding_norms",
     "fuzzy_name_blocks",
     # Slipped past r5's 50-row budget (r3-era verdicts):
     "band_groups", "scalar_suite", "cancelled_filter", "union_views",
@@ -61,10 +61,9 @@ _PRIORITY: tuple[str, ...] = (
     # --- 50-row budget boundary ---
     # (r4-era re-verdicts lead the r7 rotation; shard_manifest and
     # events_rolling were r6-modified and head that list;
-    # fuzzy_block_stats is the one r3-era verdict displaced by the
-    # late-batch ops — its family neighbor fuzzy_name_blocks stays
-    # in-head)
-    "fuzzy_block_stats", "shard_manifest", "events_rolling",
+    # fuzzy_block_stats and doc_sample are the two r3-era verdicts
+    # displaced by the late-batch ops)
+    "doc_sample", "fuzzy_block_stats", "shard_manifest", "events_rolling",
     "events_transitions", "pricing_summary", "parts_never_ordered", "rich_inactive_customers",
     "min_cost_supplier", "order_vs_customer_avg", "doc_curation",
     "doc_minhash_pairs", "doc_ngram_jaccard",

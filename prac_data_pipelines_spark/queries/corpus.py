@@ -1392,3 +1392,140 @@ FROM bucketed GROUP BY source, orden ORDER BY source, orden
 SQL_DOC_CCNET_BUCKETS = SQL_DOC_CCNET_BUCKETS.format(SQL_WORDS=SQL_WORDS)
 
 register("doc_ccnet_buckets", q_doc_ccnet_buckets, SQL_DOC_CCNET_BUCKETS)
+
+
+# --------------------------------------------------------------------------
+# bpe_train_steps — TRUE iterative BPE training (Sennrich et al. 2016):
+# unlike bpe_merge_pairs (the first iteration's candidate ranking) and
+# bpe_encode_curve (applying a one-shot ranked list), this runs the real
+# greedy loop — count adjacent token pairs over the weighted vocabulary,
+# merge the argmax everywhere, RE-COUNT on the merged state, repeat —
+# for BPE_STEPS steps, and emits the learned merge table
+# (paso, s1, s2, frecuencia). This is the algorithm a production
+# tokenizer trainer runs; the loop is driver-side plan construction
+# over the vocab frame (the kmeans-Lloyd idiom: per-step state is
+# vocab-sized and cached, the corpus is touched exactly once by the
+# initial wordcount).
+#
+# Determinism: the argmax is min(struct(-freq, s1, s2)) — frequency
+# desc, pair asc, the bpe_merge_pairs ranking — and each merge pass is
+# the same in-order fold bpe_encode_curve uses, so both engines walk
+# the identical merge trajectory. A corpus with fewer distinct pairs
+# than steps degrades gracefully: the scalar agg yields a NULL pair,
+# the fold's null comparisons leave the state unchanged, and the NULL
+# steps are filtered from the output.
+#
+# Scale: one wordcount shuffle, then BPE_STEPS iterations of
+# vocab-sized pair-count aggregates (map-side combined) + a 1-row
+# broadcast + an embarrassingly-parallel re-tokenize — corpus-size-free
+# after the first pass, exactly like training at 100 TB would be.
+# --------------------------------------------------------------------------
+
+BPE_STEPS = 8
+
+# fast path: a pair (s1, s2) can only be adjacent in words whose RAW
+# string contains s1||s2 (necessary condition — the fold still decides
+# exactly); everything else keeps its token list untouched
+_BPE_MERGE_1 = (
+    "if(_s1 IS NULL OR NOT contains(w, concat(_s1, _s2)), toks, "
+    "aggregate(toks, cast(array() as array<string>), "
+    "(acc, t) -> if(size(acc) > 0 AND element_at(acc, -1) = _s1 "
+    "AND t = _s2, "
+    "concat(slice(acc, 1, size(acc) - 1), array(concat(_s1, _s2))), "
+    "concat(acc, array(t)))))"
+)
+
+
+def bpe_train_frame(docs: DataFrame) -> DataFrame:
+    """(paso, s1, s2, frecuencia) — the learned merge sequence; shared
+    by the registered query and the Python-reference property test."""
+    vocab = (docs.selectExpr(f"explode({WORDS}) AS w")
+             .filter("w != ''")
+             .groupBy("w")
+             .agg(F.count(F.lit(1)).cast("long").alias("_freq")))
+    # localCheckpoint per step: without it CollapseProject inlines each
+    # re-tokenize fold into the next step's expressions — an expression
+    # tree exponential in BPE_STEPS (observed as a codegen heap OOM).
+    # The state is vocab-sized, so materializing it per step is the
+    # cheap side of the trade at every scale (incremental.py precedent).
+    state = vocab.selectExpr(
+        "w", "_freq",
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1)) AS toks"
+    ).localCheckpoint()
+    steps = []
+    for k in range(1, BPE_STEPS + 1):
+        pairs = (state.filter("size(toks) >= 2")
+                 .selectExpr(
+                     "_freq",
+                     "explode(transform(sequence(1, size(toks) - 1), "
+                     "i -> struct(element_at(toks, i) AS s1, "
+                     "element_at(toks, i + 1) AS s2))) AS p"))
+        counts = (pairs.groupBy("p.s1", "p.s2")
+                  .agg(F.sum("_freq").cast("long").alias("_f")))
+        m = (counts.agg(F.min(F.struct(
+            (-F.col("_f")).alias("nf"), "s1", "s2")).alias("_m"))
+            .selectExpr("_m.s1 AS _s1", "_m.s2 AS _s2",
+                        "cast(-_m.nf as bigint) AS _fm")
+            .cache())
+        steps.append(m.selectExpr(
+            f"cast({k} as bigint) AS paso", "_s1 AS s1", "_s2 AS s2",
+            "_fm AS frecuencia"))
+        state = (state.crossJoin(broadcast(m))
+                 .selectExpr("w", "_freq", f"{_BPE_MERGE_1} AS toks")
+                 .localCheckpoint())
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.filter("s1 IS NOT NULL").orderBy("paso")
+
+
+def q_bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_train_frame(_docs(spark, sf_dir))
+
+
+def _sql_bpe_step(k: int) -> str:
+    prev = f"t{k - 1}"
+    return f"""pc{k} AS MATERIALIZED (
+  SELECT p.s1 AS s1, p.s2 AS s2, sum(_freq)::BIGINT AS f
+  FROM (SELECT _freq,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> {{'s1': toks[i], 's2': toks[i + 1]}})) AS p
+        FROM {prev} WHERE len(toks) >= 2)
+  GROUP BY p.s1, p.s2
+), m{k} AS MATERIALIZED (
+  SELECT min({{'nf': -f, 's1': s1, 's2': s2}}) AS m FROM pc{k}
+), t{k} AS MATERIALIZED (
+  SELECT w, _freq,
+         CASE WHEN mm.m.s1 IS NULL OR NOT contains(w, mm.m.s1 || mm.m.s2)
+              THEN toks
+              ELSE list_reduce(list_prepend([]::VARCHAR[],
+                                  list_transform(toks, t -> [t])),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = mm.m.s1
+                            AND x[1] = mm.m.s2
+                       THEN list_append(list_slice(acc, 1, len(acc) - 1),
+                                        mm.m.s1 || mm.m.s2)
+                       ELSE list_append(acc, x[1]) END) END AS toks
+  FROM {prev} CROSS JOIN m{k} mm
+)"""
+
+
+SQL_BPE_TRAIN_STEPS = f"""
+WITH vocab AS (
+  SELECT w, count(*)::BIGINT AS _freq
+  FROM (SELECT unnest({SQL_WORDS}) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+), t0 AS MATERIALIZED (
+  SELECT w, _freq,
+         list_transform(range(1, strlen(w) + 1), i -> substr(w, i, 1))
+           AS toks
+  FROM vocab
+), {', '.join(_sql_bpe_step(k) for k in range(1, BPE_STEPS + 1))}
+SELECT paso, s1, s2, frecuencia FROM (
+  {' UNION ALL '.join(
+      f"SELECT {k}::BIGINT AS paso, m.m.s1 AS s1, m.m.s2 AS s2, "
+      f"(-m.m.nf)::BIGINT AS frecuencia FROM m{k} m"
+      for k in range(1, BPE_STEPS + 1))}
+) WHERE s1 IS NOT NULL ORDER BY paso
+"""
+
+register("bpe_train_steps", q_bpe_train_steps, SQL_BPE_TRAIN_STEPS)

@@ -685,3 +685,47 @@ def test_ccnet_bucket_formula_equals_ntile(spark, rows):
            .collect())
     for r in got:
         assert r["b"] == r["nt"], (r["g"], r["_rn"], r["_n"])
+
+
+@given(docs=_bpe_docs)
+@settings(**SETTINGS)
+def test_bpe_train_steps_equals_python_trainer(spark, docs):
+    """The distributed iterative BPE trainer (argmax + merge + RE-COUNT
+    per step) must walk the exact merge trajectory of a sequential
+    Python Sennrich-style trainer: same pair chosen each step (freq
+    desc, pair asc), same frequencies, graceful stop when the corpus
+    runs out of distinct pairs."""
+    from collections import Counter
+
+    from prac_data_pipelines_spark.queries.corpus import (
+        BPE_STEPS,
+        bpe_train_frame,
+    )
+
+    rows = [(i, " ".join(toks), "s") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = [(r["paso"], r["s1"], r["s2"], r["frecuencia"])
+           for r in bpe_train_frame(df).collect()]
+
+    vocab = Counter(w for _, t, _ in rows for w in t.split())
+    state = {w: list(w) for w in vocab}
+    want = []
+    for k in range(1, BPE_STEPS + 1):
+        pairs = Counter()
+        for w, f in vocab.items():
+            toks = state[w]
+            for a, b in zip(toks, toks[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        a, b = min(pairs, key=lambda p: (-pairs[p], p))
+        want.append((k, a, b, pairs[(a, b)]))
+        for w in state:
+            toks, out = state[w], []
+            for t in toks:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            state[w] = out
+    assert got == want
