@@ -133,6 +133,7 @@ HEADLINE = [
     "emb_anisotropy_audit",
     "doc_ccnet_buckets",
     "bpe_train_steps",
+    "events_heavy_hitters",
 ]
 
 

@@ -903,3 +903,93 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 register("events_ohlc", q_events_ohlc, SQL_EVENTS_OHLC)
+
+
+# --------------------------------------------------------------------------
+# events_heavy_hitters — Count-Min sketch audit (Cormode & Muthukrishnan
+# 2005) for heavy-hitter detection over the event stream: build a D×W
+# counter sketch of per-user event counts, then compare, for the exact
+# top-CM_TOP users, the sketch estimate against the true count. The
+# Count-Min guarantee is one-sided (estimate >= exact, overestimate
+# <= N/W w.h.p.) — the audit reports the realized overestimate per
+# heavy hitter, which is the number that decides whether the sketch's
+# W is sized right before it replaces the exact groupBy at scale.
+#
+# Everything is integer arithmetic over md5-derived row hashes —
+# bit-portable by construction, no tolerance anywhere.
+#
+# Scale: the sketch is ONE groupBy over (d, bucket) — D·W bounded rows
+# regardless of corpus size (the mergeability that makes CM the
+# streaming/distributed structure) — broadcast back as a single row;
+# the exact side is the one wordcount-class shuffle the audit exists to
+# eventually replace. Nothing is ever all-pairs.
+# --------------------------------------------------------------------------
+
+CM_D = 4      # sketch rows (independent hashes)
+CM_W = 256    # buckets per row
+CM_TOP = 10   # audited heavy hitters
+
+# per-row hash d of a user id: 28-bit md5 of "<d>:<user>" mod W
+def _cm_h(d: str, u: str) -> str:
+    return (f"cast(conv(substring(md5(concat({d}, ':', cast({u} as string))), "
+            f"1, 7), 16, 10) as bigint) % {CM_W}")
+
+
+def _sql_cm_h(d: str, u: str) -> str:
+    return (f"('0x' || substr(md5(concat({d}, ':', {u}::VARCHAR)), 1, 7))"
+            f"::BIGINT % {CM_W}")
+
+
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cells = ev.selectExpr(
+        f"explode(transform(sequence(0, {CM_D - 1}), "
+        f"d -> struct(d AS d, {_cm_h('d', 'user_id')} AS b))) AS c"
+    ).select("c.d", "c.b")
+    sketch = (cells.groupBy("d", "b")
+              .agg(F.count(F.lit(1)).cast("long").alias("n"))
+              .agg(F.expr(
+                  f"map_from_entries(collect_list("
+                  f"struct(d * {CM_W} + b, n)))").alias("_sk")))
+    exact = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("exacto"))
+             .orderBy(F.col("exacto").desc(), F.col("user_id").asc())
+             .limit(CM_TOP))
+    est = (f"array_min(transform(sequence(0, {CM_D - 1}), "
+           f"d -> coalesce(try_element_at(_sk, "
+           f"d * {CM_W} + {_cm_h('d', 'user_id')}), 0L)))")
+    return (exact.crossJoin(F.broadcast(sketch))
+            .selectExpr("user_id", "exacto", f"{est} AS estimado")
+            .selectExpr("user_id", "exacto", "estimado",
+                        "estimado - exacto AS sobreestima")
+            .orderBy(F.col("exacto").desc(), F.col("user_id").asc()))
+
+
+SQL_EVENTS_HEAVY_HITTERS = f"""
+WITH ev AS (
+  SELECT user_id FROM events
+), cells AS (
+  SELECT d, {_sql_cm_h('d', 'user_id')} AS b
+  FROM ev CROSS JOIN (SELECT unnest(range(0, {CM_D})) AS d)
+), sk AS (
+  SELECT map(list(d * {CM_W} + b ORDER BY d * {CM_W} + b),
+             list(n ORDER BY d * {CM_W} + b)) AS sk
+  FROM (SELECT d, b, count(*)::BIGINT AS n FROM cells GROUP BY d, b)
+), exact AS (
+  SELECT user_id, count(*)::BIGINT AS exacto
+  FROM ev GROUP BY user_id
+  ORDER BY exacto DESC, user_id ASC LIMIT {CM_TOP}
+), est AS (
+  SELECT user_id, exacto,
+         list_min(list_transform(range(0, {CM_D}),
+           d -> coalesce(map_extract(sk,
+                  d * {CM_W} + {_sql_cm_h('d', 'user_id')})[1], 0)))
+           AS estimado
+  FROM exact CROSS JOIN sk
+)
+SELECT user_id, exacto, estimado, estimado - exacto AS sobreestima
+FROM est ORDER BY exacto DESC, user_id ASC
+"""
+
+register("events_heavy_hitters", q_events_heavy_hitters,
+         SQL_EVENTS_HEAVY_HITTERS)

@@ -729,3 +729,54 @@ def test_bpe_train_steps_equals_python_trainer(spark, docs):
                     out.append(t)
             state[w] = out
     assert got == want
+
+
+_hh_users = st.lists(st.integers(0, 30), min_size=1, max_size=200)
+
+
+@given(users=_hh_users)
+@settings(**SETTINGS)
+def test_count_min_audit_equals_python_sketch(spark, users):
+    """The distributed Count-Min audit must match a sequential Python
+    sketch with the same md5-derived hashes exactly (all-integer), and
+    the one-sided guarantee estimado >= exacto must hold for every
+    audited heavy hitter."""
+    import hashlib
+    from collections import Counter
+
+    from prac_data_pipelines_spark.queries.events import (
+        CM_D,
+        CM_TOP,
+        CM_W,
+        q_events_heavy_hitters,
+    )
+
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cm_prop_")
+    df = spark.createDataFrame(
+        [(i, u, "t", float(0), "{}", None) for i, u in enumerate(users)],
+        "event_id long, user_id long, event_type string, value double, "
+        "props string, ts timestamp")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = [(r["user_id"], r["exacto"], r["estimado"], r["sobreestima"])
+           for r in q_events_heavy_hitters(spark, d).collect()]
+
+    def h(dd, u):
+        return int(hashlib.md5(f"{dd}:{u}".encode()).hexdigest()[:7],
+                   16) % CM_W
+
+    counts = Counter(users)
+    sketch = Counter()
+    for u in users:
+        for dd in range(CM_D):
+            sketch[(dd, h(dd, u))] += 1
+    top = sorted(counts, key=lambda u: (-counts[u], u))[:CM_TOP]
+    want = []
+    for u in top:
+        est = min(sketch[(dd, h(dd, u))] for dd in range(CM_D))
+        want.append((u, counts[u], est, est - counts[u]))
+    assert got == want
+    for _, exacto, estimado, sobre in got:
+        assert estimado >= exacto and sobre >= 0
