@@ -134,6 +134,7 @@ HEADLINE = [
     "doc_ccnet_buckets",
     "bpe_train_steps",
     "events_heavy_hitters",
+    "emb_pq_audit",
 ]
 
 

@@ -1246,3 +1246,141 @@ FROM met
 
 register("emb_anisotropy_audit", q_emb_anisotropy_audit,
          SQL_EMB_ANISOTROPY_AUDIT)
+
+
+# --------------------------------------------------------------------------
+# emb_pq_audit — product quantization (Jégou, Douze & Schmid, TPAMI
+# 2011), the codebook-compression complement of emb_quantize's int8
+# scalar path: split the 64-dim space into PQ_M subspaces, train a
+# PQ_K-codeword codebook per subspace with PQ_ITERS Lloyd iterations
+# (L2, ties -> lowest code), and report per-subspace distortion (mean /
+# max squared reconstruction error) and codebook utilization. 8 bytes
+# per vector instead of 256 — the audit's distortion numbers are what
+# decide whether that compression is affordable for the ANN candidate
+# stage.
+#
+# Determinism: subspace L2 distances are 8-term fixed-association
+# folds (identical IEEE on both engines); recentering is the r6-rounded
+# per-(sub, code, dim) mean — the kmeans idiom; assignment ties break
+# to the lowest code id via lexicographic struct extremes.
+#
+# Scale: the codebook is PQ_M·PQ_K rows → ONE broadcast row; both
+# assignment passes are embarrassingly-parallel folds (zero exchanges,
+# the _assign_to lesson); each recenter is a map-side-combined groupBy
+# of PQ_M·PQ_K·8 cells. Corpus scanned PQ_ITERS+1 times, never
+# self-joined.
+# --------------------------------------------------------------------------
+
+PQ_M = 8       # subspaces
+PQ_SD = 8      # dims per subspace (PQ_M * PQ_SD = 64)
+PQ_K = 4       # codewords per subspace
+PQ_ITERS = 2   # Lloyd iterations
+
+_PQ_L2 = ("aggregate(zip_with(sv, {cv}, (a, b) -> (a - b) * (a - b)), "
+          "cast(0.0 as double), (a, v) -> a + v)")
+
+# nearest codeword of this row's subspace from the packed codebook:
+# max of (-dist, -cid) structs = min dist, ties -> lowest cid
+_PQ_BEST = (
+    f"array_max(transform(filter(_cb, c -> c.sub = sub), "
+    f"c -> struct(-({_PQ_L2.format(cv='c.cv')}) AS nd, -c.cid AS ncid)))"
+)
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    return (emb.selectExpr(
+        "vec_id",
+        f"explode(transform(sequence(0, {PQ_M - 1}), "
+        f"m -> struct(m AS sub, "
+        f"slice(e, m * {PQ_SD} + 1, {PQ_SD}) AS sv))) AS s")
+        .select("vec_id", "s.sub", "s.sv"))
+
+
+def _pq_pack(codebook: DataFrame) -> DataFrame:
+    """All PQ_M x PQ_K codewords as ONE sorted broadcast row."""
+    return codebook.agg(F.expr(
+        "sort_array(collect_list(struct(sub, cid, cv))) AS _cb"))
+
+
+def _pq_assign(sv: DataFrame, codebook: DataFrame) -> DataFrame:
+    return (sv.crossJoin(broadcast(_pq_pack(codebook)))
+            .selectExpr("vec_id", "sub", "sv",
+                        f"cast(-({_PQ_BEST}.ncid) as bigint) AS cid",
+                        f"-({_PQ_BEST}.nd) AS d2"))
+
+
+def _pq_recenter(assigned: DataFrame) -> DataFrame:
+    cells = assigned.select("sub", "cid",
+                            F.posexplode("sv").alias("d", "v"))
+    means = (cells.groupBy("sub", "cid", "d")
+             .agg(F.expr("floor(avg(v) * 1000000 + 0.5) / 1000000")
+                  .alias("m")))
+    return (means.groupBy("sub", "cid")
+            .agg(F.expr("transform(array_sort(collect_list(struct(d, m))), "
+                        "s -> s.m)").alias("cv")))
+
+
+def q_emb_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).selectExpr(
+        "vec_id", "transform(embedding, v -> cast(v as double)) AS e")
+    sv = _pq_subvectors(emb)
+    codebook = (sv.filter(F.col("vec_id") < PQ_K)
+                .selectExpr("sub", "vec_id AS cid", "sv AS cv"))
+    for _ in range(PQ_ITERS):
+        codebook = _pq_recenter(_pq_assign(sv, codebook))
+    final = _pq_assign(sv, codebook)
+    return (final.groupBy("sub")
+            .agg(F.count(F.lit(1)).cast("long").alias("vectores"),
+                 F.countDistinct("cid").cast("long").alias("codigos"),
+                 r6(F.avg("d2")).alias("error_medio"),
+                 r6(F.max("d2")).alias("error_max"))
+            .orderBy("sub"))
+
+
+_SQL_PQ_L2 = ("list_reduce(list_prepend(0.0::DOUBLE, "
+              "list_transform(list_zip(sv, {cv}), "
+              "p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b)")
+
+
+def _sql_pq_assign(sv_cte: str, cb_cte: str) -> str:
+    l2 = _SQL_PQ_L2.format(cv="cb.cv")
+    best = f"max({{'nd': -({l2}), 'ncid': -cb.cid}})"
+    return f"""(
+  SELECT vec_id, sub, sv,
+         (-struct_extract({best}, 'ncid'))::BIGINT AS cid,
+         -struct_extract({best}, 'nd') AS d2
+  FROM {sv_cte} JOIN {cb_cte} cb USING (sub)
+  GROUP BY vec_id, sub, sv
+)"""
+
+
+_SQL_PQ_RECENTER = """(
+  SELECT sub, cid, list(m ORDER BY d) AS cv FROM (
+    SELECT sub, cid, d,
+           floor(avg(sv[d + 1]) * 1000000 + 0.5) / 1000000 AS m
+    FROM {src} CROSS JOIN (SELECT unnest(range(0, %d)) AS d)
+    GROUP BY sub, cid, d)
+  GROUP BY sub, cid
+)""" % PQ_SD
+
+SQL_EMB_PQ_AUDIT = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e
+  FROM embeddings
+), sv AS (
+  SELECT vec_id, m AS sub, list_slice(e, m * {PQ_SD} + 1, (m + 1) * {PQ_SD})
+           AS sv
+  FROM emb CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m)
+), cb0 AS (
+  SELECT sub, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < {PQ_K}
+), a1 AS {_sql_pq_assign('sv', 'cb0')}, cb1 AS {_SQL_PQ_RECENTER.format(src='a1')},
+a2 AS {_sql_pq_assign('sv', 'cb1')}, cb2 AS {_SQL_PQ_RECENTER.format(src='a2')},
+fin AS {_sql_pq_assign('sv', 'cb2')}
+SELECT sub::BIGINT AS sub, count(*)::BIGINT AS vectores,
+       count(DISTINCT cid)::BIGINT AS codigos,
+       floor(avg(d2) * 1000000 + 0.5) / 1000000 AS error_medio,
+       floor(max(d2) * 1000000 + 0.5) / 1000000 AS error_max
+FROM fin GROUP BY sub ORDER BY sub
+"""
+
+register("emb_pq_audit", q_emb_pq_audit, SQL_EMB_PQ_AUDIT)

@@ -780,3 +780,77 @@ def test_count_min_audit_equals_python_sketch(spark, users):
     assert got == want
     for _, exacto, estimado, sobre in got:
         assert estimado >= exacto and sobre >= 0
+
+
+_pq_rows = st.lists(
+    st.lists(st.integers(-4, 4), min_size=64, max_size=64),
+    min_size=5, max_size=12)
+
+
+@given(rows=_pq_rows)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_pq_audit_matches_python_lloyd(spark, rows):
+    """The distributed PQ trainer must match a sequential Python run of
+    the same algorithm (init = first PQ_K vectors' slices, L2 argmin
+    ties->lowest code, r6-rounded recentering, PQ_ITERS iterations):
+    identical counts and utilization, distortion within a rounding
+    quantum."""
+    import math
+    import os
+    import tempfile
+
+    from prac_data_pipelines_spark.queries.vector import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        PQ_SD,
+        q_emb_pq_audit,
+    )
+
+    d = tempfile.mkdtemp(prefix="pq_prop_")
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in r], 0) for i, r in enumerate(rows)],
+        "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    got = {r["sub"]: (r["vectores"], r["codigos"], r["error_medio"],
+                      r["error_max"])
+           for r in q_emb_pq_audit(spark, d).collect()}
+
+    def r6(x):
+        return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+    for sub in range(PQ_M):
+        svs = [r[sub * PQ_SD:(sub + 1) * PQ_SD] for r in rows]
+        cb = {cid: [float(v) for v in svs[cid]] for cid in range(PQ_K)}
+
+        def assign(cbk):
+            out = []
+            for v in svs:
+                best = min(
+                    (sum((a - b) * (a - b) for a, b in zip(v, cbk[c])), c)
+                    for c in sorted(cbk))
+                out.append(best)
+            return out
+
+        for _ in range(PQ_ITERS):
+            a = assign(cb)
+            newcb = {}
+            for c in sorted(cb):
+                members = [v for v, (_, cc) in zip(svs, a) if cc == c]
+                # mirror ENGINE semantics: an empty cluster disappears
+                # from the recentered codebook (groupBy sees no rows)
+                if members:
+                    newcb[c] = [r6(sum(col) / len(members))
+                                for col in zip(*members)]
+            cb = newcb
+        fin = assign(cb)
+        want_codes = len({c for _, c in fin})
+        want_mean = r6(sum(dd for dd, _ in fin) / len(fin))
+        want_max = r6(max(dd for dd, _ in fin))
+        g = got[sub]
+        assert g[0] == len(rows)
+        assert g[1] == want_codes, (sub, g, want_codes)
+        assert abs(g[2] - want_mean) <= 5e-6
+        assert abs(g[3] - want_max) <= 5e-6

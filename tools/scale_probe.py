@@ -89,7 +89,8 @@ def probe_llm(spark, sf_dir: str, k: int) -> None:
                  "doc_minhash_est_error", "doc_gopher_quality",
                  "bpe_encode_curve", "ivf_recall_audit",
                  "emb_anisotropy_audit", "doc_ccnet_buckets",
-                 "bpe_train_steps"):
+                 "bpe_train_steps", "events_heavy_hitters",
+                 "emb_pq_audit"):
         t0 = time.time()
         queries[name](spark, scratch).write.format("noop").mode("overwrite").save()
         print(f"{name} at {k}x: {time.time()-t0:.2f}s")
