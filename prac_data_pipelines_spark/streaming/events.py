@@ -279,3 +279,26 @@ def stream_hopping_rollup(events: DataFrame) -> DataFrame:
         .select(F.col("window.start").alias("inicio"),
                 "event_type", "n_eventos", "valor_total")
     )
+
+
+def stream_cm_sketch(events: DataFrame) -> DataFrame:
+    """Per-day Count-Min sketch cells, incrementally — the streaming
+    form of ``queries.events.q_events_heavy_hitters``'s sketch. CM
+    counters are plain mergeable SUMs, which is exactly why the sketch
+    is the canonical streaming frequency structure: cells accumulate
+    across micro-batches like map-side partials, state is bounded at
+    D x W rows per open day regardless of event volume, and a day's
+    cells close with the watermark ready to serve heavy-hitter
+    estimates (min over the D row cells of a key's buckets)."""
+    from ..queries.events import CM_D, _cm_h
+
+    cells = events.selectExpr(
+        "ts",
+        f"explode(transform(sequence(0, {CM_D - 1}), "
+        f"d -> struct(d AS d, {_cm_h('d', 'user_id')} AS b))) AS c")
+    return (cells.withWatermark("ts", WATERMARK)
+            .groupBy(F.window("ts", "1 day").alias("w"),
+                     F.col("c.d").alias("d"), F.col("c.b").alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(F.floor(F.col("w.start").cast("long") / 86400)
+                    .cast("long").alias("dia"), "d", "b", "n"))

@@ -295,3 +295,40 @@ def test_stream_dau_matches_batch(spark, stream_dir, sf_dir):
     # have emitted; nothing may emit that disagrees with batch
     closed = {(d, n) for d, n in batch if (d + 1) * 86400 < max_sec - 7200}
     assert closed and closed <= got <= batch
+
+
+def test_stream_cm_sketch_matches_batch(spark, stream_dir, sf_dir):
+    """The incremental per-day Count-Min cells must equal the batch
+    sketch for every watermark-closed day — counter state merges across
+    micro-batches exactly like map-side partials."""
+    import pyspark.sql.functions as F
+
+    from prac_data_pipelines_spark.operators.timeops import epoch_sec
+    from prac_data_pipelines_spark.queries.events import CM_D, _cm_h
+    from prac_data_pipelines_spark.sources import load_table
+    from prac_data_pipelines_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+        stream_cm_sketch,
+    )
+
+    run_to_memory(stream_cm_sketch(read_event_stream(spark, stream_dir)),
+                  "cm_test", output_mode="append")
+    got = {(r["dia"], r["d"], r["b"], r["n"])
+           for r in spark.table("cm_test").collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = {(r["dia"], r["d"], r["b"], r["n"]) for r in (
+        ev.selectExpr(
+            "ts",
+            f"explode(transform(sequence(0, {CM_D - 1}), "
+            f"d -> struct(d AS d, {_cm_h('d', 'user_id')} AS b))) AS c")
+        .select(F.floor(epoch_sec("ts") / 86400).cast("long").alias("dia"),
+                F.col("c.d").alias("d"), F.col("c.b").alias("b"))
+        .groupBy("dia", "d", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect())}
+    max_sec = ev.agg(F.max(epoch_sec("ts"))).collect()[0][0]
+    closed = {(dia, d, b, n) for dia, d, b, n in batch
+              if (dia + 1) * 86400 < max_sec - 7200}
+    assert closed and closed <= got <= batch
