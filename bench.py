@@ -135,6 +135,7 @@ HEADLINE = [
     "bpe_train_steps",
     "events_heavy_hitters",
     "emb_pq_audit",
+    "emb_drift_audit",
 ]
 
 

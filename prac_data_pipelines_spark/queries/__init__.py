@@ -31,8 +31,8 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 _PRIORITY: tuple[str, ...] = (
     # Round-6 rotation (completes the freshness plan from
     # docs/ROUND5_NOTES.md: after this head runs, every registered
-    # query's driver verdict is <= 2 rounds old). Head = 18 new + 4
-    # modified this round + 22 of the 26 r3-era stale + the 6 that
+    # query's driver verdict is <= 2 rounds old). Head = 19 new + 4
+    # modified this round + 21 of the 26 r3-era stale + the 6 that
     # slipped past r5's 50-row budget — exactly 50. (shard_manifest, also
     # r6-modified, sits first past the boundary: the new shard_verify
     # in-head pins the same writer contract more strictly.)
@@ -43,7 +43,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_recall_audit", "doc_winnowing", "doc_minhash_est_error",
     "doc_gopher_quality", "bpe_encode_curve", "ivf_recall_audit",
     "emb_anisotropy_audit", "doc_ccnet_buckets", "bpe_train_steps",
-    "events_heavy_hitters", "emb_pq_audit",
+    "events_heavy_hitters", "emb_pq_audit", "emb_drift_audit",
     # Modified in r6 (grouped-positions pack fold, pinned Pareto tail,
     # rank-space sketch check, byte-true shard manifest):
     "doc_pack_fold", "pareto_abc", "cxc_concentracion", "sketch_profile",
@@ -54,7 +54,7 @@ _PRIORITY: tuple[str, ...] = (
     "cxc_limite_credito", "cxc_morosidad_cliente", "cxc_saldo_cliente",
     "cxc_movimientos_abiertos", "doc_exact_dedup", "doc_token_stats",
     "doc_bpe_tokens", "doc_quality", "doc_lang_id",
-    "doc_simhash", "knn_brute",
+    "knn_brute",
     "fuzzy_name_blocks",
     # Slipped past r5's 50-row budget (r3-era verdicts):
     "band_groups", "scalar_suite", "cancelled_filter", "union_views",
@@ -62,10 +62,10 @@ _PRIORITY: tuple[str, ...] = (
     # --- 50-row budget boundary ---
     # (r4-era re-verdicts lead the r7 rotation; shard_manifest and
     # events_rolling were r6-modified and head that list;
-    # embedding_norms, doc_fingerprint, fuzzy_block_stats and
-    # doc_sample are the r3-era verdicts displaced by the late-batch
-    # ops)
-    "embedding_norms", "doc_fingerprint", "doc_sample",
+    # doc_simhash, embedding_norms, doc_fingerprint, fuzzy_block_stats
+    # and doc_sample are the r3-era verdicts displaced by the
+    # late-batch ops)
+    "doc_simhash", "embedding_norms", "doc_fingerprint", "doc_sample",
     "fuzzy_block_stats", "shard_manifest", "events_rolling",
     "events_transitions", "pricing_summary", "parts_never_ordered", "rich_inactive_customers",
     "min_cost_supplier", "order_vs_customer_avg", "doc_curation",

@@ -1384,3 +1384,113 @@ FROM fin GROUP BY sub ORDER BY sub
 """
 
 register("emb_pq_audit", q_emb_pq_audit, SQL_EMB_PQ_AUDIT)
+
+
+# --------------------------------------------------------------------------
+# emb_drift_audit — embedding distribution drift between two corpus
+# snapshots, the monitoring check an embedding pipeline runs before
+# mixing newly-embedded data with an existing index (encoder upgrades
+# and silent preprocessing changes move the mean vector). The two
+# "snapshots" here are the deterministic vec_id parity halves — the
+# harness has one embeddings table; the operator's contract is
+# snapshot-agnostic. Reported: cosine between the two mean vectors,
+# the largest per-dimension mean shift and its dimension, and each
+# half's mean norm.
+#
+# Determinism: per-dim means are r6-rounded before any comparison (the
+# emb_label_centroids idiom); the cosine/shift math is then a pure
+# function of identical inputs. Norms use sqrt (correctly-rounded IEEE,
+# portable); the per-row norm mean is r4-rounded at the output like
+# every mean-of-bounded-values in the repo.
+#
+# Scale: one posexplode shuffle keyed by (half, dim) — map-side
+# combined — plus one scan for norms; the comparison runs on two
+# 64-value broadcast rows. Nothing else grows with the corpus.
+# --------------------------------------------------------------------------
+
+def q_emb_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).selectExpr(
+        "vec_id % 2 AS _h",
+        "transform(embedding, v -> cast(v as double)) AS e")
+    means = (emb.select("_h", F.posexplode("e").alias("d", "v"))
+             .groupBy("_h", "d")
+             .agg(F.expr("floor(avg(v) * 1000000 + 0.5) / 1000000")
+                  .alias("m"))
+             .groupBy("_h")
+             .agg(F.expr("transform(array_sort(collect_list(struct(d, m))), "
+                         "s -> s.m)").alias("mu")))
+    stats = (emb.selectExpr(
+        "_h",
+        "sqrt(aggregate(e, cast(0.0 as double), (a, v) -> a + v * v))"
+        " AS _n")
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             r4(F.avg("_n")).alias("norma_media")))
+    a = means.filter("_h = 0").selectExpr("mu AS m0")
+    b = means.filter("_h = 1").selectExpr("mu AS m1")
+    sa = stats.filter("_h = 0").selectExpr("n AS n0",
+                                           "norma_media AS norma0")
+    sb = stats.filter("_h = 1").selectExpr("n AS n1",
+                                           "norma_media AS norma1")
+    shift = ("array_max(transform(zip_with(m0, m1, (x, y) -> abs(x - y)), "
+             "s -> s))")
+    worst = (f"array_max(transform(sequence(0, size(m0) - 1), "
+             f"i -> struct(abs(element_at(m0, i + 1) "
+             f"- element_at(m1, i + 1)) AS s, -i AS nd)))")
+    return (a.crossJoin(b).crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+            .selectExpr(
+                "n0", "n1", "norma0", "norma1",
+                f"{cosine_expr('m0', 'm1')} AS _cos",
+                f"{shift} AS _shift",
+                f"cast(-({worst}.nd) as bigint) AS dim_peor")
+            .selectExpr(
+                "n0", "n1", "norma0", "norma1",
+                "floor(_cos * 1000000 + 0.5) / 1000000 AS cos_medias",
+                "floor(_shift * 1000000 + 0.5) / 1000000 AS desvio_max",
+                "dim_peor"))
+
+
+SQL_EMB_DRIFT_AUDIT = f"""
+WITH emb AS (
+  SELECT vec_id % 2 AS h, list_transform(embedding, v -> v::DOUBLE) AS e
+  FROM embeddings
+), means AS (
+  SELECT h, list(m ORDER BY d) AS mu FROM (
+    SELECT h, d, floor(avg(e[d + 1]) * 1000000 + 0.5) / 1000000 AS m
+    FROM emb CROSS JOIN (SELECT unnest(range(0, {EMB_D})) AS d)
+    GROUP BY h, d)
+  GROUP BY h
+), stats AS (
+  SELECT h, count(*)::BIGINT AS n,
+         floor(avg(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(e, v -> v * v)), (a, b) -> a + b)))
+               * 10000 + 0.5) / 10000 AS norma_media
+  FROM emb GROUP BY h
+), paired AS (
+  SELECT a.mu AS m0, b.mu AS m1,
+         sa.n AS n0, sb.n AS n1,
+         sa.norma_media AS norma0, sb.norma_media AS norma1
+  FROM (SELECT mu FROM means WHERE h = 0) a
+  CROSS JOIN (SELECT mu FROM means WHERE h = 1) b
+  CROSS JOIN (SELECT n, norma_media FROM stats WHERE h = 0) sa
+  CROSS JOIN (SELECT n, norma_media FROM stats WHERE h = 1) sb
+), met AS (
+  SELECT n0, n1, norma0, norma1,
+         {sql_cosine_expr('m0', 'm1')} AS _cos,
+         list_max(list_transform(list_zip(m0, m1),
+                                 p -> abs(p[1] - p[2]))) AS _shift,
+         (-struct_extract(max_struct, 'nd'))::BIGINT AS dim_peor
+  FROM (SELECT *,
+          list_max(list_transform(range(0, len(m0)),
+            i -> {{'s': abs(m0[i + 1] - m1[i + 1]), 'nd': -i}}))
+            AS max_struct
+        FROM paired)
+)
+SELECT n0, n1, norma0, norma1,
+       floor(_cos * 1000000 + 0.5) / 1000000 AS cos_medias,
+       floor(_shift * 1000000 + 0.5) / 1000000 AS desvio_max,
+       dim_peor
+FROM met
+"""
+
+register("emb_drift_audit", q_emb_drift_audit, SQL_EMB_DRIFT_AUDIT)

@@ -157,3 +157,18 @@ def test_ivf_recall_audit_invariants(spark, sf_dir):
         assert abs(r["recall"] - round(r["aciertos"] / IVF_TOP_K, 4)) < 1e-9
         if r["candidatos"] == corpus_n:
             assert r["aciertos"] == IVF_TOP_K
+
+
+def test_emb_drift_audit_invariants(spark, sf_dir):
+    """Split accounting must be exact and the drift metrics bounded:
+    cos in [-1, 1], max per-dim shift >= 0 with a valid dimension."""
+    from prac_data_pipelines_spark.queries.vector import q_emb_drift_audit
+    from prac_data_pipelines_spark.sources import load_table
+
+    total = load_table(spark, sf_dir, "embeddings").count()
+    r = q_emb_drift_audit(spark, sf_dir).collect()[0]
+    assert r["n0"] + r["n1"] == total and r["n0"] > 0 and r["n1"] > 0
+    assert -1.0 - 1e-9 <= r["cos_medias"] <= 1.0 + 1e-9
+    assert r["desvio_max"] >= 0
+    assert 0 <= r["dim_peor"] < 64
+    assert r["norma0"] > 0 and r["norma1"] > 0
