@@ -136,6 +136,10 @@ HEADLINE = [
     "events_heavy_hitters",
     "emb_pq_audit",
     "emb_drift_audit",
+    # Round-6 (this session): the broadcast-Bloom decontamination audit
+    # and the per-language tokenizer fertility gate.
+    "doc_bloom_decontaminate",
+    "bpe_fertility",
 ]
 
 

@@ -31,8 +31,8 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 _PRIORITY: tuple[str, ...] = (
     # Round-6 rotation (completes the freshness plan from
     # docs/ROUND5_NOTES.md: after this head runs, every registered
-    # query's driver verdict is <= 2 rounds old). Head = 19 new + 4
-    # modified this round + 21 of the 26 r3-era stale + the 6 that
+    # query's driver verdict is <= 2 rounds old). Head = 21 new + 4
+    # modified this round + 21 of the 26 r3-era stale + 4 of the 6 that
     # slipped past r5's 50-row budget — exactly 50. (shard_manifest, also
     # r6-modified, sits first past the boundary: the new shard_verify
     # in-head pins the same writer contract more strictly.)
@@ -44,6 +44,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_gopher_quality", "bpe_encode_curve", "ivf_recall_audit",
     "emb_anisotropy_audit", "doc_ccnet_buckets", "bpe_train_steps",
     "events_heavy_hitters", "emb_pq_audit", "emb_drift_audit",
+    "doc_bloom_decontaminate", "bpe_fertility",
     # Modified in r6 (grouped-positions pack fold, pinned Pareto tail,
     # rank-space sketch check, byte-true shard manifest):
     "doc_pack_fold", "pareto_abc", "cxc_concentracion", "sketch_profile",
@@ -58,8 +59,11 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_name_blocks",
     # Slipped past r5's 50-row budget (r3-era verdicts):
     "band_groups", "scalar_suite", "cancelled_filter", "union_views",
-    "column_profile", "distinct_counts",
     # --- 50-row budget boundary ---
+    # (column_profile and distinct_counts displaced past the boundary by
+    # the two session additions doc_bloom_decontaminate / bpe_fertility;
+    # they lead the r7 rotation)
+    "column_profile", "distinct_counts",
     # (r4-era re-verdicts lead the r7 rotation; shard_manifest and
     # events_rolling were r6-modified and head that list;
     # doc_simhash, embedding_norms, doc_fingerprint, fuzzy_block_stats

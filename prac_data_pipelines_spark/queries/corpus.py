@@ -1529,3 +1529,305 @@ SELECT paso, s1, s2, frecuencia FROM (
 """
 
 register("bpe_train_steps", q_bpe_train_steps, SQL_BPE_TRAIN_STEPS)
+
+
+# --------------------------------------------------------------------------
+# doc_bloom_decontaminate — Bloom-filter decontamination audit: the
+# broadcast-sketch variant of doc_decontaminate. The exact semi-join
+# above ships the full benchmark GRAM SET to every executor; at 100 TB
+# that set can reach tens of GB (every 13-gram of every eval doc), while
+# a Bloom filter over the same grams is a fixed M bits regardless of
+# benchmark size — the standard trick for contamination checks against
+# large held-out suites. This query builds the filter (K positions per
+# gram from the shared 28-bit md5 base hash, affine-hashed mod M),
+# probes every corpus gram, and reports bloom-vs-exact agreement per
+# source: the measured false-positive cost of replacing the exact set
+# with M bits. Bloom positives are a superset of exact matches by
+# construction, so `grams_fp = grams_bloom - grams_exactos` holds and
+# the realized FP rate is directly the over-removal a Bloom-gated
+# pipeline would pay.
+#
+# Plan: bench bits ≤ M rows → broadcast; the corpus side is map-only
+# (explode grams → K positions, broadcast-join on position) with ONE
+# (source, gram)-keyed distinct; the corpus never shuffles on text. At
+# 100 TB the positions frame becomes a real bitmap in a broadcast
+# variable; the broadcast hash join here is the plan-shape equivalent
+# (probe side stays shuffle-free).
+# --------------------------------------------------------------------------
+
+BLOOM_M = 4096     # filter bits
+BLOOM_K = 3        # hash functions per gram
+_BLOOM_P = 1000000007
+# pairwise-independent affine multipliers/offsets (arbitrary fixed odd
+# constants, same role as the MinHash permutation table in text.py)
+_BLOOM_AB = ((387421, 98473), (519787, 334211), (812359, 772453))
+
+_GRAM_H = "cast(conv(substring(md5(grama), 1, 7), 16, 10) as bigint)"
+_SQL_GRAM_H = "('0x' || substr(md5(grama), 1, 7))::BIGINT"
+
+
+def _bloom_pos_expr(j: int, base: str) -> str:
+    a, b = _BLOOM_AB[j]
+    return f"cast(({base} * {a}L + {b}L) % {_BLOOM_P} % {BLOOM_M} as int)"
+
+
+def _sql_bloom_pos(j: int, base: str) -> str:
+    a, b = _BLOOM_AB[j]
+    return f"(({base} * {a} + {b}) % {_BLOOM_P} % {BLOOM_M})::INT"
+
+
+def bloom_decontaminate_frame(docs: DataFrame) -> DataFrame:
+    """The full build-probe-audit pipeline over a documents frame; shared
+    by the registered query and the Python-reference property test."""
+    grams = (
+        docs.selectExpr("doc_id", "source", "text", f"{WORDS} AS _ws")
+        .selectExpr("doc_id", "source", f"explode({_KGRAMS}) AS grama"))
+    bench = (grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+             .select("grama").distinct())
+    # the filter: the distinct set-bit positions (≤ BLOOM_M ints). Each
+    # of the K membership tests below is a broadcast HASH join against
+    # this frame — the relational O(1)-per-probe equivalent of testing a
+    # bit in a broadcast bitmap (an array_contains over the position
+    # array would be a 4096-element linear scan per gram, measured 2.5×
+    # slower end-to-end at sf0.1).
+    bits = (bench.selectExpr(f"{_GRAM_H} AS _bh")
+            .selectExpr(
+                "explode(array(" +
+                ", ".join(_bloom_pos_expr(j, "_bh")
+                          for j in range(BLOOM_K)) + ")) AS _pos")
+            .distinct())
+    # map-only probe: K int-keyed broadcast joins + the exact twin via
+    # the broadcast bench set — the corpus side never shuffles text
+    gramv = (grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+             .join(broadcast(bench.withColumn("_x", F.lit(1))),
+                   "grama", "left")
+             .withColumn("_bh", F.expr(_GRAM_H)))
+    for j in range(BLOOM_K):
+        gramv = (gramv
+                 .withColumn(f"_p{j}", F.expr(_bloom_pos_expr(j, "_bh")))
+                 .join(broadcast(bits.withColumnRenamed("_pos", f"_p{j}")
+                                 .withColumn(f"_m{j}", F.lit(1))),
+                       f"_p{j}", "left"))
+    all_hit = " AND ".join(f"_m{j} = 1" for j in range(BLOOM_K))
+    gramv = gramv.selectExpr(
+        "doc_id", "source", "grama",
+        f"CASE WHEN {all_hit} THEN 1 ELSE 0 END AS _bl",
+        "coalesce(_x, 0) AS _ex")
+    doc_stats = (gramv.groupBy("doc_id", "source")
+                 .agg(F.max("_bl").alias("_dbl"), F.max("_ex").alias("_dex"))
+                 .groupBy("source")
+                 .agg(F.count(F.lit(1)).cast("long").alias("docs_total"),
+                      F.sum("_dbl").cast("long").alias("docs_bloom"),
+                      F.sum("_dex").cast("long").alias("docs_exactos")))
+    gram_stats = (gramv.select("source", "grama", "_bl", "_ex").distinct()
+                  .groupBy("source")
+                  .agg(F.count(F.lit(1)).cast("long").alias("grams_probados"),
+                       F.sum("_bl").cast("long").alias("grams_bloom"),
+                       F.sum("_ex").cast("long").alias("grams_exactos")))
+    return (
+        doc_stats.join(gram_stats, "source")
+        .select(
+            "source", "docs_total", "docs_bloom", "docs_exactos",
+            (F.col("docs_bloom") - F.col("docs_exactos")).cast("long")
+            .alias("docs_fp"),
+            "grams_probados", "grams_bloom", "grams_exactos",
+            (F.col("grams_bloom") - F.col("grams_exactos")).cast("long")
+            .alias("grams_fp"),
+            F.when(F.col("grams_probados") > F.col("grams_exactos"),
+                   r6((F.col("grams_bloom") - F.col("grams_exactos"))
+                      .cast("double")
+                      / (F.col("grams_probados") - F.col("grams_exactos"))))
+            .alias("tasa_fp"))
+        .orderBy("source")
+    )
+
+
+def q_doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bloom_decontaminate_frame(_docs(spark, sf_dir))
+
+
+_SQL_BLOOM_POSES = ", ".join(_sql_bloom_pos(j, "_bh") for j in range(BLOOM_K))
+_SQL_GRAM_HG = _SQL_GRAM_H.replace("(grama", "(g.grama")
+_SQL_BLOOM_JOINS = "\n".join(
+    f"  LEFT JOIN bits b{j} ON {_sql_bloom_pos(j, _SQL_GRAM_HG)} = b{j}._pos"
+    for j in range(BLOOM_K))
+_SQL_ALL_HIT = " AND ".join(
+    f"b{j}._pos IS NOT NULL" for j in range(BLOOM_K))
+
+SQL_DOC_BLOOM_DECONTAMINATE = f"""
+WITH ws AS (
+  SELECT doc_id, source, text, str_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, unnest({_SQL_KGRAMS}) AS grama FROM ws
+), bench AS (
+  SELECT DISTINCT grama FROM grams WHERE doc_id % {BENCH_MOD} = 0
+), bits AS (
+  SELECT DISTINCT unnest([{_SQL_BLOOM_POSES}]) AS _pos
+  FROM (SELECT {_SQL_GRAM_H} AS _bh FROM bench)
+), gramv AS (
+  SELECT g.doc_id, g.source, g.grama,
+         CASE WHEN {_SQL_ALL_HIT} THEN 1 ELSE 0 END AS _bl,
+         CASE WHEN b.grama IS NULL THEN 0 ELSE 1 END AS _ex
+  FROM grams g
+  LEFT JOIN bench b ON g.grama = b.grama
+{_SQL_BLOOM_JOINS}
+  WHERE g.doc_id % {BENCH_MOD} <> 0
+), doc_stats AS (
+  SELECT source, count(*)::BIGINT AS docs_total,
+         sum(_dbl)::BIGINT AS docs_bloom,
+         sum(_dex)::BIGINT AS docs_exactos
+  FROM (SELECT doc_id, source, max(_bl) AS _dbl, max(_ex) AS _dex
+        FROM gramv GROUP BY doc_id, source)
+  GROUP BY source
+), gram_stats AS (
+  SELECT source, count(*)::BIGINT AS grams_probados,
+         sum(_bl)::BIGINT AS grams_bloom,
+         sum(_ex)::BIGINT AS grams_exactos
+  FROM (SELECT DISTINCT source, grama, _bl, _ex FROM gramv)
+  GROUP BY source
+)
+SELECT d.source, d.docs_total, d.docs_bloom, d.docs_exactos,
+       (d.docs_bloom - d.docs_exactos)::BIGINT AS docs_fp,
+       g.grams_probados, g.grams_bloom, g.grams_exactos,
+       (g.grams_bloom - g.grams_exactos)::BIGINT AS grams_fp,
+       CASE WHEN g.grams_probados > g.grams_exactos THEN
+         floor((g.grams_bloom - g.grams_exactos)::DOUBLE
+               / (g.grams_probados - g.grams_exactos) * 1000000 + 0.5)
+         / 1000000
+       ELSE NULL END AS tasa_fp
+FROM doc_stats d JOIN gram_stats g USING (source)
+ORDER BY d.source
+"""
+
+register("doc_bloom_decontaminate", q_doc_bloom_decontaminate,
+         SQL_DOC_BLOOM_DECONTAMINATE)
+
+
+# --------------------------------------------------------------------------
+# bpe_fertility — per-language tokenizer fertility audit: encode every
+# language's word vocabulary with the SAME globally-trained ranked merge
+# list (the bpe_encode_curve kernel at the full BPE_PAIRS prefix) and
+# report tokens/word and chars/token per language. This is the
+# multilingual gate a tokenizer-training pipeline runs before freezing a
+# vocab — a tokenizer trained on an en-dominated corpus over-segments
+# low-resource languages, and fertility (tokens per word) is the
+# standard measure of that tax (e.g. "zh fertility is 2.1× en").
+#
+# Scale: ONE wordcount shuffle keyed (lang, word); the global training
+# counts are a second aggregate over the |langs|·|vocab| distinct rows
+# (corpus-size-free), the merge list is one broadcast row, and the
+# encode fold is embarrassingly parallel over the per-lang vocab.
+# --------------------------------------------------------------------------
+
+# encode fold applying the FULL merge list (bpe_encode_curve's _BPE_ENC
+# with the curve slice replaced by the whole ranked list)
+_BPE_ENC_ALL = _BPE_ENC.replace("slice(_mgs, 1, fusiones)", "_mgs")
+
+
+def bpe_fertility_frame(docs: DataFrame) -> DataFrame:
+    """Train-globally-encode-per-language; shared by the registered query
+    and the Python-reference property test."""
+    lang_vocab = (
+        docs.selectExpr("lang", f"explode({WORDS}) AS w")
+        .filter("w != ''")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("_freq")))
+    # global training counts: re-aggregate the per-lang vocab (tiny)
+    vocab = (lang_vocab.groupBy("w")
+             .agg(F.sum("_freq").cast("long").alias("_freq")))
+    pares = (vocab.filter("length(w) >= 2")
+             .selectExpr(
+                 "_freq",
+                 "explode(transform(sequence(1, length(w) - 1), "
+                 "i -> struct(substring(w, i, 1) AS s1, "
+                 "substring(w, i + 1, 1) AS s2))) AS p")
+             .select("p.s1", "p.s2", "_freq"))
+    counts = (pares.groupBy("s1", "s2")
+              .agg(F.sum("_freq").cast("long").alias("frecuencia")))
+    top = (counts.orderBy(F.col("frecuencia").desc(),
+                          F.col("s1").asc(), F.col("s2").asc())
+           .limit(BPE_PAIRS))
+    mg_row = top.agg(F.expr(
+        "transform(array_sort(collect_list("
+        "struct(-frecuencia AS nf, s1, s2))), x -> array(x.s1, x.s2))")
+        .alias("_mgs"))
+    enc = (lang_vocab.crossJoin(broadcast(mg_row))
+           .selectExpr(
+               "lang", "w", "_freq", "_mgs",
+               "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+               " AS _chars")
+           .selectExpr("lang", "w", "_freq",
+                       f"{_BPE_ENC_ALL} AS _tk"))
+    return (
+        enc.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_palabras"),
+             F.sum("_freq").cast("long").alias("total_palabras"),
+             F.sum(F.expr("_freq * size(_tk)")).cast("long")
+             .alias("total_tokens"),
+             F.sum(F.expr("_freq * length(w)")).cast("long")
+             .alias("total_chars"))
+        .select("lang", "vocab_palabras", "total_palabras", "total_tokens",
+                "total_chars",
+                r4(F.col("total_tokens").cast("double")
+                   / F.col("total_palabras")).alias("tokens_por_palabra"),
+                r4(F.col("total_chars").cast("double")
+                   / F.col("total_tokens")).alias("chars_por_token"))
+        .orderBy("lang")
+    )
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_fertility_frame(_docs(spark, sf_dir))
+
+
+SQL_BPE_FERTILITY = f"""
+WITH lang_vocab AS (
+  SELECT lang, w, count(*)::BIGINT AS _freq
+  FROM (SELECT lang, unnest({SQL_WORDS}) AS w FROM documents)
+  WHERE w <> '' GROUP BY lang, w
+), vocab AS (
+  SELECT w, sum(_freq)::BIGINT AS _freq FROM lang_vocab GROUP BY w
+), pares AS (
+  SELECT _freq,
+         unnest(list_transform(range(1, strlen(w)),
+                i -> {{'s1': substr(w, i, 1), 's2': substr(w, i + 1, 1)}})) AS p
+  FROM vocab WHERE strlen(w) >= 2
+), counts AS (
+  SELECT p.s1 AS s1, p.s2 AS s2, sum(_freq)::BIGINT AS frecuencia
+  FROM pares GROUP BY p.s1, p.s2
+), top AS (
+  SELECT * FROM counts ORDER BY frecuencia DESC, s1 ASC, s2 ASC
+  LIMIT {BPE_PAIRS}
+), mg AS (
+  SELECT list([s1, s2] ORDER BY frecuencia DESC, s1 ASC, s2 ASC) AS mgs
+  FROM top
+), encv AS (
+  SELECT lang, w, _freq,
+         list_reduce(
+           list_prepend(list_transform(range(1, strlen(w) + 1),
+                                       i -> substr(w, i, 1)),
+                        mgs),
+           (ts, mg) -> list_reduce(
+             list_prepend([]::VARCHAR[], list_transform(ts, t -> [t])),
+             (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = mg[1]
+                              AND x[1] = mg[2]
+                         THEN list_append(list_slice(acc, 1, len(acc) - 1),
+                                          mg[1] || mg[2])
+                         ELSE list_append(acc, x[1]) END)) AS tk
+  FROM lang_vocab CROSS JOIN mg
+)
+SELECT lang,
+       count(*)::BIGINT AS vocab_palabras,
+       sum(_freq)::BIGINT AS total_palabras,
+       sum(_freq * len(tk))::BIGINT AS total_tokens,
+       sum(_freq * length(w))::BIGINT AS total_chars,
+       floor(sum(_freq * len(tk))::DOUBLE / sum(_freq) * 10000 + 0.5)
+         / 10000 AS tokens_por_palabra,
+       floor(sum(_freq * length(w))::DOUBLE / sum(_freq * len(tk))
+             * 10000 + 0.5) / 10000 AS chars_por_token
+FROM encv
+GROUP BY lang ORDER BY lang
+"""
+
+register("bpe_fertility", q_bpe_fertility, SQL_BPE_FERTILITY)

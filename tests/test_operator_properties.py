@@ -854,3 +854,154 @@ def test_pq_audit_matches_python_lloyd(spark, rows):
         assert g[1] == want_codes, (sub, g, want_codes)
         assert abs(g[2] - want_mean) <= 5e-6
         assert abs(g[3] - want_max) <= 5e-6
+
+
+# --- doc_bloom_decontaminate: distributed Bloom audit == pure-Python ----
+
+_bloom_docs = st.lists(
+    st.lists(st.sampled_from(list("abcdef")), min_size=1, max_size=8),
+    min_size=1, max_size=12)
+
+
+@given(docs=_bloom_docs)
+@settings(**SETTINGS)
+def test_bloom_decontaminate_equals_python_reference(spark, docs):
+    """The broadcast-bitmap Bloom probe (bits from the benchmark grams,
+    ALL-K membership per corpus gram, doc/gram rollups) must equal a
+    sequential Python Bloom over the same md5-derived hash family —
+    including the no-false-negative guarantee (exact ⇒ bloom)."""
+    import hashlib
+
+    from prac_data_pipelines_spark.queries.corpus import (
+        BENCH_MOD,
+        BLOOM_K,
+        BLOOM_M,
+        DECON_K,
+        _BLOOM_AB,
+        _BLOOM_P,
+        bloom_decontaminate_frame,
+    )
+
+    # doc_id 0 is always a bench doc (0 % BENCH_MOD == 0); give even ids
+    # a second source so per-source grouping is exercised
+    rows = [(i, " ".join(ws), "s" + str(i % 2)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r.asDict() for r in
+           bloom_decontaminate_frame(df).collect()}
+
+    def grams_of(text):
+        ws = text.strip(" ").split(" ")
+        if len(ws) >= DECON_K:
+            return [" ".join(ws[i:i + DECON_K])
+                    for i in range(len(ws) - DECON_K + 1)]
+        return [text.strip(" ")]
+
+    def positions(g):
+        base = int(hashlib.md5(g.encode()).hexdigest()[:7], 16)
+        return [(base * a + b) % _BLOOM_P % BLOOM_M for a, b in _BLOOM_AB]
+
+    bench = {g for i, t, _ in rows if i % BENCH_MOD == 0
+             for g in grams_of(t)}
+    bits = {p for g in bench for p in positions(g)}
+    corpus = [(i, t, s) for i, t, s in rows if i % BENCH_MOD != 0]
+    want: dict[str, dict[str, int]] = {}
+    gram_seen: dict[str, set] = {}
+    for i, t, s in corpus:
+        gs = grams_of(t)
+        bl = {g for g in gs if all(p in bits for p in positions(g))}
+        ex = {g for g in gs if g in bench}
+        assert ex <= bl  # Bloom has no false negatives
+        w = want.setdefault(s, {"docs_total": 0, "docs_bloom": 0,
+                                "docs_exactos": 0})
+        w["docs_total"] += 1
+        w["docs_bloom"] += int(bool(bl))
+        w["docs_exactos"] += int(bool(ex))
+        gram_seen.setdefault(s, set()).update(gs)
+    for s, w in want.items():
+        gs = gram_seen[s]
+        w["grams_probados"] = len(gs)
+        w["grams_bloom"] = sum(
+            1 for g in gs if all(p in bits for p in positions(g)))
+        w["grams_exactos"] = sum(1 for g in gs if g in bench)
+
+    assert set(got) == set(want)
+    for s, w in want.items():
+        for k, v in w.items():
+            assert got[s][k] == v, (s, k, got[s], w)
+        assert got[s]["docs_fp"] == w["docs_bloom"] - w["docs_exactos"]
+        assert got[s]["grams_fp"] == w["grams_bloom"] - w["grams_exactos"]
+
+
+# --- bpe_fertility: per-language fold == pure-Python BPE ----------------
+
+_fert_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "zh"]),
+        st.lists(st.sampled_from(["ab", "aba", "abab", "ba", "bb", "a",
+                                  "abc", "cab", "aabb"]),
+                 min_size=1, max_size=8)),
+    min_size=1, max_size=6)
+
+
+@given(docs=_fert_docs)
+@settings(**SETTINGS)
+def test_bpe_fertility_equals_python_reference(spark, docs):
+    """Globally-trained merges applied per-language must match a
+    sequential Python BPE: same global ranking, same fold semantics,
+    per-lang token/char totals and the r4-rounded fertility ratios."""
+    from collections import Counter
+
+    from prac_data_pipelines_spark.queries.corpus import (
+        BPE_PAIRS,
+        bpe_fertility_frame,
+    )
+
+    rows = [(i, " ".join(ws), "s", lang)
+            for i, (lang, ws) in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string")
+    got = {r["lang"]: r.asDict() for r in bpe_fertility_frame(df).collect()}
+
+    lang_vocab: Counter = Counter()
+    for _, t, _, lang in rows:
+        for w in t.split():
+            lang_vocab[(lang, w)] += 1
+    vocab: Counter = Counter()
+    for (_, w), f in lang_vocab.items():
+        vocab[w] += f
+    pairs: Counter = Counter()
+    for w, f in vocab.items():
+        for a, b in zip(w, w[1:]):
+            pairs[(a, b)] += f
+    merges = sorted(pairs, key=lambda p: (-pairs[p], p))[:BPE_PAIRS]
+
+    def encode(word):
+        toks = list(word)
+        for a, b in merges:
+            out: list[str] = []
+            for t in toks:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            toks = out
+        return toks
+
+    def rr(x):
+        import math
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    langs = {lang for (lang, _) in lang_vocab}
+    assert set(got) == langs
+    for lang in langs:
+        vs = [(w, f) for (lg, w), f in lang_vocab.items() if lg == lang]
+        total_w = sum(f for _, f in vs)
+        total_t = sum(f * len(encode(w)) for w, f in vs)
+        total_c = sum(f * len(w) for w, f in vs)
+        g = got[lang]
+        assert g["vocab_palabras"] == len(vs)
+        assert g["total_palabras"] == total_w
+        assert g["total_tokens"] == total_t
+        assert g["total_chars"] == total_c
+        assert g["tokens_por_palabra"] == rr(total_t / total_w)
+        assert g["chars_por_token"] == rr(total_c / total_t)

@@ -506,3 +506,33 @@ def test_doc_ccnet_buckets_no_per_source_window(spark, sf_dir):
     # bounded SinglePartition exchange — windows are what must scale)
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "_pid" in spec, spec
+
+
+def test_bloom_decontaminate_is_map_only_on_the_probe_side(spark, sf_dir):
+    """Every Bloom membership test is an int-keyed broadcast HASH join
+    against the set-bit frame (the O(1)-per-probe bitmap equivalent),
+    and the exact twin a broadcast semi-join — the probe side must not
+    shuffle text; the only gram shuffles are the (source, gram)
+    distinct and the doc_id rollup."""
+    from prac_data_pipelines_spark.queries.corpus import (
+        BLOOM_K,
+        q_doc_bloom_decontaminate,
+    )
+
+    plan = _plan(q_doc_bloom_decontaminate(spark, sf_dir))
+    # K position joins + the bench-gram join, each broadcast (twice:
+    # the gram frame feeds both the doc rollup and the gram distinct)
+    assert plan.count("BroadcastHashJoin") >= BLOOM_K + 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_fertility_broadcasts_merge_list(spark, sf_dir):
+    """Same contract as bpe_encode_curve: the globally-trained merge
+    list is ONE broadcast row; the per-language vocab never shuffles
+    for the encode fold."""
+    from prac_data_pipelines_spark.queries.corpus import q_bpe_fertility
+
+    plan = _plan(q_bpe_fertility(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -90,7 +90,8 @@ def probe_llm(spark, sf_dir: str, k: int) -> None:
                  "bpe_encode_curve", "ivf_recall_audit",
                  "emb_anisotropy_audit", "doc_ccnet_buckets",
                  "bpe_train_steps", "events_heavy_hitters",
-                 "emb_pq_audit"):
+                 "emb_pq_audit",
+                 "doc_bloom_decontaminate", "bpe_fertility"):
         t0 = time.time()
         queries[name](spark, scratch).write.format("noop").mode("overwrite").save()
         print(f"{name} at {k}x: {time.time()-t0:.2f}s")
