@@ -140,6 +140,7 @@ HEADLINE = [
     # and the per-language tokenizer fertility gate.
     "doc_bloom_decontaminate",
     "bpe_fertility",
+    "doc_length_buckets",
 ]
 
 

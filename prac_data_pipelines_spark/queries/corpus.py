@@ -1831,3 +1831,109 @@ GROUP BY lang ORDER BY lang
 """
 
 register("bpe_fertility", q_bpe_fertility, SQL_BPE_FERTILITY)
+
+
+# --------------------------------------------------------------------------
+# doc_length_buckets — padding-waste audit for length-bucketed batching:
+# a training loader that pads every sequence in a batch of B to the
+# batch max pays (B·max - sum) wasted tokens per batch; sorting by
+# length before batching (the standard "bucketing" trick) collapses
+# that waste. This query batches each source's docs both ways —
+# arrival order (doc_id) and length-sorted — and reports the padding
+# each policy pays plus the bucketing saving, the number a loader team
+# uses to decide whether length-bucketing is worth the shuffle.
+#
+# Scale: token counts are a per-row fold; both rankings ride
+# grouped_positions (range partition + local rank + broadcast offsets
+# — parallelism is NOT capped at |sources|), and the per-batch rollup
+# shuffles only (source, batch) keys. No text ever shuffles.
+# --------------------------------------------------------------------------
+
+BATCH_DOCS = 16
+
+
+def doc_length_buckets_frame(docs: DataFrame) -> DataFrame:
+    """Both batching policies over a documents frame; shared by the
+    registered query and the Python-reference property test."""
+    from ..operators.sorting import grouped_positions
+
+    t = docs.selectExpr("doc_id", "source",
+                        f"cast(size({WORDS}) as bigint) AS toks")
+
+    def waste(ranked, tag: str) -> DataFrame:
+        batch = F.floor((F.col("_rn") - 1) / BATCH_DOCS)
+        per_batch = (ranked.groupBy("source", batch.alias("_b"))
+                     .agg(F.count(F.lit(1)).alias("_bd"),
+                          F.max("toks").alias("_bmax"),
+                          F.sum("toks").alias("_btok")))
+        return (per_batch.groupBy("source")
+                .agg(F.sum(F.col("_bd") * F.col("_bmax") - F.col("_btok"))
+                     .cast("long").alias(tag)))
+
+    llegada = waste(
+        grouped_positions(t, ["source"], [F.asc("doc_id")], pos_col="_rn"),
+        "relleno_llegada")
+    ordenado = waste(
+        grouped_positions(t, ["source"],
+                          [F.asc("toks"), F.asc("doc_id")], pos_col="_rn"),
+        "relleno_ordenado")
+    base = (t.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("toks").cast("long").alias("tokens")))
+    return (
+        base.join(llegada, "source").join(ordenado, "source")
+        .select("source", "n_docs", "tokens",
+                "relleno_llegada", "relleno_ordenado",
+                F.when(F.col("relleno_llegada") > 0,
+                       r4((F.col("relleno_llegada")
+                           - F.col("relleno_ordenado")).cast("double")
+                          / F.col("relleno_llegada")))
+                .alias("ahorro"))
+        .orderBy("source")
+    )
+
+
+def q_doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_length_buckets_frame(_docs(spark, sf_dir))
+
+
+SQL_DOC_LENGTH_BUCKETS = f"""
+WITH t AS (
+  SELECT doc_id, source, len({SQL_WORDS})::BIGINT AS toks
+  FROM documents
+), llegada AS (
+  SELECT source, sum(_bd * _bmax - _btok)::BIGINT AS relleno_llegada
+  FROM (
+    SELECT source, count(*) AS _bd, max(toks) AS _bmax, sum(toks) AS _btok
+    FROM (SELECT source, toks,
+                 (row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                  - 1) // {BATCH_DOCS} AS _b
+          FROM t)
+    GROUP BY source, _b)
+  GROUP BY source
+), ordenado AS (
+  SELECT source, sum(_bd * _bmax - _btok)::BIGINT AS relleno_ordenado
+  FROM (
+    SELECT source, count(*) AS _bd, max(toks) AS _bmax, sum(toks) AS _btok
+    FROM (SELECT source, toks,
+                 (row_number() OVER (PARTITION BY source
+                                     ORDER BY toks, doc_id)
+                  - 1) // {BATCH_DOCS} AS _b
+          FROM t)
+    GROUP BY source, _b)
+  GROUP BY source
+), base AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS tokens
+  FROM t GROUP BY source
+)
+SELECT b.source, b.n_docs, b.tokens,
+       l.relleno_llegada, o.relleno_ordenado,
+       CASE WHEN l.relleno_llegada > 0 THEN
+         floor((l.relleno_llegada - o.relleno_ordenado)::DOUBLE
+               / l.relleno_llegada * 10000 + 0.5) / 10000
+       ELSE NULL END AS ahorro
+FROM base b JOIN llegada l USING (source) JOIN ordenado o USING (source)
+ORDER BY b.source
+"""
+
+register("doc_length_buckets", q_doc_length_buckets, SQL_DOC_LENGTH_BUCKETS)

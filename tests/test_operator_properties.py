@@ -1005,3 +1005,55 @@ def test_bpe_fertility_equals_python_reference(spark, docs):
         assert g["total_chars"] == total_c
         assert g["tokens_por_palabra"] == rr(total_t / total_w)
         assert g["chars_por_token"] == rr(total_c / total_t)
+
+
+# --- doc_length_buckets: two-level batch ranking == pure Python ---------
+
+_bucket_docs = st.lists(
+    st.tuples(st.sampled_from(["s0", "s1"]),
+              st.integers(min_value=0, max_value=40)),
+    min_size=1, max_size=60)
+
+
+@given(docs=_bucket_docs)
+@settings(**SETTINGS)
+def test_doc_length_buckets_equals_python_reference(spark, docs):
+    """The grouped_positions-ranked batching (arrival and length-sorted)
+    must pay exactly the padding a sequential loader pays: per batch of
+    BATCH_DOCS, (rows · max_len - sum_len), summed per source — for both
+    policies, including ragged final batches and duplicate lengths."""
+    from prac_data_pipelines_spark.queries.corpus import (
+        BATCH_DOCS,
+        doc_length_buckets_frame,
+    )
+
+    rows = [(i, " ".join(["w"] * n) if n else "", src)
+            for i, (src, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r.asDict()
+           for r in doc_length_buckets_frame(df).collect()}
+
+    def toks(text):
+        # engine semantics: split('\s+') on space-trimmed text keeps one
+        # empty field for the empty string -> size 1
+        return len(text.strip(" ").split(" ")) if text else 1
+
+    def waste(lens):
+        total = 0
+        for i in range(0, len(lens), BATCH_DOCS):
+            b = lens[i:i + BATCH_DOCS]
+            total += len(b) * max(b) - sum(b)
+        return total
+
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for i, t, src in rows:
+        by_src.setdefault(src, []).append((i, toks(t)))
+    assert set(got) == set(by_src)
+    for src, pairs in by_src.items():
+        arrival = [n for _, n in sorted(pairs)]
+        ordered = [n for n, _ in sorted((n, i) for i, n in pairs)]
+        g = got[src]
+        assert g["n_docs"] == len(pairs)
+        assert g["tokens"] == sum(n for _, n in pairs)
+        assert g["relleno_llegada"] == waste(arrival), (src, arrival)
+        assert g["relleno_ordenado"] == waste(ordered), (src, ordered)

@@ -536,3 +536,21 @@ def test_bpe_fertility_broadcasts_merge_list(spark, sf_dir):
     plan = _plan(q_bpe_fertility(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_doc_length_buckets_has_no_per_source_window(spark, sf_dir):
+    """Both batching rankings must ride grouped_positions: every Window
+    partitions by (range-partition id, source) — parallelism is never
+    capped at |sources| — and nothing funnels through SinglePartition."""
+    import re
+
+    from prac_data_pipelines_spark.queries.corpus import (
+        q_doc_length_buckets,
+    )
+
+    plan = _plan(q_doc_length_buckets(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    specs = re.findall(r"Window \[.*?windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for spec in specs:
+        assert "_pid" in spec, spec

@@ -91,7 +91,8 @@ def probe_llm(spark, sf_dir: str, k: int) -> None:
                  "emb_anisotropy_audit", "doc_ccnet_buckets",
                  "bpe_train_steps", "events_heavy_hitters",
                  "emb_pq_audit",
-                 "doc_bloom_decontaminate", "bpe_fertility"):
+                 "doc_bloom_decontaminate", "bpe_fertility",
+                 "doc_length_buckets"):
         t0 = time.time()
         queries[name](spark, scratch).write.format("noop").mode("overwrite").save()
         print(f"{name} at {k}x: {time.time()-t0:.2f}s")
