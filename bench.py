@@ -141,6 +141,7 @@ HEADLINE = [
     "doc_bloom_decontaminate",
     "bpe_fertility",
     "doc_length_buckets",
+    "events_uniques_sketch",
 ]
 
 

@@ -993,3 +993,80 @@ FROM est ORDER BY exacto DESC, user_id ASC
 
 register("events_heavy_hitters", q_events_heavy_hitters,
          SQL_EVENTS_HEAVY_HITTERS)
+
+
+# --------------------------------------------------------------------------
+# events_uniques_sketch — HLL sketch MERGEABILITY audit: the reason
+# sketches matter at 100 TB is not the one-shot estimate (sketch_profile
+# covers that) but re-aggregation — materialize one ~4 KB Datasketches
+# HLL per day and answer any coarser window's unique count by UNIONING
+# sketches, never rescanning raw events. This query builds the daily
+# sketches, merges them per week (``hll_union_agg``), and audits the
+# merged estimate against the exact weekly distinct, alongside the
+# naive sum-of-daily-uniques (the number a mergeless pipeline would
+# report, wrong by the cross-day revisit factor).
+#
+# Oracle contract: exact values + in-query ``hll_ok`` tolerance boolean
+# (oracle side: literal TRUE) — the sketch_profile pattern; the 5 %
+# bound is ~3× the configured relative standard error (lgK=12 → 1.6 %),
+# and Datasketches HLL union is insertion-order independent, so the
+# partition sweeps exercise real merge-order invariance.
+#
+# Scale: one user-keyed daily distinct (the audit baseline — at 100 TB
+# you would drop it and keep only the sketches), one |days|-row sketch
+# merge, and a |weeks|-row join. Daily sketches are the persisted
+# partial aggregates; everything after them is corpus-size-free.
+# --------------------------------------------------------------------------
+
+def q_events_uniques_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", (epoch_sec("ts") / 86400).cast("long")
+                  .alias("dia")))
+    daily = (ev.groupBy("dia")
+             .agg(F.countDistinct("user_id").cast("long").alias("_du"),
+                  F.hll_sketch_agg("user_id").alias("_sk")))
+    weekly_exact = (ev.groupBy((F.col("dia") / 7).cast("long")
+                               .alias("semana"))
+                    .agg(F.countDistinct("user_id").cast("long")
+                         .alias("exactos_semana")))
+    weekly = (daily.groupBy((F.col("dia") / 7).cast("long").alias("semana"))
+              .agg(F.count(F.lit(1)).cast("long").alias("dias"),
+                   F.sum("_du").cast("long").alias("suma_diaria"),
+                   F.hll_sketch_estimate(F.hll_union_agg("_sk"))
+                   .alias("_est")))
+    return (
+        weekly.join(weekly_exact, "semana")
+        .select("semana", "dias", "exactos_semana", "suma_diaria",
+                r4(F.col("suma_diaria").cast("double")
+                   / F.col("exactos_semana")).alias("factor_revisita"),
+                (F.abs(F.col("_est") - F.col("exactos_semana"))
+                 <= 0.05 * F.col("exactos_semana")).alias("hll_ok"))
+        .orderBy("semana")
+    )
+
+
+SQL_EVENTS_UNIQUES_SKETCH = """
+WITH ev AS (
+  SELECT user_id, (epoch_us(ts) // 1000000) // 86400 AS dia FROM events
+), daily AS (
+  SELECT dia, count(DISTINCT user_id)::BIGINT AS _du FROM ev GROUP BY dia
+), weekly_exact AS (
+  SELECT dia // 7 AS semana, count(DISTINCT user_id)::BIGINT
+           AS exactos_semana
+  FROM ev GROUP BY dia // 7
+), weekly AS (
+  SELECT dia // 7 AS semana, count(*)::BIGINT AS dias,
+         sum(_du)::BIGINT AS suma_diaria
+  FROM daily GROUP BY dia // 7
+)
+SELECT w.semana::BIGINT AS semana, w.dias, e.exactos_semana,
+       w.suma_diaria,
+       floor(w.suma_diaria::DOUBLE / e.exactos_semana * 10000 + 0.5)
+         / 10000 AS factor_revisita,
+       TRUE AS hll_ok
+FROM weekly w JOIN weekly_exact e USING (semana)
+ORDER BY w.semana
+"""
+
+register("events_uniques_sketch", q_events_uniques_sketch,
+         SQL_EVENTS_UNIQUES_SKETCH)

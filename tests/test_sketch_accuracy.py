@@ -73,3 +73,31 @@ def test_emb_quantize_grid_exactness(spark, sf_dir):
         vec._emb = orig
     assert res[0]["rmse_media"] == 0.0 and res[0]["error_max"] == 0.0
     assert res[1]["rmse_media"] == 0.0
+
+
+def test_hll_union_merge_accuracy_and_order_invariance(spark):
+    """events_uniques_sketch's contract: merging daily HLL sketches must
+    estimate the weekly uniques within the 5% bound at a cardinality
+    where HLL is genuinely estimating (50k uniques, far past sparse
+    mode), and the merged estimate must be identical regardless of
+    partitioning / merge order (Datasketches HLL union is
+    order-independent — the property the partition sweeps rely on)."""
+    from pyspark.sql import functions as F
+
+    n, days = 50_000, 7
+    # each user appears on 3 consecutive days -> weekly uniques = n,
+    # sum of daily uniques ~ 3n
+    rows = (spark.range(n).selectExpr(
+        "id AS user_id", "explode(sequence(0, 2)) AS o")
+        .selectExpr("user_id", "cast((user_id + o) % 7 as long) AS dia"))
+
+    def merged_estimate(df):
+        daily = df.groupBy("dia").agg(F.hll_sketch_agg("user_id").alias("sk"))
+        return (daily.agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                          .alias("est")).collect()[0]["est"])
+
+    est1 = merged_estimate(rows)
+    est2 = merged_estimate(rows.repartition(7, "user_id"))
+    est3 = merged_estimate(rows.repartition(3, "dia"))
+    assert est1 == est2 == est3, (est1, est2, est3)
+    assert abs(est1 - n) <= 0.05 * n, est1

@@ -134,7 +134,7 @@ def probe_events_rolling(spark, sf_dir: str, k: int) -> None:
                "events_hourly", "events_hopping", "events_ohlc",
                "events_transitions", "events_conversion_pairs",
                "events_conversion_window", "events_asof_attribution",
-               "events_gapfill"]
+               "events_gapfill", "events_uniques_sketch"]
     t0 = time.time()
     q_events_rolling(spark, scratch).write.format("noop").mode("overwrite").save()
     print(f"events_rolling(single-key) at {k}x: {time.time()-t0:.2f}s")
