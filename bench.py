@@ -142,6 +142,8 @@ HEADLINE = [
     "bpe_fertility",
     "doc_length_buckets",
     "events_uniques_sketch",
+    "emb_dedup_curve",
+    "corpus_snapshot_diff",
 ]
 
 

@@ -1937,3 +1937,100 @@ ORDER BY b.source
 """
 
 register("doc_length_buckets", q_doc_length_buckets, SQL_DOC_LENGTH_BUCKETS)
+
+
+# --------------------------------------------------------------------------
+# corpus_snapshot_diff — dataset-versioning audit between two corpus
+# snapshots: per source, how many docs were added, removed, modified
+# (same id, different content hash), or unchanged, and the net
+# character delta. This is the review gate a pipeline runs before
+# promoting a new crawl/curation snapshot to training — the text-side
+# twin of emb_drift_audit. Snapshot B is derived deterministically from
+# A (every 13th doc removed, every 7th surviving doc revised, every
+# 11th re-ingested under a new id), the established synthesis pattern.
+#
+# Scale: both sides reduce to (doc_id, source, content hash, length)
+# BEFORE the full-outer join — the join shuffles slim keyed rows, never
+# text — and the rollup is per-source. At 100 TB both snapshots are
+# id-bucketed on disk, making the diff join co-partitioned and
+# shuffle-free.
+# --------------------------------------------------------------------------
+
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    a = docs.selectExpr("doc_id", "source", "md5(text) AS _h",
+                        "length(text) AS _len")
+    b_kept = (docs.filter("doc_id % 13 != 0")
+              .selectExpr("doc_id", "source",
+                          "CASE WHEN doc_id % 7 = 0 THEN text || ' rev' "
+                          "ELSE text END AS text"))
+    b_new = (docs.filter("doc_id % 11 = 0")
+             .selectExpr("doc_id + 5000000 AS doc_id", "source",
+                         "text || ' nuevo' AS text"))
+    b = (b_kept.unionByName(b_new)
+         .selectExpr("doc_id", "source", "md5(text) AS _h",
+                     "length(text) AS _len"))
+    joined = (a.selectExpr("doc_id", "source AS _sa", "_h AS _ha",
+                           "_len AS _la")
+              .join(b.selectExpr("doc_id", "source AS _sb", "_h AS _hb",
+                                 "_len AS _lb"),
+                    "doc_id", "full_outer"))
+    status = (F.when(F.col("_ha").isNull(), F.lit("agregado"))
+              .when(F.col("_hb").isNull(), F.lit("eliminado"))
+              .when(F.col("_ha") != F.col("_hb"), F.lit("modificado"))
+              .otherwise(F.lit("sin_cambio")))
+    return (
+        joined.select(F.coalesce("_sa", "_sb").alias("source"),
+                      status.alias("_st"),
+                      (F.coalesce("_lb", F.lit(0))
+                       - F.coalesce("_la", F.lit(0))).alias("_d"))
+        .groupBy("source")
+        .agg(F.sum(F.when(F.col("_st") == "agregado", 1).otherwise(0))
+             .cast("long").alias("agregados"),
+             F.sum(F.when(F.col("_st") == "eliminado", 1).otherwise(0))
+             .cast("long").alias("eliminados"),
+             F.sum(F.when(F.col("_st") == "modificado", 1).otherwise(0))
+             .cast("long").alias("modificados"),
+             F.sum(F.when(F.col("_st") == "sin_cambio", 1).otherwise(0))
+             .cast("long").alias("sin_cambio"),
+             F.sum("_d").cast("long").alias("delta_chars"))
+        .orderBy("source")
+    )
+
+
+SQL_CORPUS_SNAPSHOT_DIFF = """
+WITH a AS (
+  SELECT doc_id, source, md5(text) AS _h, length(text) AS _len
+  FROM documents
+), b AS (
+  SELECT doc_id, source, md5(text) AS _h, length(text) AS _len FROM (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' rev' ELSE text END AS text
+    FROM documents WHERE doc_id % 13 <> 0
+    UNION ALL
+    SELECT doc_id + 5000000, source, text || ' nuevo'
+    FROM documents WHERE doc_id % 11 = 0)
+), joined AS (
+  SELECT coalesce(a.source, b.source) AS source,
+         CASE WHEN a._h IS NULL THEN 'agregado'
+              WHEN b._h IS NULL THEN 'eliminado'
+              WHEN a._h <> b._h THEN 'modificado'
+              ELSE 'sin_cambio' END AS _st,
+         coalesce(b._len, 0) - coalesce(a._len, 0) AS _d
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT source,
+       sum(CASE WHEN _st = 'agregado' THEN 1 ELSE 0 END)::BIGINT
+         AS agregados,
+       sum(CASE WHEN _st = 'eliminado' THEN 1 ELSE 0 END)::BIGINT
+         AS eliminados,
+       sum(CASE WHEN _st = 'modificado' THEN 1 ELSE 0 END)::BIGINT
+         AS modificados,
+       sum(CASE WHEN _st = 'sin_cambio' THEN 1 ELSE 0 END)::BIGINT
+         AS sin_cambio,
+       sum(_d)::BIGINT AS delta_chars
+FROM joined GROUP BY source ORDER BY source
+"""
+
+register("corpus_snapshot_diff", q_corpus_snapshot_diff,
+         SQL_CORPUS_SNAPSHOT_DIFF)

@@ -1494,3 +1494,156 @@ FROM met
 """
 
 register("emb_drift_audit", q_emb_drift_audit, SQL_EMB_DRIFT_AUDIT)
+
+
+# --------------------------------------------------------------------------
+# emb_dedup_curve — semantic-dedup threshold-selection curve: for each
+# candidate cosine threshold, how many pairs fire and how many docs a
+# lower-id-wins dedup would drop. This is the audit run BEFORE freezing
+# the dedup threshold (SemDeDup's eps sweep): too low and the corpus
+# bleeds diversity, too high and templated near-dups survive. Computed
+# over the SAME sign-LSH banded candidate set as emb_near_dup — like
+# doc_minhash_est_error, the curve audits the candidates the production
+# pipeline would actually see (band recall at the low end is the
+# documented trade of the banding scheme, not a defect of the audit).
+#
+# Scale: identical candidate machinery to emb_near_dup (bucketed pair
+# join, hot-bucket cap, cosine before the pair dedup so the shuffle
+# carries scalars); the curve itself is a |thresholds|-way explode over
+# SURVIVING pairs only, and the corpus total rides a one-row broadcast.
+# --------------------------------------------------------------------------
+
+CURVE_COS = (0.8, 0.9, 0.95, 0.98, 0.995)
+
+
+# deterministic graded perturbation: mix in the cyclically-shifted
+# vector at strength a — cos(e, e + a·rot(e)) lands around
+# 1/sqrt(1+a²) with per-vector spread, so the clone groups populate
+# distinct cosine bands and the thresholds actually separate. All
+# arithmetic in DOUBLE on both engines (bit-identical folds).
+_CURVE_ROT = ("concat(slice(_e, 2, size(_e) - 1), slice(_e, 1, 1))")
+
+
+def _curve_clones(emb: DataFrame, shift: int, alpha: float) -> DataFrame:
+    return (emb.filter(F.col("vec_id") < 30)
+            .selectExpr(f"vec_id + {shift} AS vec_id",
+                        "transform(embedding, v -> cast(v as double)) AS _e")
+            .selectExpr(
+                "vec_id",
+                f"zip_with(_e, {_CURVE_ROT}, "
+                f"(a, b) -> a + cast({alpha} as double) * b) AS embedding"))
+
+
+def q_emb_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    base = emb.selectExpr(
+        "vec_id", "transform(embedding, v -> cast(v as double)) AS embedding")
+    union = (base
+             .unionByName(_curve_clones(emb, 1000000, 0.0))
+             .unionByName(_curve_clones(emb, 2000000, 0.2))
+             .unionByName(_curve_clones(emb, 3000000, 0.6)))
+    w_cubo = Window.partitionBy("cubo")
+    bucketed = (
+        union.selectExpr("vec_id", "embedding", f"{_BITS_EXPR} AS _bits")
+        .selectExpr("vec_id", "embedding", f"explode({_ND_KEYS_EXPR}) AS cubo")
+        .withColumn("_n", F.count(F.lit(1)).over(w_cubo))
+        .filter(F.col("_n") <= MAX_BUCKET_VECS).drop("_n")
+        .cache())
+    left = bucketed.selectExpr("vec_id AS d1", "embedding AS e1", "cubo")
+    right = bucketed.selectExpr("vec_id AS d2", "embedding AS e2", "cubo")
+    pairs = (
+        left.join(right, "cubo")
+        .filter(F.col("d1") < F.col("d2"))
+        .selectExpr("d1", "d2", f"{cosine_expr('e1', 'e2')} AS _cos")
+        .select("d1", "d2", r6(F.col("_cos")).alias("cos"))
+        .filter(F.col("cos") >= CURVE_COS[0])
+        .dropDuplicates(["d1", "d2"]))
+    total = union.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    curve = (
+        pairs.withColumn("umbral",
+                         F.explode(F.array(*[F.lit(t) for t in CURVE_COS])))
+        .filter(F.col("cos") >= F.col("umbral"))
+        .groupBy("umbral")
+        .agg(F.count(F.lit(1)).cast("long").alias("pares"),
+             F.countDistinct("d2").cast("long").alias("docs_caidos")))
+    return (
+        curve.crossJoin(broadcast(total))
+        .select("umbral", "pares", "docs_caidos",
+                (F.col("_n") - F.col("docs_caidos")).cast("long")
+                .alias("docs_conservados"),
+                r6(F.col("docs_caidos").cast("double") / F.col("_n"))
+                .alias("tasa_caida"))
+        .orderBy("umbral")
+    )
+
+
+_SQL_CURVE_LIST = ", ".join(f"{t}::DOUBLE" for t in CURVE_COS)
+
+SQL_EMB_DEDUP_CURVE = f"""
+WITH based AS (
+  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS embedding
+  FROM embeddings
+), rotmix AS (
+  SELECT vec_id, embedding,
+         list_concat(list_slice(embedding, 2, len(embedding)),
+                     list_slice(embedding, 1, 1)) AS _rot
+  FROM based WHERE vec_id < 30
+), unioned AS (
+  SELECT vec_id, embedding FROM based
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(list_zip(embedding, _rot),
+                        x -> x[1] + 0.0::DOUBLE * x[2]) FROM rotmix
+  UNION ALL
+  SELECT vec_id + 2000000,
+         list_transform(list_zip(embedding, _rot),
+                        x -> x[1] + 0.2::DOUBLE * x[2]) FROM rotmix
+  UNION ALL
+  SELECT vec_id + 3000000,
+         list_transform(list_zip(embedding, _rot),
+                        x -> x[1] + 0.6::DOUBLE * x[2]) FROM rotmix
+), bits AS (
+  SELECT vec_id, embedding,
+         list_transform({_PLANES_SQL}, h ->
+           list_sum(list_transform(list_zip(embedding, h),
+                    x -> (x[1]::DOUBLE) * x[2])) >= 0) AS _bits
+  FROM unioned
+), bucketed0 AS (
+  SELECT vec_id, embedding,
+         concat(t, ':', list_reduce(list_prepend(0,
+           list_transform(list_slice(_bits, t * {ND_BITS} + 1,
+                                     t * {ND_BITS} + {ND_BITS}),
+                          b -> CASE WHEN b THEN 1 ELSE 0 END)),
+           (acc, x) -> acc * 2 + x)) AS cubo
+  FROM bits CROSS JOIN (SELECT unnest(range(0, {ND_TABLES})) AS t)
+), bucketed AS (
+  SELECT vec_id, embedding, cubo FROM (
+    SELECT *, count(*) OVER (PARTITION BY cubo) AS _n FROM bucketed0)
+  WHERE _n <= {MAX_BUCKET_VECS}
+), cand AS (
+  SELECT DISTINCT l.vec_id AS d1, r.vec_id AS d2,
+         l.embedding AS e1, r.embedding AS e2
+  FROM bucketed l JOIN bucketed r ON l.cubo = r.cubo AND l.vec_id < r.vec_id
+), pairs AS (
+  SELECT d1, d2,
+         floor({sql_cosine_expr('e1', 'e2')} * 1000000 + 0.5) / 1000000
+           AS cos
+  FROM cand
+), curve AS (
+  SELECT umbral, count(*)::BIGINT AS pares,
+         count(DISTINCT d2)::BIGINT AS docs_caidos
+  FROM (SELECT * FROM pairs WHERE cos >= 0.8) p
+  CROSS JOIN (SELECT unnest([{_SQL_CURVE_LIST}]) AS umbral)
+  WHERE cos >= umbral GROUP BY umbral
+), total AS (
+  SELECT count(*)::BIGINT AS _n FROM unioned
+)
+SELECT c.umbral, c.pares, c.docs_caidos,
+       (t._n - c.docs_caidos)::BIGINT AS docs_conservados,
+       floor(c.docs_caidos::DOUBLE / t._n * 1000000 + 0.5) / 1000000
+         AS tasa_caida
+FROM curve c CROSS JOIN total t
+ORDER BY c.umbral
+"""
+
+register("emb_dedup_curve", q_emb_dedup_curve, SQL_EMB_DEDUP_CURVE)

@@ -293,3 +293,21 @@ def test_dup_clusters_match_union_find_at_sf01(spark):
     assert {frozenset(v) for v in got.values()} == \
         {frozenset(v) for v in want.values()}
     assert len(got) > 100
+
+
+def test_emb_dedup_curve_monotone_and_separating(spark, acc_dir):
+    """The threshold curve must behave like a curve: pair and drop counts
+    non-increasing in the threshold, kept docs non-decreasing — and the
+    graded clone groups must SEPARATE it (strictly fewer docs dropped at
+    0.995 than at 0.8; the 30 exact clones dropped at every threshold,
+    since cos(e, e) = 1 clears any bound)."""
+    from prac_data_pipelines_spark.queries.vector import q_emb_dedup_curve
+
+    rows = q_emb_dedup_curve(spark, acc_dir).collect()
+    assert [r["umbral"] for r in rows] == sorted(r["umbral"] for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert b["pares"] <= a["pares"]
+        assert b["docs_caidos"] <= a["docs_caidos"]
+        assert b["docs_conservados"] >= a["docs_conservados"]
+    assert rows[-1]["docs_caidos"] < rows[0]["docs_caidos"]
+    assert all(r["docs_caidos"] >= 30 for r in rows)

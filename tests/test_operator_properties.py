@@ -1057,3 +1057,60 @@ def test_doc_length_buckets_equals_python_reference(spark, docs):
         assert g["tokens"] == sum(n for _, n in pairs)
         assert g["relleno_llegada"] == waste(arrival), (src, arrival)
         assert g["relleno_ordenado"] == waste(ordered), (src, ordered)
+
+
+# --- corpus_snapshot_diff: full-outer diff == pure Python ---------------
+
+_diff_docs = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=120),
+              st.sampled_from(["s0", "s1"]),
+              st.text(alphabet="ab ", min_size=1, max_size=8)),
+    min_size=1, max_size=25, unique_by=lambda t: t[0])
+
+
+@given(docs=_diff_docs)
+@settings(**SETTINGS)
+def test_corpus_snapshot_diff_equals_python_reference(spark, docs):
+    """The slim-row full-outer diff must classify every id exactly like a
+    sequential differ — including ids that are simultaneously removed
+    (%13) and re-ingested (%11), and revision collisions where the
+    ' rev' suffix happens to leave the hash-compared text unchanged."""
+    from prac_data_pipelines_spark.queries.corpus import (
+        q_corpus_snapshot_diff,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {r["source"]: r.asDict()
+               for r in q_corpus_snapshot_diff(spark, d).collect()}
+
+    a = {i: (s, t) for i, s, t in docs}
+    b = {}
+    for i, (s, t) in a.items():
+        if i % 13 != 0:
+            b[i] = (s, t + " rev" if i % 7 == 0 else t)
+        if i % 11 == 0:
+            b[i + 5000000] = (s, t + " nuevo")
+    want: dict[str, dict[str, int]] = {}
+    for i in set(a) | set(b):
+        src = (a.get(i) or b.get(i))[0]
+        w = want.setdefault(src, {"agregados": 0, "eliminados": 0,
+                                  "modificados": 0, "sin_cambio": 0,
+                                  "delta_chars": 0})
+        la = len(a[i][1]) if i in a else 0
+        lb = len(b[i][1]) if i in b else 0
+        w["delta_chars"] += lb - la
+        if i not in a:
+            w["agregados"] += 1
+        elif i not in b:
+            w["eliminados"] += 1
+        elif a[i][1] != b[i][1]:
+            w["modificados"] += 1
+        else:
+            w["sin_cambio"] += 1
+    assert set(got) == set(want)
+    for s, w in want.items():
+        for k, v in w.items():
+            assert got[s][k] == v, (s, k, got[s], w)
