@@ -144,6 +144,7 @@ HEADLINE = [
     "events_uniques_sketch",
     "emb_dedup_curve",
     "corpus_snapshot_diff",
+    "doc_signal_corr",
 ]
 
 

@@ -46,6 +46,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_heavy_hitters", "emb_pq_audit", "emb_drift_audit",
     "doc_bloom_decontaminate", "bpe_fertility", "doc_length_buckets",
     "events_uniques_sketch", "emb_dedup_curve", "corpus_snapshot_diff",
+    "doc_signal_corr",
     # Modified in r6 (grouped-positions pack fold, pinned Pareto tail,
     # rank-space sketch check, byte-true shard manifest):
     "doc_pack_fold", "pareto_abc", "cxc_concentracion", "sketch_profile",
@@ -57,15 +58,15 @@ _PRIORITY: tuple[str, ...] = (
     "cxc_movimientos_abiertos", "doc_exact_dedup", "doc_token_stats",
     "doc_bpe_tokens", "doc_quality", "doc_lang_id",
     "knn_brute",
-    "fuzzy_name_blocks",
     # Slipped past r5's 50-row budget (r3-era verdicts):
     # --- 50-row budget boundary ---
-    # (band_groups, scalar_suite, cancelled_filter, union_views,
-    # column_profile and distinct_counts displaced past the boundary by
-    # the seven session additions (doc_bloom_decontaminate ...
-    # corpus_snapshot_diff); they lead the r7 rotation)
-    "band_groups", "scalar_suite", "cancelled_filter", "union_views",
-    "column_profile", "distinct_counts",
+    # (fuzzy_name_blocks, band_groups, scalar_suite, cancelled_filter,
+    # union_views, column_profile and distinct_counts displaced past the
+    # boundary by the eight session additions (doc_bloom_decontaminate
+    # ... doc_signal_corr); they lead the r7 rotation)
+    "fuzzy_name_blocks", "band_groups", "scalar_suite",
+    "cancelled_filter", "union_views", "column_profile",
+    "distinct_counts",
     # (r4-era re-verdicts lead the r7 rotation; shard_manifest and
     # events_rolling were r6-modified and head that list;
     # doc_simhash, embedding_norms, doc_fingerprint, fuzzy_block_stats

@@ -1803,3 +1803,115 @@ FROM flags GROUP BY source ORDER BY source
 """
 
 register("doc_gopher_quality", q_doc_gopher_quality, SQL_DOC_GOPHER_QUALITY)
+
+
+# --------------------------------------------------------------------------
+# doc_signal_corr — filter-redundancy audit: the pairwise Pearson
+# correlation matrix between the per-doc curation signals (quality
+# score, token count, within-doc repeated-shingle fraction, stopword
+# ratio). Pipelines accumulate filters over time; this is the analysis
+# that shows which ones measure the same thing (e.g. the stopword
+# ratio is a CONSTRUCTIVE component of the quality score, and the
+# audit should say so) before a redundant filter is retired. Signals
+# are r4-quantized per row so the only float nondeterminism left is
+# sum regrouping (~1e-15, absorbed by the final r6 — the pareto_abc
+# argument); the correlation itself is the sqrt-portable textbook form.
+#
+# Scale: one per-row projection (folds only) + ONE one-row global
+# aggregate carrying every Σx/Σx²/Σxy — 15 partial-aggregated sums; the
+# 6-row output is built by exploding the broadcast aggregate row. No
+# shuffle ever carries more than the aggregation partials.
+# --------------------------------------------------------------------------
+
+_CORR_SIGNALS = ("calidad", "toks", "rep3", "stop")
+
+
+def q_doc_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    # stage the split and the shingle array as multiply-referenced
+    # columns: a raw inline SHINGLES re-splits the text per lambda
+    # element (measured 6.5 s vs 0.4 s at sf0.1, single task —
+    # SCALING.md)
+    base = (docs.selectExpr("doc_id", "text", f"{WORDS} AS _ws")
+            .selectExpr(
+                "cast(size(_ws) as double) AS _n",
+                "cast(size(array_distinct(_ws)) as double) AS _u",
+                f"cast(size(filter(_ws, w -> w in ({_STOPWORDS}))) "
+                "as double) AS _s",
+                "cast(length(text) as double) AS _c",
+                f"{_SHINGLES_WS} AS _shs"))
+    sig = base.select(
+        r4(_quality_score()).alias("calidad"),
+        r4(F.col("_n")).alias("toks"),
+        r4(1 - F.expr("size(array_distinct(_shs))")
+           / F.expr("size(_shs)")).alias("rep3"),
+        r4(F.col("_s") / F.col("_n")).alias("stop"))
+    aggs = [F.count(F.lit(1)).cast("double").alias("_cnt")]
+    for a in _CORR_SIGNALS:
+        aggs.append(F.sum(F.col(a)).alias(f"_s_{a}"))
+        aggs.append(F.sum(F.col(a) * F.col(a)).alias(f"_q_{a}"))
+    for i, a in enumerate(_CORR_SIGNALS):
+        for b in _CORR_SIGNALS[i + 1:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"_x_{a}_{b}"))
+    row = sig.agg(*aggs)
+    pair_structs = ", ".join(
+        f"struct('{a}' AS senal_a, '{b}' AS senal_b, "
+        f"_cnt * _x_{a}_{b} - _s_{a} * _s_{b} AS _num, "
+        f"(_cnt * _q_{a} - _s_{a} * _s_{a}) * "
+        f"(_cnt * _q_{b} - _s_{b} * _s_{b}) AS _den) "
+        for i, a in enumerate(_CORR_SIGNALS)
+        for b in _CORR_SIGNALS[i + 1:])
+    return (row.selectExpr(f"explode(array({pair_structs})) AS p")
+            .select("p.senal_a", "p.senal_b",
+                    F.when(F.col("p._den") > 0,
+                           r6(F.col("p._num") / F.sqrt(F.col("p._den"))))
+                    .alias("pearson_r"))
+            .orderBy("senal_a", "senal_b"))
+
+
+_SQL_CORR_PAIRS = ", ".join(
+    f"{{'senal_a': '{a}', 'senal_b': '{b}', "
+    f"'_num': _cnt * _x_{a}_{b} - _s_{a} * _s_{b}, "
+    f"'_den': (_cnt * _q_{a} - _s_{a} * _s_{a}) * "
+    f"(_cnt * _q_{b} - _s_{b} * _s_{b})}}"
+    for i, a in enumerate(_CORR_SIGNALS)
+    for b in _CORR_SIGNALS[i + 1:])
+
+SQL_DOC_SIGNAL_CORR = f"""
+WITH base AS (
+  SELECT doc_id,
+         len({SQL_WORDS})::DOUBLE AS _n,
+         len(list_distinct({SQL_WORDS}))::DOUBLE AS _u,
+         len(list_filter({SQL_WORDS}, w -> w IN ({_STOPWORDS})))::DOUBLE AS _s,
+         strlen(text)::DOUBLE AS _c,
+         len(list_distinct({SQL_SHINGLES}))::DOUBLE AS _sh_u,
+         len({SQL_SHINGLES})::DOUBLE AS _sh
+  FROM documents
+), sig AS (
+  SELECT
+    floor((least(_c / 400, 1.0) * 0.4 + (_u / _n) * 0.4
+           + (1 - abs(_s / _n - 0.2)) * 0.2) * 10000 + 0.5) / 10000
+      AS calidad,
+    floor(_n * 10000 + 0.5) / 10000 AS toks,
+    floor((1 - _sh_u / _sh) * 10000 + 0.5) / 10000 AS rep3,
+    floor(_s / _n * 10000 + 0.5) / 10000 AS stop
+  FROM base
+), agg AS (
+  SELECT count(*)::DOUBLE AS _cnt,
+         {", ".join(f"sum({a}) AS _s_{a}, sum({a} * {a}) AS _q_{a}"
+                    for a in _CORR_SIGNALS)},
+         {", ".join(f"sum({a} * {b}) AS _x_{a}_{b}"
+                    for i, a in enumerate(_CORR_SIGNALS)
+                    for b in _CORR_SIGNALS[i + 1:])}
+  FROM sig
+), pairs AS (
+  SELECT unnest([{_SQL_CORR_PAIRS}], recursive := true) FROM agg
+)
+SELECT senal_a, senal_b,
+       CASE WHEN _den > 0 THEN
+         floor(_num / sqrt(_den) * 1000000 + 0.5) / 1000000
+       ELSE NULL END AS pearson_r
+FROM pairs ORDER BY senal_a, senal_b
+"""
+
+register("doc_signal_corr", q_doc_signal_corr, SQL_DOC_SIGNAL_CORR)

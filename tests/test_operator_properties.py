@@ -1114,3 +1114,65 @@ def test_corpus_snapshot_diff_equals_python_reference(spark, docs):
     for s, w in want.items():
         for k, v in w.items():
             assert got[s][k] == v, (s, k, got[s], w)
+
+
+# --- doc_signal_corr: one-pass moment sums == numpy corrcoef ------------
+
+_corr_docs = st.lists(
+    st.lists(st.sampled_from(["the", "a", "of", "xx", "yy", "zz", "ww"]),
+             min_size=1, max_size=20),
+    min_size=3, max_size=15)
+
+
+@given(docs=_corr_docs)
+@settings(**SETTINGS)
+def test_doc_signal_corr_equals_numpy(spark, docs):
+    """The single-aggregate moment-sum Pearson must match numpy's
+    corrcoef over the identically-quantized signals (r4 per row, r6 on
+    the result) — including zero-variance pairs nulling out."""
+    import math
+    import tempfile
+
+    import numpy as np
+
+    from prac_data_pipelines_spark.queries.text import (
+        _CORR_SIGNALS,
+        q_doc_signal_corr,
+    )
+
+    stop = {"the", "a", "of", "and", "is", "el", "la", "de", "los", "un"}
+    rows = [(i, " ".join(ws), "s", "en") for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {(r["senal_a"], r["senal_b"]): r["pearson_r"]
+               for r in q_doc_signal_corr(spark, d).collect()}
+
+    def r4q(x):
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    sig = {k: [] for k in _CORR_SIGNALS}
+    for _, text, _, _ in rows:
+        ws = text.strip(" ").split(" ")
+        n, u = len(ws), len(set(ws))
+        s = sum(1 for w in ws if w in stop)
+        c = len(text)
+        sh = ([" ".join(ws[i:i + 3]) for i in range(n - 2)]
+              if n >= 3 else [text.strip(" ")])
+        sig["calidad"].append(r4q(min(c / 400, 1.0) * 0.4 + (u / n) * 0.4
+                                  + (1 - abs(s / n - 0.2)) * 0.2))
+        sig["toks"].append(r4q(float(n)))
+        sig["rep3"].append(r4q(1 - len(set(sh)) / len(sh)))
+        sig["stop"].append(r4q(s / n))
+
+    for i, a in enumerate(_CORR_SIGNALS):
+        for b in _CORR_SIGNALS[i + 1:]:
+            xa, xb = np.array(sig[a]), np.array(sig[b])
+            if xa.std() == 0 or xb.std() == 0:
+                assert got[(a, b)] is None, (a, b)
+            else:
+                want = float(np.corrcoef(xa, xb)[0, 1])
+                assert got[(a, b)] is not None, (a, b)
+                assert abs(got[(a, b)] - want) <= 2e-6, (a, b, got[(a, b)],
+                                                         want)
