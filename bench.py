@@ -145,6 +145,7 @@ HEADLINE = [
     "emb_dedup_curve",
     "corpus_snapshot_diff",
     "doc_signal_corr",
+    "doc_mixture_sample",
 ]
 
 

@@ -46,7 +46,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_heavy_hitters", "emb_pq_audit", "emb_drift_audit",
     "doc_bloom_decontaminate", "bpe_fertility", "doc_length_buckets",
     "events_uniques_sketch", "emb_dedup_curve", "corpus_snapshot_diff",
-    "doc_signal_corr",
+    "doc_signal_corr", "doc_mixture_sample",
     # Modified in r6 (grouped-positions pack fold, pinned Pareto tail,
     # rank-space sketch check, byte-true shard manifest):
     "doc_pack_fold", "pareto_abc", "cxc_concentracion", "sketch_profile",
@@ -57,14 +57,14 @@ _PRIORITY: tuple[str, ...] = (
     "cxc_limite_credito", "cxc_morosidad_cliente", "cxc_saldo_cliente",
     "cxc_movimientos_abiertos", "doc_exact_dedup", "doc_token_stats",
     "doc_bpe_tokens", "doc_quality", "doc_lang_id",
-    "knn_brute",
     # Slipped past r5's 50-row budget (r3-era verdicts):
     # --- 50-row budget boundary ---
-    # (fuzzy_name_blocks, band_groups, scalar_suite, cancelled_filter,
-    # union_views, column_profile and distinct_counts displaced past the
-    # boundary by the eight session additions (doc_bloom_decontaminate
-    # ... doc_signal_corr); they lead the r7 rotation)
-    "fuzzy_name_blocks", "band_groups", "scalar_suite",
+    # (knn_brute, fuzzy_name_blocks, band_groups, scalar_suite,
+    # cancelled_filter, union_views, column_profile and distinct_counts
+    # displaced past the boundary by the nine session additions
+    # (doc_bloom_decontaminate ... doc_mixture_sample); they lead the
+    # r7 rotation)
+    "knn_brute", "fuzzy_name_blocks", "band_groups", "scalar_suite",
     "cancelled_filter", "union_views", "column_profile",
     "distinct_counts",
     # (r4-era re-verdicts lead the r7 rotation; shard_manifest and

@@ -2034,3 +2034,92 @@ FROM joined GROUP BY source ORDER BY source
 
 register("corpus_snapshot_diff", q_corpus_snapshot_diff,
          SQL_CORPUS_SNAPSHOT_DIFF)
+
+
+# --------------------------------------------------------------------------
+# doc_mixture_sample — mixture MATERIALIZATION: source_mix computes the
+# sqrt-temperature sampling weights; this op actually draws the sample.
+# Each source gets a target character budget proportional to its
+# sqrt-dampened share of a global budget (MIX_BUDGET of total chars),
+# converted to a per-source KEEP RATE, and docs are kept by
+# deterministic hash-threshold sampling (md5(doc_id) mod 1e6 below the
+# rate) — the reproducible, coordination-free sampler a distributed
+# pipeline needs (no RNG state, no per-partition seeds; the sample is
+# a pure function of the corpus). Reports target vs realized rates per
+# source — the drift a finite corpus shows against its design weights.
+#
+# Scale: two tiny per-source aggregates broadcast back to the corpus
+# (the source_mix shape), then a map-only filter + per-source rollup.
+# The corpus never shuffles.
+# --------------------------------------------------------------------------
+
+MIX_BUDGET = 0.5  # sample half the corpus' characters
+
+_DOC_KEY = "cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10) as bigint) % 1000000"
+_SQL_DOC_KEY = "('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 1000000"
+
+
+def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    per_source = (docs.groupBy("source")
+                  .agg(F.sum("n_chars").cast("long").alias("_chars"),
+                       F.count(F.lit(1)).cast("long").alias("_docs")))
+    totals = per_source.agg(
+        F.sum("_chars").alias("_tchars"),
+        F.sum(F.sqrt(F.col("_chars"))).alias("_tsqrt"))
+    rates = (per_source.crossJoin(broadcast(totals))
+             .select("source", "_chars", "_docs",
+                     F.least(F.lit(1.0),
+                             F.sqrt(F.col("_chars")) / F.col("_tsqrt")
+                             * F.lit(MIX_BUDGET) * F.col("_tchars")
+                             / F.col("_chars")).alias("_rate")))
+    sampled = (docs.join(broadcast(rates), "source")
+               .withColumn("_key", F.expr(_DOC_KEY))
+               .withColumn("_keep",
+                           (F.col("_key")
+                            < F.floor(F.col("_rate") * 1000000))
+                           .cast("int")))
+    return (
+        sampled.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs_total"),
+             F.sum("_keep").cast("long").alias("docs_muestra"),
+             F.sum("n_chars").cast("long").alias("chars_total"),
+             F.sum(F.col("_keep") * F.col("n_chars")).cast("long")
+             .alias("chars_muestra"),
+             r6(F.max("_rate")).alias("tasa_objetivo"),
+             r6(F.sum(F.col("_keep") * F.col("n_chars"))
+                / F.sum("n_chars")).alias("tasa_realizada"))
+        .orderBy("source")
+    )
+
+
+SQL_DOC_MIXTURE_SAMPLE = f"""
+WITH per_source AS (
+  SELECT source, sum(n_chars)::BIGINT AS _chars, count(*)::BIGINT AS _docs
+  FROM documents GROUP BY source
+), totals AS (
+  SELECT sum(_chars) AS _tchars, sum(sqrt(_chars)) AS _tsqrt
+  FROM per_source
+), rates AS (
+  SELECT source, _chars, _docs,
+         least(1.0, sqrt(_chars) / _tsqrt * {MIX_BUDGET} * _tchars / _chars)
+           AS _rate
+  FROM per_source CROSS JOIN totals
+), sampled AS (
+  SELECT d.source, d.n_chars, r._rate,
+         CASE WHEN {_SQL_DOC_KEY} < floor(r._rate * 1000000)
+              THEN 1 ELSE 0 END AS _keep
+  FROM documents d JOIN rates r USING (source)
+)
+SELECT source,
+       count(*)::BIGINT AS docs_total,
+       sum(_keep)::BIGINT AS docs_muestra,
+       sum(n_chars)::BIGINT AS chars_total,
+       sum(_keep * n_chars)::BIGINT AS chars_muestra,
+       floor(max(_rate) * 1000000 + 0.5) / 1000000 AS tasa_objetivo,
+       floor(sum(_keep * n_chars)::DOUBLE / sum(n_chars) * 1000000 + 0.5)
+         / 1000000 AS tasa_realizada
+FROM sampled GROUP BY source ORDER BY source
+"""
+
+register("doc_mixture_sample", q_doc_mixture_sample, SQL_DOC_MIXTURE_SAMPLE)

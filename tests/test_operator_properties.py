@@ -1176,3 +1176,65 @@ def test_doc_signal_corr_equals_numpy(spark, docs):
                 assert got[(a, b)] is not None, (a, b)
                 assert abs(got[(a, b)] - want) <= 2e-6, (a, b, got[(a, b)],
                                                          want)
+
+
+# --- doc_mixture_sample: hash-threshold mixture == pure Python ----------
+
+_mix_docs = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10_000),
+              st.sampled_from(["s0", "s1", "s2"]),
+              st.integers(min_value=1, max_value=900)),
+    min_size=2, max_size=30, unique_by=lambda t: t[0])
+
+
+@given(docs=_mix_docs)
+@settings(**SETTINGS)
+def test_doc_mixture_sample_equals_python_reference(spark, docs):
+    """The broadcast-rate + hash-threshold sampler must keep exactly the
+    docs a sequential sampler keeps: same sqrt-dampened rates (capped at
+    1), same md5-keyed threshold, same per-source rollup — a pure
+    function of the corpus, no RNG."""
+    import hashlib
+    import math
+    import tempfile
+
+    from prac_data_pipelines_spark.queries.corpus import (
+        MIX_BUDGET,
+        q_doc_mixture_sample,
+    )
+
+    rows = [(i, "t", s, n) for i, s, n in docs]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {r["source"]: r.asDict()
+               for r in q_doc_mixture_sample(spark, d).collect()}
+
+    chars = {}
+    for i, _, s, n in rows:
+        chars[s] = chars.get(s, 0) + n
+    tchars = sum(chars.values())
+    tsqrt = sum(math.sqrt(c) for c in chars.values())
+    rate = {s: min(1.0, math.sqrt(c) / tsqrt * MIX_BUDGET * tchars / c)
+            for s, c in chars.items()}
+
+    def key(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:7],
+                   16) % 1000000
+
+    want = {}
+    for i, _, s, n in rows:
+        w = want.setdefault(s, {"docs_total": 0, "docs_muestra": 0,
+                                "chars_total": 0, "chars_muestra": 0})
+        w["docs_total"] += 1
+        w["chars_total"] += n
+        if key(i) < math.floor(rate[s] * 1000000):
+            w["docs_muestra"] += 1
+            w["chars_muestra"] += n
+    assert set(got) == set(want)
+    for s, w in want.items():
+        for k, v in w.items():
+            assert got[s][k] == v, (s, k, got[s], w)
+        assert abs(got[s]["tasa_objetivo"]
+                   - math.floor(rate[s] * 1e6 + 0.5) / 1e6) <= 1e-6

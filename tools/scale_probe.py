@@ -93,7 +93,8 @@ def probe_llm(spark, sf_dir: str, k: int) -> None:
                  "emb_pq_audit",
                  "doc_bloom_decontaminate", "bpe_fertility",
                  "doc_length_buckets", "emb_dedup_curve",
-                 "corpus_snapshot_diff", "doc_signal_corr"):
+                 "corpus_snapshot_diff", "doc_signal_corr",
+                 "doc_mixture_sample"):
         t0 = time.time()
         queries[name](spark, scratch).write.format("noop").mode("overwrite").save()
         print(f"{name} at {k}x: {time.time()-t0:.2f}s")
