@@ -554,3 +554,18 @@ def test_doc_length_buckets_has_no_per_source_window(spark, sf_dir):
     assert specs
     for spec in specs:
         assert "_pid" in spec, spec
+
+
+def test_no_per_element_resplit_in_any_query(spark, sf_dir):
+    """Regression guard for the doc_signal_corr lesson: an expression
+    like element_at(split(trim(text)...), i) inside a lambda re-splits
+    the document once PER ELEMENT access (measured 6.5 s vs 0.4 s on a
+    single-task sf0.1 scan) — tokenized arrays must be staged as
+    multiply-referenced columns before any positional access."""
+    from prac_data_pipelines_spark.queries import all_queries
+
+    for name, fn in all_queries().items():
+        if name.startswith("multimodal_"):
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        assert "element_at(split(" not in plan, name
