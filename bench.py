@@ -146,6 +146,25 @@ HEADLINE = [
     "corpus_snapshot_diff",
     "doc_signal_corr",
     "doc_mixture_sample",
+    # Round-6 (session 5): the C4 rule battery, readability scoring, the
+    # hashed-bigram classifier gate, semantic decontamination, the
+    # compaction planner, BM25 retrieval, and the watermark-lateness
+    # audit (the global prefix-max operator's first consumer).
+    "doc_c4_filters",
+    "doc_readability",
+    "doc_hash_classifier",
+    "emb_decontaminate",
+    "corpus_compaction_audit",
+    "doc_bm25_topk",
+    "events_watermark_audit",
+    # Round-6 (session 6): first-occurrence novelty attribution, label-
+    # filtered hard-negative mining, rate-based bot filtering, the data-
+    # recipe epochs table, and chunk-level code-switching detection.
+    "doc_ngram_novelty",
+    "ann_hard_negatives",
+    "events_bot_detection",
+    "training_mix_epochs",
+    "doc_langmix_detect",
 ]
 
 

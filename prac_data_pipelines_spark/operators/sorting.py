@@ -132,3 +132,37 @@ def grouped_positions(df: DataFrame, group_cols: list[str],
     if cum_of is not None:
         drop += ["_val", "_lcum", "_voff", "_vs"]
     return out.drop(*drop)
+
+
+def global_running_max(df: DataFrame, keys: list[Column], value_col: str,
+                       out_col: str = "runmax") -> DataFrame:
+    """Global running MAX of ``value_col`` under a total order — the
+    prefix-max sibling of ``global_positions``, with the same plan shape
+    (no ``Exchange SinglePartition``):
+
+    1. ``repartitionByRange`` on the order keys;
+    2. local running max per partition;
+    3. per-partition maxima prefix-combined via the triangular broadcast
+       join (\\|partitions\\| rows) and merged with ``greatest``.
+
+    Unlike a sum, max needs no re-association caveat — it is exact for
+    any type with a total order. ``keys`` must totally order the rows
+    for a deterministic result.
+    """
+    ranged = df.repartitionByRange(*keys).withColumn(
+        "_pid", F.spark_partition_id())
+    wloc = (Window.partitionBy("_pid").orderBy(*keys)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = ranged.withColumn("_lmax", F.max(value_col).over(wloc))
+    pmax = ranged.groupBy("_pid").agg(F.max(value_col).alias("_pm"))
+    earlier = pmax.select(F.col("_pid").alias("_bpid"),
+                          F.col("_pm").alias("_bpm"))
+    offsets = (pmax.join(F.broadcast(earlier),
+                         F.col("_bpid") < F.col("_pid"), "left")
+               .groupBy("_pid").agg(F.max("_bpm").alias("_off")))
+    return (local.join(F.broadcast(offsets), "_pid")
+            .withColumn(out_col,
+                        F.greatest(F.col("_lmax"),
+                                   F.coalesce(F.col("_off"),
+                                              F.col("_lmax"))))
+            .drop("_pid", "_lmax", "_off"))

@@ -47,23 +47,32 @@ _PRIORITY: tuple[str, ...] = (
     "doc_bloom_decontaminate", "bpe_fertility", "doc_length_buckets",
     "events_uniques_sketch", "emb_dedup_curve", "corpus_snapshot_diff",
     "doc_signal_corr", "doc_mixture_sample",
+    # Session-5 additions (newest first-class ops):
+    "doc_c4_filters", "doc_readability", "doc_hash_classifier",
+    "emb_decontaminate", "corpus_compaction_audit", "doc_bm25_topk",
+    "events_watermark_audit",
+    # Session-6 additions:
+    "doc_ngram_novelty", "ann_hard_negatives", "events_bot_detection",
+    "training_mix_epochs", "doc_langmix_detect",
     # Modified in r6 (grouped-positions pack fold, pinned Pareto tail,
     # rank-space sketch check, byte-true shard manifest):
     "doc_pack_fold", "pareto_abc", "cxc_concentracion", "sketch_profile",
     # Last driver verdict r3 (26):
     "cxc_master_summary", "cxc_saldo_factura", "cxc_antiguedad",
     "cxc_antiguedad_cliente", "cxc_cartera", "cxc_resumen_concepto",
-    "cxc_cancelados", "cxc_ajustes", "cxc_auditoria_nulos", "cxc_kpis",
-    "cxc_limite_credito", "cxc_morosidad_cliente", "cxc_saldo_cliente",
-    "cxc_movimientos_abiertos", "doc_exact_dedup", "doc_token_stats",
-    "doc_bpe_tokens", "doc_quality", "doc_lang_id",
+    "cxc_cancelados",
     # Slipped past r5's 50-row budget (r3-era verdicts):
     # --- 50-row budget boundary ---
-    # (knn_brute, fuzzy_name_blocks, band_groups, scalar_suite,
-    # cancelled_filter, union_views, column_profile and distinct_counts
-    # displaced past the boundary by the nine session additions
-    # (doc_bloom_decontaminate ... doc_mixture_sample); they lead the
-    # r7 rotation)
+    # (cxc_ajustes ... cxc_morosidad_cliente displaced past the boundary
+    # by the session-6 additions (doc_ngram_novelty ...
+    # doc_langmix_detect); cxc_saldo_cliente ... doc_lang_id by the
+    # session-5 additions (doc_c4_filters ... events_watermark_audit);
+    # together with knn_brute ... distinct_counts — displaced by the
+    # session-4 batch — they lead the r7 rotation)
+    "cxc_ajustes", "cxc_auditoria_nulos", "cxc_kpis",
+    "cxc_limite_credito", "cxc_morosidad_cliente",
+    "cxc_saldo_cliente", "cxc_movimientos_abiertos", "doc_exact_dedup",
+    "doc_token_stats", "doc_bpe_tokens", "doc_quality", "doc_lang_id",
     "knn_brute", "fuzzy_name_blocks", "band_groups", "scalar_suite",
     "cancelled_filter", "union_views", "column_profile",
     "distinct_counts",

@@ -2123,3 +2123,626 @@ FROM sampled GROUP BY source ORDER BY source
 """
 
 register("doc_mixture_sample", q_doc_mixture_sample, SQL_DOC_MIXTURE_SAMPLE)
+
+
+# --------------------------------------------------------------------------
+# doc_c4_filters — the C4 cleaning-rule battery (Raffel et al. 2020,
+# "Colossal Clean Crawled Corpus", §2.2) re-expressed over this corpus:
+# keep a LINE only if it ends in terminal punctuation and has at least
+# C4_MIN_LINE_WORDS words; drop a whole DOCUMENT if fewer than
+# C4_MIN_LINES lines survive, or if it matches a blocklist ("lorem
+# ipsum" placeholder text, curly braces = leaked code). The synthetic
+# corpus is a flat word stream with no line structure or punctuation, so
+# both are injected deterministically first (the established PII-scrub
+# pattern): lines are C4_LINE_W-word chunks, line i of doc d "ends in
+# punctuation" iff (d + i) % 3 != 0, and the blocklist hits are the
+# doc_id % C4_LOREM_MOD / % C4_BRACE_MOD residue classes.
+#
+# Every rule is INTEGER arithmetic over (doc_id, word count) — the line
+# word-counts are least(W, n - i*W) closed-form, so no line text is ever
+# materialized; the whole battery is one map-side fold per document
+# followed by a per-source rollup. At 100 TB: zero shuffles before the
+# |sources|-row aggregate.
+# --------------------------------------------------------------------------
+
+C4_LINE_W = 12        # words per injected pseudo-line
+C4_MIN_LINE_WORDS = 5  # C4: drop lines with fewer than 5 words
+C4_MIN_LINES = 3       # C4: drop pages with fewer than 3 sentences
+C4_LOREM_MOD = 41      # injected "lorem ipsum" residue class
+C4_BRACE_MOD = 43      # injected curly-brace (code) residue class
+
+_C4_KEPT = (
+    f"size(filter(sequence(0, _nl - 1), i -> "
+    f"(doc_id + i) % 3 != 0 AND "
+    f"least({C4_LINE_W}, _nw - i * {C4_LINE_W}) >= {C4_MIN_LINE_WORDS}))"
+)
+_SQL_C4_KEPT = (
+    f"len(list_filter(range(0, _nl), i -> "
+    f"(doc_id + i) % 3 <> 0 AND "
+    f"least({C4_LINE_W}, _nw - i * {C4_LINE_W}) >= {C4_MIN_LINE_WORDS}))"
+)
+
+
+def q_doc_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    per_doc = (
+        docs.selectExpr("doc_id", "source", f"size({WORDS}) AS _nw")
+        .selectExpr("doc_id", "source", "_nw",
+                    f"(_nw + {C4_LINE_W - 1}) div {C4_LINE_W} AS _nl")
+        .selectExpr(
+            "doc_id", "source", "_nw", "_nl", f"{_C4_KEPT} AS _kl",
+            f"CASE WHEN doc_id % {C4_LOREM_MOD} = 0 "
+            f"OR doc_id % {C4_BRACE_MOD} = 0 THEN 1 ELSE 0 END AS _bl"))
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs_total"),
+             F.sum(F.when((F.col("_kl") >= C4_MIN_LINES)
+                          & (F.col("_bl") == 0), 1).otherwise(0))
+             .cast("long").alias("docs_conservados"),
+             F.sum(F.when(F.col("_kl") < C4_MIN_LINES, 1).otherwise(0))
+             .cast("long").alias("docs_pocas_lineas"),
+             F.sum("_bl").cast("long").alias("docs_bloqueados"),
+             F.sum("_nl").cast("long").alias("lineas_total"),
+             F.sum("_kl").cast("long").alias("lineas_conservadas"),
+             r6(F.sum("_kl") / F.sum("_nl")).alias("tasa_lineas"))
+        .orderBy("source")
+    )
+
+
+SQL_DOC_C4_FILTERS = f"""
+WITH per_doc AS (
+  SELECT doc_id, source, _nw, _nl, {_SQL_C4_KEPT} AS _kl,
+         CASE WHEN doc_id % {C4_LOREM_MOD} = 0
+              OR doc_id % {C4_BRACE_MOD} = 0 THEN 1 ELSE 0 END AS _bl
+  FROM (
+    SELECT doc_id, source, _nw, (_nw + {C4_LINE_W - 1}) // {C4_LINE_W} AS _nl
+    FROM (SELECT doc_id, source, len({SQL_WORDS}) AS _nw FROM documents))
+)
+SELECT source,
+       count(*)::BIGINT AS docs_total,
+       sum(CASE WHEN _kl >= {C4_MIN_LINES} AND _bl = 0 THEN 1 ELSE 0 END)
+         ::BIGINT AS docs_conservados,
+       sum(CASE WHEN _kl < {C4_MIN_LINES} THEN 1 ELSE 0 END)::BIGINT
+         AS docs_pocas_lineas,
+       sum(_bl)::BIGINT AS docs_bloqueados,
+       sum(_nl)::BIGINT AS lineas_total,
+       sum(_kl)::BIGINT AS lineas_conservadas,
+       floor(sum(_kl)::DOUBLE / sum(_nl) * 1000000 + 0.5) / 1000000
+         AS tasa_lineas
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+register("doc_c4_filters", q_doc_c4_filters, SQL_DOC_C4_FILTERS)
+
+
+# --------------------------------------------------------------------------
+# doc_readability — Flesch reading-ease scoring with the standard
+# vowel-group syllable heuristic (a maximal [aeiouy]+ run = one
+# syllable, floor 1 per word — the rule every readability library uses
+# when no dictionary is available). Sentences are the same
+# C4_LINE_W-word pseudo-units the C4 battery injects. The score is
+# computed on per-SOURCE aggregate ratios (total syllables / total
+# words, total words / total sentences) rather than averaging per-doc
+# scores: every sum is an INTEGER sum — exact, association-free — and
+# the only floating-point happens in one final division per source, so
+# the result is bit-identical across partitionings and engines.
+#
+# Scale: per-row integer folds (no shuffle), one |sources|-row rollup.
+# --------------------------------------------------------------------------
+
+_SYL_WORD = "greatest(1, size(filter(split(w, '[^aeiouy]+'), s -> s != '')))"
+_SQL_SYL_WORD = ("greatest(1, len(list_filter("
+                 "str_split_regex(w, '[^aeiouy]+'), s -> s <> '')))")
+
+
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    per_doc = (
+        docs.selectExpr("doc_id", "source", f"{WORDS} AS _ws")
+        .selectExpr(
+            "doc_id", "source", "size(_ws) AS _nw",
+            f"aggregate(_ws, 0, (a, w) -> a + {_SYL_WORD}) AS _syl",
+            f"size(filter(_ws, w -> {_SYL_WORD} = 1)) AS _mono")
+        .selectExpr("doc_id", "source", "_nw", "_syl", "_mono",
+                    f"greatest(1, _nw div {C4_LINE_W}) AS _sent"))
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs"),
+             F.sum("_nw").cast("long").alias("palabras"),
+             F.sum("_syl").cast("long").alias("silabas"),
+             F.sum("_sent").cast("long").alias("oraciones"),
+             F.sum("_mono").cast("long").alias("monosilabas"))
+        .select(
+            "source", "docs", "palabras", "silabas", "oraciones",
+            "monosilabas",
+            r6(F.col("silabas") / F.col("palabras"))
+            .alias("silabas_por_palabra"),
+            r6(F.col("palabras") / F.col("oraciones"))
+            .alias("palabras_por_oracion"),
+            r6(F.col("monosilabas") / F.col("palabras"))
+            .alias("tasa_monosilabas"),
+            r6(F.lit(206.835)
+               - F.lit(1.015) * (F.col("palabras") / F.col("oraciones"))
+               - F.lit(84.6) * (F.col("silabas") / F.col("palabras")))
+            .alias("flesch"))
+        .orderBy("source")
+    )
+
+
+SQL_DOC_READABILITY = f"""
+WITH per_doc AS (
+  SELECT doc_id, source, _nw, _syl, _mono,
+         greatest(1, _nw // {C4_LINE_W}) AS _sent
+  FROM (
+    SELECT doc_id, source, len(_ws) AS _nw,
+           list_sum(list_transform(_ws, w -> {_SQL_SYL_WORD}))::BIGINT
+             AS _syl,
+           len(list_filter(_ws, w -> {_SQL_SYL_WORD} = 1)) AS _mono
+    FROM (SELECT doc_id, source, {SQL_WORDS} AS _ws FROM documents))
+), agg AS (
+  SELECT source, count(*)::BIGINT AS docs, sum(_nw)::BIGINT AS palabras,
+         sum(_syl)::BIGINT AS silabas, sum(_sent)::BIGINT AS oraciones,
+         sum(_mono)::BIGINT AS monosilabas
+  FROM per_doc GROUP BY source
+)
+SELECT source, docs, palabras, silabas, oraciones, monosilabas,
+       floor(silabas::DOUBLE / palabras * 1000000 + 0.5) / 1000000
+         AS silabas_por_palabra,
+       floor(palabras::DOUBLE / oraciones * 1000000 + 0.5) / 1000000
+         AS palabras_por_oracion,
+       floor(monosilabas::DOUBLE / palabras * 1000000 + 0.5) / 1000000
+         AS tasa_monosilabas,
+       floor((206.835 - 1.015 * (palabras::DOUBLE / oraciones)
+              - 84.6 * (silabas::DOUBLE / palabras)) * 1000000 + 0.5)
+         / 1000000 AS flesch
+FROM agg ORDER BY source
+"""
+
+register("doc_readability", q_doc_readability, SQL_DOC_READABILITY)
+
+
+# --------------------------------------------------------------------------
+# doc_hash_classifier — fastText-style model-based quality filtering
+# (the classifier gate GPT-3/LLaMA-class pipelines run after the rule
+# batteries): a linear model over hashed word-BIGRAM features. Real
+# deployments load trained weights; here the weight table is the
+# canonical deterministic stand-in — feature hash h (md5-derived, the
+# engine's portable hash) maps to integer weight (h % 2001) - 1000 in
+# [-1000, 1000], i.e. a fixed pseudo-random but fully reproducible
+# model. A document's raw score is the INTEGER sum of its bigram
+# weights (exact, association-free); the normalized score divides by
+# 1000·n_bigrams only at the edge. Keep rule: raw score > 0.
+#
+# Scale: per-row fold over the gram list (no explode, no shuffle —
+# the weight "lookup" is arithmetic, so there is no weight-table join
+# at all), then the |sources|-row rollup. A real trained model swaps
+# the arithmetic for a broadcast map lookup; the plan is unchanged.
+# --------------------------------------------------------------------------
+
+_GRAM_W = ("cast(conv(substring(md5(concat(element_at(_ws, i), ' ', "
+           "element_at(_ws, i + 1))), 1, 7), 16, 10) as bigint) "
+           "% 2001 - 1000")
+_SQL_GRAM_W = ("('0x' || substr(md5(_ws[i] || ' ' || _ws[i + 1]), 1, 7))"
+               "::BIGINT % 2001 - 1000")
+
+
+def q_doc_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    per_doc = (
+        docs.selectExpr("doc_id", "source", f"{WORDS} AS _ws")
+        .selectExpr(
+            "doc_id", "source", "greatest(0, size(_ws) - 1) AS _gi",
+            f"CASE WHEN size(_ws) >= 2 THEN "
+            f"aggregate(sequence(1, size(_ws) - 1), cast(0 as bigint), "
+            f"(a, i) -> a + ({_GRAM_W})) ELSE cast(0 as bigint) END AS _si")
+        .selectExpr(
+            "doc_id", "source", "_gi", "_si",
+            "CASE WHEN _gi = 0 THEN cast(0.0 as double) "
+            "ELSE _si / (1000.0 * _gi) END AS _score"))
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs_total"),
+             F.sum(F.when(F.col("_si") > 0, 1).otherwise(0)).cast("long")
+             .alias("docs_conservados"),
+             F.sum("_si").cast("long").alias("_ssum"),
+             F.sum("_gi").cast("long").alias("_gsum"),
+             r6(F.max("_score")).alias("puntaje_max"),
+             r6(F.min("_score")).alias("puntaje_min"))
+        .select("source", "docs_total", "docs_conservados",
+                r6(F.when(F.col("_gsum") == 0, F.lit(0.0))
+                   .otherwise(F.col("_ssum") / (F.lit(1000.0)
+                                                * F.col("_gsum"))))
+                .alias("puntaje_medio"),
+                "puntaje_max", "puntaje_min")
+        .orderBy("source")
+    )
+
+
+SQL_DOC_HASH_CLASSIFIER = f"""
+WITH per_doc AS (
+  SELECT doc_id, source, _gi, _si,
+         CASE WHEN _gi = 0 THEN 0.0
+              ELSE _si / (1000.0 * _gi) END AS _score
+  FROM (
+    SELECT doc_id, source, greatest(0, len(_ws) - 1) AS _gi,
+           coalesce(list_sum(list_transform(range(1, len(_ws)),
+                                            i -> {_SQL_GRAM_W})), 0)::BIGINT
+             AS _si
+    FROM (SELECT doc_id, source, {SQL_WORDS} AS _ws FROM documents))
+), agg AS (
+  SELECT source, count(*)::BIGINT AS docs_total,
+         sum(CASE WHEN _si > 0 THEN 1 ELSE 0 END)::BIGINT
+           AS docs_conservados,
+         sum(_si)::BIGINT AS _ssum, sum(_gi)::BIGINT AS _gsum,
+         floor(max(_score) * 1000000 + 0.5) / 1000000 AS puntaje_max,
+         floor(min(_score) * 1000000 + 0.5) / 1000000 AS puntaje_min
+  FROM per_doc GROUP BY source
+)
+SELECT source, docs_total, docs_conservados,
+       floor(CASE WHEN _gsum = 0 THEN 0.0
+                  ELSE _ssum / (1000.0 * _gsum) END * 1000000 + 0.5)
+         / 1000000 AS puntaje_medio,
+       puntaje_max, puntaje_min
+FROM agg ORDER BY source
+"""
+
+register("doc_hash_classifier", q_doc_hash_classifier,
+         SQL_DOC_HASH_CLASSIFIER)
+
+
+# --------------------------------------------------------------------------
+# corpus_compaction_audit — the small-file compaction planner every
+# petabyte lake runs between ingestion and training reads: group the
+# table's files into sequential target-size output bins and report, per
+# source, how many files collapse into how many bins and how full the
+# bins land. Input "files" are synthesized deterministically from the
+# corpus (file = (source, doc_id % COMPACT_FILES_MOD), bytes = UTF-8
+# octets — the manifest shape sinks/shards.py writes for real).
+# Bin assignment is the sequential greedy rule: a file opens a new bin
+# when the running byte total crosses a COMPACT_TARGET boundary —
+# bin = (cum_before_file) div TARGET, exact integer arithmetic.
+#
+# Scale: the audit runs over the FILE MANIFEST (rows = files, not
+# docs) — millions of rows at 100 TB, not billions. The per-source
+# running sum uses grouped_positions' two-level cumsum (range partition
+# + triangular broadcast offsets), so one source owning most files
+# still fans across partitions; integer cum → bit-exact.
+# --------------------------------------------------------------------------
+
+COMPACT_FILES_MOD = 8
+COMPACT_TARGET = 4096  # compaction target bytes per output bin
+
+
+def q_corpus_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sorting import grouped_positions
+    docs = _docs(spark, sf_dir)
+    files = (docs.selectExpr("source",
+                             f"doc_id % {COMPACT_FILES_MOD} AS file_id",
+                             "octet_length(text) AS _b")
+             .groupBy("source", "file_id")
+             .agg(F.sum("_b").cast("long").alias("bytes")))
+    cum = grouped_positions(files, ["source"],
+                            [F.col("file_id").asc()], pos_col="_pos",
+                            cum_of=F.col("bytes"), cum_col="_cum")
+    binned = cum.selectExpr(
+        "source", "file_id", "bytes",
+        f"(_cum - bytes) div {COMPACT_TARGET} AS _bin")
+    per_bin = (binned.groupBy("source", "_bin")
+               .agg(F.count(F.lit(1)).cast("long").alias("_bf"),
+                    F.sum("bytes").cast("long").alias("_bb")))
+    return (
+        per_bin.groupBy("source")
+        .agg(F.sum("_bf").cast("long").alias("archivos"),
+             F.count(F.lit(1)).cast("long").alias("bins"),
+             F.sum("_bb").cast("long").alias("bytes_total"),
+             F.max("_bb").cast("long").alias("bytes_bin_max"),
+             F.max("_bf").cast("long").alias("archivos_bin_max"))
+        .select("source", "archivos", "bins", "bytes_total",
+                "bytes_bin_max", "archivos_bin_max",
+                r6(F.col("archivos") / F.col("bins"))
+                .alias("factor_compactacion"),
+                r6(F.col("bytes_total")
+                   / (F.col("bins") * F.lit(float(COMPACT_TARGET))))
+                .alias("llenado_medio"))
+        .orderBy("source")
+    )
+
+
+SQL_CORPUS_COMPACTION_AUDIT = f"""
+WITH files AS (
+  SELECT source, doc_id % {COMPACT_FILES_MOD} AS file_id,
+         sum(strlen(text))::BIGINT AS bytes
+  FROM documents GROUP BY source, doc_id % {COMPACT_FILES_MOD}
+), cum AS (
+  SELECT source, file_id, bytes,
+         sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+                          ROWS UNBOUNDED PRECEDING) AS _cum
+  FROM files
+), binned AS (
+  SELECT source, file_id, bytes, (_cum - bytes) // {COMPACT_TARGET} AS _bin
+  FROM cum
+), per_bin AS (
+  SELECT source, _bin, count(*)::BIGINT AS _bf, sum(bytes)::BIGINT AS _bb
+  FROM binned GROUP BY source, _bin
+), agg AS (
+  SELECT source, sum(_bf)::BIGINT AS archivos, count(*)::BIGINT AS bins,
+         sum(_bb)::BIGINT AS bytes_total, max(_bb)::BIGINT AS bytes_bin_max,
+         max(_bf)::BIGINT AS archivos_bin_max
+  FROM per_bin GROUP BY source
+)
+SELECT source, archivos, bins, bytes_total, bytes_bin_max,
+       archivos_bin_max,
+       floor(archivos::DOUBLE / bins * 1000000 + 0.5) / 1000000
+         AS factor_compactacion,
+       floor(bytes_total::DOUBLE / (bins * {COMPACT_TARGET}.0)
+             * 1000000 + 0.5) / 1000000 AS llenado_medio
+FROM agg ORDER BY source
+"""
+
+register("corpus_compaction_audit", q_corpus_compaction_audit,
+         SQL_CORPUS_COMPACTION_AUDIT)
+
+
+# --------------------------------------------------------------------------
+# doc_bm25_topk — BM25 retrieval over the corpus (k1 = 1.2, b = 0.75),
+# the ranking behind dedup-by-retrieval and eval-set mining: score every
+# document against a fixed query-term set and return the global top
+# BM25_TOP. Query terms are the hash-selected fifth of the vocabulary
+# (deterministic stand-in for a user query). The IDF uses the RATIONAL
+# form (N - df + 0.5)/(df + 0.5) — the argument of the standard
+# log-idf, kept unlogged because log/exp are not bit-portable across
+# engines (the doc_dsir_weights precedent); the tf saturation term is
+# textbook. Each (doc, term) contribution is quantized to 1e-6 BEFORE
+# summation, so the per-doc score is an exact INTEGER sum —
+# association-free across partitionings and engines.
+#
+# Scale: one wordcount-class shuffle for tf (map-side combine), df and
+# corpus stats are term-/1-row-sized broadcasts, and the query-term
+# probe is a broadcast semi-join — the classic BM25 shape. The global
+# top-k runs on per-doc SCORES (|matched docs| rows), a TakeOrdered,
+# never a single-partition sort of the corpus.
+# --------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+BM25_QMOD = 5  # hash-selected 1/5 of the vocabulary is "the query"
+
+# identical arithmetic text on both engines: double-precision ops are
+# deterministic given the same evaluation order.
+_BM25_CONTRIB = (
+    "floor(((2.0 * {N} - 2.0 * df + 1.0) / (2.0 * df + 1.0)) * "
+    "((tf * {k1p1}) / (tf + {k1} * ({omb} + {b} * "
+    "({dlcast} * {N} / {sumdl})))) * 1000000 + 0.5)"
+)
+
+
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    words = (docs.selectExpr("doc_id", "source", f"explode({WORDS}) AS w"))
+    tf = (words.groupBy("doc_id", "source", "w")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    # doc lengths derived FROM the tf table (docs are never re-scanned,
+    # and dl is doc-keyed for a co-partitioned join — never broadcast:
+    # it is corpus-sized).
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).cast("long").alias("_N"),
+                   F.sum("dl").cast("long").alias("_sumdl"))
+    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qterms = df_t.filter(F.expr(
+        f"cast(conv(substring(md5(w), 1, 7), 16, 10) as bigint) "
+        f"% {BM25_QMOD} = 0"))
+    contrib = (
+        tf.join(broadcast(qterms), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .selectExpr(
+            "doc_id", "source",
+            _BM25_CONTRIB.format(
+                N="_N", k1p1=BM25_K1 + 1, k1=BM25_K1, omb=1 - BM25_B,
+                b=BM25_B, dlcast="cast(dl as double)", sumdl="_sumdl")
+            + " AS _ci"))
+    scored = (contrib.groupBy("doc_id", "source")
+              .agg(F.sum("_ci").cast("long").alias("_c"),
+                   F.count(F.lit(1)).cast("long").alias("terminos")))
+    return (
+        scored.orderBy(F.col("_c").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP)
+        .select("doc_id", "source", "terminos",
+                r6(F.col("_c") / 1000000.0).alias("puntaje"))
+    )
+
+
+SQL_DOC_BM25_TOPK = f"""
+WITH words AS (
+  SELECT doc_id, source, unnest({SQL_WORDS}) AS w FROM documents
+), tf AS (
+  SELECT doc_id, source, w, count(*)::BIGINT AS tf
+  FROM words GROUP BY doc_id, source, w
+), dl AS (
+  SELECT doc_id, len({SQL_WORDS}) AS dl FROM documents
+), stats AS (
+  SELECT count(*)::BIGINT AS _N, sum(dl)::BIGINT AS _sumdl FROM dl
+), df_t AS (
+  SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY w
+), qterms AS (
+  SELECT w, df FROM df_t
+  WHERE ('0x' || substr(md5(w), 1, 7))::BIGINT % {BM25_QMOD} = 0
+), contrib AS (
+  SELECT t.doc_id, t.source,
+         {_BM25_CONTRIB.format(N="_N", k1p1=BM25_K1 + 1, k1=BM25_K1,
+                               omb=1 - BM25_B, b=BM25_B,
+                               dlcast="dl::DOUBLE", sumdl="_sumdl")} AS _ci
+  FROM tf t JOIN qterms q USING (w) JOIN dl USING (doc_id)
+  CROSS JOIN stats
+), scored AS (
+  SELECT doc_id, source, sum(_ci)::BIGINT AS _c,
+         count(*)::BIGINT AS terminos
+  FROM contrib GROUP BY doc_id, source
+)
+SELECT doc_id, source, terminos,
+       floor(_c / 1000000.0 * 1000000 + 0.5) / 1000000 AS puntaje
+FROM scored ORDER BY _c DESC, doc_id LIMIT {BM25_TOP}
+"""
+
+register("doc_bm25_topk", q_doc_bm25_topk, SQL_DOC_BM25_TOPK)
+
+
+# --------------------------------------------------------------------------
+# training_mix_epochs — the data-recipe table (the LLaMA/Gopher "epochs
+# per source" planning view): given the sqrt-dampened mixture weights
+# (source_mix's formula) and a total token budget of MIX_EPOCHS_MULT x
+# the corpus, how many tokens does each source contribute and how many
+# PASSES over its data does that imply? epochs > 1 is the repetition
+# warning the budget planner reads before committing a mixture —
+# up-weighted small sources repeat; the audit quantifies by how much.
+#
+# Scale: one wordcount-class aggregate to |sources| rows, a 1-row
+# broadcast of the totals, and closed-form arithmetic — corpus-size-
+# free after the single scan. sqrt only (bit-portable); the token
+# target is floor-quantized so every downstream figure is exact
+# integer arithmetic.
+# --------------------------------------------------------------------------
+
+MIX_EPOCHS_MULT = 2.0  # token budget = this x total corpus tokens
+
+
+def q_training_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    per_source = (docs.selectExpr("source", f"size({WORDS}) AS _t")
+                  .groupBy("source")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                       F.sum("_t").cast("long").alias("tokens")))
+    totals = per_source.agg(
+        F.sum("tokens").alias("_ttok"),
+        F.sum(F.sqrt(F.col("tokens"))).alias("_ssqrt"))
+    return (
+        per_source.crossJoin(broadcast(totals))
+        .selectExpr(
+            "source", "n_docs", "tokens",
+            "floor(sqrt(tokens) / _ssqrt * 1000000 + 0.5) / 1000000 "
+            "AS peso",
+            f"cast(floor({MIX_EPOCHS_MULT} * _ttok * "
+            f"(sqrt(tokens) / _ssqrt) + 0.5) as bigint) AS tokens_objetivo")
+        .selectExpr(
+            "source", "n_docs", "tokens", "peso", "tokens_objetivo",
+            "floor(cast(tokens_objetivo as double) / tokens "
+            "* 1000000 + 0.5) / 1000000 AS epocas",
+            "tokens_objetivo > tokens AS repetido")
+        .orderBy("source")
+    )
+
+
+SQL_TRAINING_MIX_EPOCHS = f"""
+WITH per_source AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len({SQL_WORDS}))::BIGINT AS tokens
+  FROM documents GROUP BY source
+), totals AS (
+  SELECT sum(tokens) AS _ttok, sum(sqrt(tokens)) AS _ssqrt FROM per_source
+), planned AS (
+  SELECT source, n_docs, tokens,
+         floor(sqrt(tokens) / _ssqrt * 1000000 + 0.5) / 1000000 AS peso,
+         floor({MIX_EPOCHS_MULT} * _ttok * (sqrt(tokens) / _ssqrt) + 0.5)
+           ::BIGINT AS tokens_objetivo
+  FROM per_source CROSS JOIN totals
+)
+SELECT source, n_docs, tokens, peso, tokens_objetivo,
+       floor(tokens_objetivo::DOUBLE / tokens * 1000000 + 0.5) / 1000000
+         AS epocas,
+       tokens_objetivo > tokens AS repetido
+FROM planned ORDER BY source
+"""
+
+register("training_mix_epochs", q_training_mix_epochs,
+         SQL_TRAINING_MIX_EPOCHS)
+
+
+# --------------------------------------------------------------------------
+# doc_langmix_detect — within-document code-switching: lang-id each
+# C4_LINE_W-word pseudo-chunk with the doc_lang_id stopword vote and
+# flag documents whose chunks disagree (en chunks AND es chunks). Whole-
+# doc lang-id (doc_lang_id) averages the votes away — a half-English
+# half-Spanish page looks confidently bilingual only at chunk
+# granularity. Mixed docs are the ones a monolingual filter silently
+# truncates and a tokenizer fertility estimate mis-prices.
+#
+# Scale: per-row folds over the staged word array (chunk slices are
+# positional — no explode, no shuffle), then a |langs|-row rollup.
+# --------------------------------------------------------------------------
+
+_EN_SW = "'the','and','of','is','to','in'"
+_ES_SW = "'el','la','de','los','un','en'"
+
+_CHUNK_EN = (f"size(filter(slice(_ws, i * {C4_LINE_W} + 1, "
+             f"least({C4_LINE_W}, _nw - i * {C4_LINE_W})), "
+             f"w -> w in ({_EN_SW})))")
+_CHUNK_ES = (f"size(filter(slice(_ws, i * {C4_LINE_W} + 1, "
+             f"least({C4_LINE_W}, _nw - i * {C4_LINE_W})), "
+             f"w -> w in ({_ES_SW})))")
+_SQL_CHUNK_EN = (f"len(list_filter(list_slice(_ws, i * {C4_LINE_W} + 1, "
+                 f"least((i + 1) * {C4_LINE_W}, _nw)), "
+                 f"w -> w IN ({_EN_SW})))")
+_SQL_CHUNK_ES = (f"len(list_filter(list_slice(_ws, i * {C4_LINE_W} + 1, "
+                 f"least((i + 1) * {C4_LINE_W}, _nw)), "
+                 f"w -> w IN ({_ES_SW})))")
+
+
+def q_doc_langmix_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    per_doc = (
+        docs.selectExpr("doc_id", "lang", f"{WORDS} AS _ws")
+        .selectExpr("doc_id", "lang", "_ws", "size(_ws) AS _nw")
+        .selectExpr("doc_id", "lang", "_ws", "_nw",
+                    f"(_nw + {C4_LINE_W - 1}) div {C4_LINE_W} AS _nl")
+        .selectExpr(
+            "doc_id", "lang", "_nl",
+            f"size(filter(sequence(0, _nl - 1), "
+            f"i -> {_CHUNK_EN} > {_CHUNK_ES})) AS _cen",
+            f"size(filter(sequence(0, _nl - 1), "
+            f"i -> {_CHUNK_ES} > {_CHUNK_EN})) AS _ces"))
+    return (
+        per_doc.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs"),
+             F.sum(F.when((F.col("_cen") > 0) & (F.col("_ces") > 0), 1)
+                   .otherwise(0)).cast("long").alias("docs_mezclados"),
+             F.sum("_cen").cast("long").alias("trozos_en"),
+             F.sum("_ces").cast("long").alias("trozos_es"),
+             F.sum(F.col("_nl") - F.col("_cen") - F.col("_ces"))
+             .cast("long").alias("trozos_unk"))
+        .select("lang", "docs", "docs_mezclados", "trozos_en", "trozos_es",
+                "trozos_unk",
+                r6(F.col("docs_mezclados") / F.col("docs"))
+                .alias("tasa_mezcla"))
+        .orderBy("lang")
+    )
+
+
+SQL_DOC_LANGMIX_DETECT = f"""
+WITH per_doc AS (
+  SELECT doc_id, lang, _nl,
+         len(list_filter(range(0, _nl),
+                         i -> {_SQL_CHUNK_EN} > {_SQL_CHUNK_ES})) AS _cen,
+         len(list_filter(range(0, _nl),
+                         i -> {_SQL_CHUNK_ES} > {_SQL_CHUNK_EN})) AS _ces
+  FROM (
+    SELECT doc_id, lang, _ws, _nw,
+           (_nw + {C4_LINE_W - 1}) // {C4_LINE_W} AS _nl
+    FROM (SELECT doc_id, lang, {SQL_WORDS} AS _ws,
+                 len({SQL_WORDS}) AS _nw
+          FROM documents))
+), agg AS (
+  SELECT lang, count(*)::BIGINT AS docs,
+         sum(CASE WHEN _cen > 0 AND _ces > 0 THEN 1 ELSE 0 END)::BIGINT
+           AS docs_mezclados,
+         sum(_cen)::BIGINT AS trozos_en, sum(_ces)::BIGINT AS trozos_es,
+         sum(_nl - _cen - _ces)::BIGINT AS trozos_unk
+  FROM per_doc GROUP BY lang
+)
+SELECT lang, docs, docs_mezclados, trozos_en, trozos_es, trozos_unk,
+       floor(docs_mezclados::DOUBLE / docs * 1000000 + 0.5) / 1000000
+         AS tasa_mezcla
+FROM agg ORDER BY lang
+"""
+
+register("doc_langmix_detect", q_doc_langmix_detect, SQL_DOC_LANGMIX_DETECT)

@@ -1070,3 +1070,164 @@ ORDER BY w.semana
 
 register("events_uniques_sketch", q_events_uniques_sketch,
          SQL_EVENTS_UNIQUES_SKETCH)
+
+
+# --------------------------------------------------------------------------
+# events_watermark_audit — the lateness profile that chooses a streaming
+# watermark delay: for each event, lateness = (max event-time seen so
+# far in ARRIVAL order) - (its own event time); the bucketed histogram
+# tells you what fraction of events a 1 m / 5 m / 1 h watermark would
+# drop. The synthetic feed arrives in perfect time order (lateness would
+# be identically zero), so arrival order is jitter-injected
+# deterministically — arrival key = ts + (event_id % 13)*97 - 582
+# seconds — the established synthesis pattern (PII scrub, C4 lines).
+#
+# Scale: the running max over the global arrival order uses the
+# two-level prefix-max (operators/sorting.global_running_max — range
+# partition, local window, |partitions|-row triangular broadcast), NOT
+# row_number/max OVER () on one partition: the audit stays fully
+# parallel at any event count. All lateness arithmetic is integer
+# seconds.
+# --------------------------------------------------------------------------
+
+WM_JITTER_MOD = 13
+WM_JITTER_STEP = 97  # arrival jitter: (event_id % 13) * 97 - 582 seconds
+
+
+def q_events_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sorting import global_running_max
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id", epoch_sec("ts").alias("_es"),
+        (epoch_sec("ts")
+         + (F.col("event_id") % WM_JITTER_MOD) * WM_JITTER_STEP
+         - F.lit(WM_JITTER_STEP * (WM_JITTER_MOD - 1) // 2)).alias("_ak"))
+    run = global_running_max(
+        keyed, [F.col("_ak").asc(), F.col("event_id").asc()], "_es",
+        out_col="_rm")
+    late = run.select((F.col("_rm") - F.col("_es")).alias("_late"))
+    bucketed = late.select(
+        F.when(F.col("_late") == 0, "1_a_tiempo")
+        .when(F.col("_late") <= 60, "2_hasta_1m")
+        .when(F.col("_late") <= 300, "3_hasta_5m")
+        .when(F.col("_late") <= 3600, "4_hasta_1h")
+        .otherwise("5_mas_1h").alias("retraso"), "_late")
+    total = bucketed.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    return (
+        bucketed.groupBy("retraso")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_eventos"),
+             F.max("_late").cast("long").alias("retraso_max_seg"))
+        .crossJoin(F.broadcast(total))
+        .select("retraso", "n_eventos", "retraso_max_seg",
+                r6(F.col("n_eventos") / F.col("_n")).alias("tasa"))
+        .orderBy("retraso")
+    )
+
+
+SQL_EVENTS_WATERMARK_AUDIT = f"""
+WITH keyed AS (
+  SELECT event_id, epoch_us(ts) // 1000000 AS _es,
+         epoch_us(ts) // 1000000
+           + (event_id % {WM_JITTER_MOD}) * {WM_JITTER_STEP}
+           - {WM_JITTER_STEP * (WM_JITTER_MOD - 1) // 2} AS _ak
+  FROM events
+), run AS (
+  SELECT _es, max(_es) OVER (ORDER BY _ak, event_id
+                             ROWS UNBOUNDED PRECEDING) AS _rm
+  FROM keyed
+), bucketed AS (
+  SELECT CASE WHEN _rm - _es = 0 THEN '1_a_tiempo'
+              WHEN _rm - _es <= 60 THEN '2_hasta_1m'
+              WHEN _rm - _es <= 300 THEN '3_hasta_5m'
+              WHEN _rm - _es <= 3600 THEN '4_hasta_1h'
+              ELSE '5_mas_1h' END AS retraso,
+         _rm - _es AS _late
+  FROM run
+), total AS (SELECT count(*)::BIGINT AS _n FROM bucketed)
+SELECT retraso, count(*)::BIGINT AS n_eventos,
+       max(_late)::BIGINT AS retraso_max_seg,
+       floor(count(*)::DOUBLE / max(t._n) * 1000000 + 0.5) / 1000000
+         AS tasa
+FROM bucketed CROSS JOIN total t
+GROUP BY retraso ORDER BY retraso
+"""
+
+register("events_watermark_audit", q_events_watermark_audit,
+         SQL_EVENTS_WATERMARK_AUDIT)
+
+
+# --------------------------------------------------------------------------
+# events_bot_detection — rate-based abuse filtering (the rule gate every
+# event pipeline runs before counting engagement, and a training-data
+# pipeline runs before trusting user-interaction signals): a user's peak
+# request rate is the max number of their events inside ANY sliding
+# BOT_WINDOW_SEC window; the per-peak-rate histogram shows where the
+# human/bot boundary sits, and users at or past BOT_RATE are flagged.
+#
+# Scale shape: the sliding count is a range-frame window partitioned by
+# user_id — cardinality grows WITH the data, so parallelism is never
+# capped (the events_rolling contrast: its key was |event_types|).
+# Integer counts only; one user-keyed shuffle, then a |buckets|-row
+# rollup with a 1-row broadcast total.
+# --------------------------------------------------------------------------
+
+BOT_WINDOW_SEC = 60
+BOT_RATE = 10  # >= this many events in one window flags the user
+
+
+def q_events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select("user_id", epoch_sec("ts").alias("_es"))
+    w = (Window.partitionBy("user_id").orderBy("_es")
+         .rangeBetween(-(BOT_WINDOW_SEC - 1), 0))
+    per_user = (keyed.withColumn("_r", F.count(F.lit(1)).over(w))
+                .groupBy("user_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("_n"),
+                     F.max("_r").cast("long").alias("_peak")))
+    bucketed = per_user.select(
+        "_n", "_peak",
+        F.when(F.col("_peak") <= 1, "1_individual")
+        .when(F.col("_peak") <= 3, "2_moderado")
+        .when(F.col("_peak") < BOT_RATE, "3_intenso")
+        .otherwise("4_bot").alias("ritmo"))
+    total = bucketed.agg(F.count(F.lit(1)).cast("long").alias("_t"))
+    return (bucketed.groupBy("ritmo")
+            .agg(F.count(F.lit(1)).cast("long").alias("usuarios"),
+                 F.sum("_n").cast("long").alias("eventos"),
+                 F.max("_peak").cast("long").alias("pico_max"))
+            .crossJoin(F.broadcast(total))
+            .select("ritmo", "usuarios", "eventos", "pico_max",
+                    r6(F.col("usuarios") / F.col("_t")).alias("tasa"))
+            .orderBy("ritmo"))
+
+
+SQL_EVENTS_BOT_DETECTION = f"""
+WITH keyed AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS _es FROM events
+), rated AS (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY _es
+                        RANGE BETWEEN {BOT_WINDOW_SEC - 1} PRECEDING
+                        AND CURRENT ROW) AS _r
+  FROM keyed
+), per_user AS (
+  SELECT user_id, count(*)::BIGINT AS _n, max(_r)::BIGINT AS _peak
+  FROM rated GROUP BY user_id
+), bucketed AS (
+  SELECT _n, _peak,
+         CASE WHEN _peak <= 1 THEN '1_individual'
+              WHEN _peak <= 3 THEN '2_moderado'
+              WHEN _peak < {BOT_RATE} THEN '3_intenso'
+              ELSE '4_bot' END AS ritmo
+  FROM per_user
+), total AS (SELECT count(*)::BIGINT AS _t FROM bucketed)
+SELECT ritmo, count(*)::BIGINT AS usuarios, sum(_n)::BIGINT AS eventos,
+       max(_peak)::BIGINT AS pico_max,
+       floor(count(*)::DOUBLE / max(t._t) * 1000000 + 0.5) / 1000000
+         AS tasa
+FROM bucketed CROSS JOIN total t
+GROUP BY ritmo ORDER BY ritmo
+"""
+
+register("events_bot_detection", q_events_bot_detection,
+         SQL_EVENTS_BOT_DETECTION)

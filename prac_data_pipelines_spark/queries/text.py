@@ -1915,3 +1915,80 @@ FROM pairs ORDER BY senal_a, senal_b
 """
 
 register("doc_signal_corr", q_doc_signal_corr, SQL_DOC_SIGNAL_CORR)
+
+
+# --------------------------------------------------------------------------
+# doc_ngram_novelty — dataset-ORDER novelty: what fraction of each
+# document's distinct shingles appear here for the FIRST time in doc_id
+# order? The complement of doc_dup_ngrams' symmetric duplication count:
+# dedup pipelines that keep the first occurrence (doc_dedup_keep_best's
+# lowest-id rule) and curriculum schedulers that front-load novel text
+# both read exactly this attribution. A doc with novelty 0 contributes
+# no gram the corpus hasn't already seen — the marginal-value signal
+# behind epoch-capping and repetition budgets.
+#
+# Scale shape: identical to doc_dup_ngrams — grams are md5-hashed to
+# bigints before the single gram-keyed shuffle, the first-occurrence
+# attribution is a gram-partitioned window min (the measured-faster
+# window form, not groupBy+self-join), then one per-doc aggregate and a
+# |sources|-row rollup. Nothing is collected or corpus-broadcast.
+# --------------------------------------------------------------------------
+
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    ds = (docs.selectExpr("doc_id", "source", "text", f"{WORDS} AS _ws")
+          .selectExpr("doc_id", "source",
+                      f"array_distinct(transform({_SHINGLES_WS}, "
+                      f"s -> {_h('s')})) AS _gs"))
+    # explode_outer: same InferFiltersFromGenerate guard as
+    # doc_dup_ngrams (_gs is never empty — the shingle CASE falls back
+    # to array(trim(text))).
+    pairs = ds.select("doc_id", "source", F.explode_outer("_gs").alias("g"))
+    first = F.min("doc_id").over(Window.partitionBy("g"))
+    per_doc = (pairs.withColumn("_f", first)
+               .groupBy("doc_id", "source")
+               .agg(F.count(F.lit(1)).alias("_total"),
+                    F.sum(F.when(F.col("_f") == F.col("doc_id"), 1)
+                          .otherwise(0)).alias("_new")))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("_new").cast("long").alias("ngramas_nuevos"),
+                 F.sum("_total").cast("long").alias("ngramas"),
+                 r4(F.avg(F.col("_new") / F.col("_total")))
+                 .alias("novedad_media"),
+                 F.sum(F.when(F.col("_new") == F.col("_total"), 1)
+                       .otherwise(0)).cast("long").alias("docs_todo_nuevo"),
+                 F.sum(F.when(F.col("_new") == 0, 1).otherwise(0))
+                 .cast("long").alias("docs_sin_novedad"))
+            .orderBy("source"))
+
+
+SQL_DOC_NGRAM_NOVELTY = f"""
+WITH ds AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}))
+           AS gs
+  FROM documents
+), p AS (
+  SELECT doc_id, source, unnest(gs) AS g FROM ds
+), attrib AS (
+  SELECT doc_id, source,
+         min(doc_id) OVER (PARTITION BY g) AS f
+  FROM p
+), d AS (
+  SELECT doc_id, source, count(*) AS total,
+         sum(CASE WHEN f = doc_id THEN 1 ELSE 0 END) AS new
+  FROM attrib GROUP BY doc_id, source
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(new)::BIGINT AS ngramas_nuevos, sum(total)::BIGINT AS ngramas,
+       floor(avg(new::DOUBLE / total) * 10000 + 0.5) / 10000
+         AS novedad_media,
+       sum(CASE WHEN new = total THEN 1 ELSE 0 END)::BIGINT
+         AS docs_todo_nuevo,
+       sum(CASE WHEN new = 0 THEN 1 ELSE 0 END)::BIGINT
+         AS docs_sin_novedad
+FROM d GROUP BY source ORDER BY source
+"""
+
+register("doc_ngram_novelty", q_doc_ngram_novelty, SQL_DOC_NGRAM_NOVELTY)

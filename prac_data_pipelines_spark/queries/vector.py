@@ -1647,3 +1647,165 @@ ORDER BY c.umbral
 """
 
 register("emb_dedup_curve", q_emb_dedup_curve, SQL_EMB_DEDUP_CURVE)
+
+
+# --------------------------------------------------------------------------
+# emb_decontaminate — SEMANTIC benchmark decontamination, completing the
+# decontamination family (doc_decontaminate = exact n-gram overlap,
+# doc_bloom_decontaminate = sketch-accelerated n-grams, this = embedding
+# cosine): a corpus vector is contaminated when its cosine against ANY
+# held benchmark embedding reaches EMB_DECON_COS — the guard that
+# catches paraphrased/translated eval leakage that n-gram overlap
+# misses. The benchmark set is synthesized deterministically as graded
+# perturbations of every EMB_DECON_MOD-th corpus vector (the
+# emb_dedup_curve cyclic-shift-mix pattern, alpha in {0, 0.2, 0.6} by
+# residue) so the threshold separates: alpha 0/0.2 land at cos ~1/~0.98
+# (caught), 0.6 at ~0.86 (kept), unrelated pairs near 0.
+#
+# Scale: benchmark sets are eval-sized (1e3-1e5 rows) and FIXED — they
+# do not grow with the corpus, so the bench selection is bounded by
+# EMB_DECON_MAX_ID as well as the residue (without the bound, the
+# replication scale probe grows both sides and the probe cost goes
+# quadratic — measured 5 s/52 s/309 s at 1x/8x/32x; with it, linear).
+# The bench set is broadcast to every executor and probed map-side (one
+# vectorized cosine per (corpus row, bench row)); the corpus itself
+# never shuffles before the |labels|-row rollup. For benchmark sets
+# past broadcast size, the sign-LSH bucketed pair join (emb_near_dup's
+# machinery) is the drop-in escalation path.
+# --------------------------------------------------------------------------
+
+EMB_DECON_MOD = 11
+EMB_DECON_MAX_ID = 100_000  # bench = a FIXED eval slice, not corpus-growing
+EMB_DECON_COS = 0.9
+
+_DECON_ROT = ("concat(slice(embedding, 2, size(embedding) - 1), "
+              "slice(embedding, 1, 1))")
+_DECON_ALPHA = ("CASE WHEN bid % 3 = 0 THEN cast(0.0 as double) "
+                "WHEN bid % 3 = 1 THEN cast(0.2 as double) "
+                "ELSE cast(0.6 as double) END")
+
+
+def q_emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    base = emb.selectExpr(
+        "vec_id", "label",
+        "transform(embedding, v -> cast(v as double)) AS embedding")
+    bench = (base.filter((F.col("vec_id") % EMB_DECON_MOD == 0)
+                         & (F.col("vec_id") < EMB_DECON_MAX_ID))
+             .selectExpr("vec_id AS bid", "embedding")
+             .selectExpr(
+                 "bid",
+                 f"zip_with(embedding, {_DECON_ROT}, "
+                 f"(a, b) -> a + ({_DECON_ALPHA}) * b) AS be"))
+    scored = (
+        base.join(broadcast(bench))
+        .selectExpr("vec_id", "label",
+                    f"{cosine_expr('embedding', 'be')} AS _cos")
+        .groupBy("vec_id", "label")
+        .agg(r6(F.max("_cos")).alias("_mc")))
+    return (
+        scored.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("vecs_total"),
+             F.sum(F.when(F.col("_mc") >= EMB_DECON_COS, 1).otherwise(0))
+             .cast("long").alias("vecs_contaminados"),
+             F.sum(F.when(F.col("_mc") < EMB_DECON_COS, 1).otherwise(0))
+             .cast("long").alias("vecs_conservados"),
+             F.max("_mc").alias("cos_max"))
+        .orderBy("label")
+    )
+
+
+SQL_EMB_DECONTAMINATE = f"""
+WITH based AS (
+  SELECT vec_id, label,
+         list_transform(embedding, v -> v::DOUBLE) AS embedding
+  FROM embeddings
+), bench AS (
+  SELECT bid,
+         list_transform(
+           list_zip(embedding,
+                    list_concat(list_slice(embedding, 2, len(embedding)),
+                                list_slice(embedding, 1, 1))),
+           x -> x[1] + (CASE WHEN bid % 3 = 0 THEN 0.0::DOUBLE
+                             WHEN bid % 3 = 1 THEN 0.2::DOUBLE
+                             ELSE 0.6::DOUBLE END) * x[2]) AS be
+  FROM (SELECT vec_id AS bid, embedding FROM based
+        WHERE vec_id % {EMB_DECON_MOD} = 0
+          AND vec_id < {EMB_DECON_MAX_ID})
+), scored AS (
+  SELECT vec_id, label,
+         floor(max({sql_cosine_expr('embedding', 'be')}) * 1000000 + 0.5)
+           / 1000000 AS _mc
+  FROM based CROSS JOIN bench
+  GROUP BY vec_id, label
+)
+SELECT label,
+       count(*)::BIGINT AS vecs_total,
+       sum(CASE WHEN _mc >= {EMB_DECON_COS} THEN 1 ELSE 0 END)::BIGINT
+         AS vecs_contaminados,
+       sum(CASE WHEN _mc < {EMB_DECON_COS} THEN 1 ELSE 0 END)::BIGINT
+         AS vecs_conservados,
+       max(_mc) AS cos_max
+FROM scored GROUP BY label ORDER BY label
+"""
+
+register("emb_decontaminate", q_emb_decontaminate, SQL_EMB_DECONTAMINATE)
+
+
+# --------------------------------------------------------------------------
+# ann_hard_negatives — hard-negative mining for contrastive training
+# (DPR/Contriever-style): for each query vector, the HN_K most-similar
+# corpus vectors with a DIFFERENT label — near the query in embedding
+# space but semantically wrong, the negatives that actually move a
+# retriever's loss. Random negatives are trivial at scale; the mining
+# job is exactly this label-filtered top-k.
+#
+# Scale shape: the knn_brute contract — the query batch is broadcast
+# (training batches are 1e2-1e5 rows), the corpus is scanned once
+# map-side with a vectorized cosine, the label filter prunes before
+# ranking, and the per-query rank window partitions by qid (|batch|
+# partitions; each holds at most the corpus' negatives for one query —
+# escalate to the sign-LSH bucketed probe (knn_lsh) when the per-query
+# candidate set must shrink before ranking).
+# --------------------------------------------------------------------------
+
+HN_K = 5
+
+
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).selectExpr(
+        "vec_id AS qid", "label AS qlabel", "embedding AS qe")
+    corpus = emb.filter(F.col("vec_id") >= 8).selectExpr(
+        "vec_id AS cid", "label AS neg_label", "embedding AS ce")
+    scored = (
+        broadcast(queries).crossJoin(corpus)
+        .filter(F.col("neg_label") != F.col("qlabel"))
+        .selectExpr("qid", "cid", "neg_label",
+                    f"{cosine_expr('qe', 'ce')} AS _cos")
+        .select("qid", "cid", "neg_label", r6(F.col("_cos")).alias("cos")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(),
+                                          F.col("cid").asc())
+    return (scored.withColumn("rango", F.row_number().over(w).cast("long"))
+            .filter(F.col("rango") <= HN_K)
+            .orderBy("qid", "rango"))
+
+
+SQL_ANN_HARD_NEGATIVES = f"""
+WITH scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, c.label AS neg_label,
+         floor({sql_cosine_expr('q.embedding', 'c.embedding')}
+               * 1000000 + 0.5) / 1000000 AS cos
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 8 AND c.vec_id >= 8 AND c.label <> q.label
+), ranked AS (
+  SELECT qid, cid, neg_label, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, cid ASC)::BIGINT AS rango
+  FROM scored
+)
+SELECT qid, cid, neg_label, cos, rango FROM ranked WHERE rango <= {HN_K}
+ORDER BY qid, rango
+"""
+
+register("ann_hard_negatives", q_ann_hard_negatives, SQL_ANN_HARD_NEGATIVES)

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -83,6 +84,83 @@ def stream_anomaly_monitor(events: DataFrame) -> DataFrame:
             _update,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_bot_detection — streaming twin of queries/events.py's
+# events_bot_detection: the per-user PEAK sliding-window rate maintained
+# across micro-batches. State per user is (running peak, n_total, the
+# event-seconds still inside the trailing window span) — the buffer is
+# pruned to [max_seen - (W-1), max_seen] after every batch, so state
+# stays O(peak) per key regardless of history length. Exact equality
+# with the batch range-frame window holds under event-time-ordered
+# delivery (the file-replay contract the other twins document); ties at
+# a batch boundary are re-anchored by the later tie, which sees the
+# full group in its retained buffer.
+# --------------------------------------------------------------------------
+
+BOT_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_total", LongType()),
+    StructField("pico", LongType()),
+    StructField("n_batch", LongType()),
+])
+
+BOT_STATE_SCHEMA = StructType([
+    StructField("peak", LongType()),
+    StructField("n_total", LongType()),
+    StructField("recent", ArrayType(LongType())),
+])
+
+
+def _bot_update(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+    import bisect
+
+    from ..queries.events import BOT_WINDOW_SEC
+
+    peak, n_total, recent = (state.get if state.exists else (0, 0, []))
+    buf = list(recent)
+    secs: list[int] = []
+    for pdf in pdfs:
+        secs.extend(int(s) for s in pdf["sec"])
+    secs.sort()
+    for t in secs:
+        bisect.insort(buf, t)
+    for t in secs:
+        lo = bisect.bisect_left(buf, t - (BOT_WINDOW_SEC - 1))
+        hi = bisect.bisect_right(buf, t)
+        peak = max(peak, hi - lo)
+    n_total += len(secs)
+    if buf:
+        cutoff = buf[-1] - (BOT_WINDOW_SEC - 1)
+        buf = [t for t in buf if t >= cutoff]
+    state.update((peak, n_total, buf))
+    yield pd.DataFrame({
+        "user_id": [key[0]],
+        "n_total": [n_total],
+        "pico": [peak],
+        "n_batch": [len(secs)],
+    })
+
+
+def stream_bot_detection(events: DataFrame) -> DataFrame:
+    """Per-user running peak sliding-window rate over a streaming events
+    frame (one row per user per micro-batch; ``pico`` is monotone, so
+    the max across emitted rows is the final peak)."""
+    from ..operators.timeops import epoch_sec
+
+    return (
+        events.select("user_id", epoch_sec("ts").alias("sec"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _bot_update,
+            outputStructType=BOT_OUTPUT_SCHEMA,
+            stateStructType=BOT_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

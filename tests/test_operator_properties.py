@@ -1238,3 +1238,774 @@ def test_doc_mixture_sample_equals_python_reference(spark, docs):
             assert got[s][k] == v, (s, k, got[s], w)
         assert abs(got[s]["tasa_objetivo"]
                    - math.floor(rate[s] * 1e6 + 0.5) / 1e6) <= 1e-6
+
+
+# --- global_running_max: two-level prefix max == plain global window ----
+
+_runmax_rows = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(-100, 100)),
+    min_size=1, max_size=60)
+
+
+@given(rows=_runmax_rows, parts=st.integers(1, 5))
+@settings(**SETTINGS)
+def test_global_running_max_equals_plain_window(spark, rows, parts):
+    """The range-partition + local-window + triangular-broadcast prefix
+    max must equal the single-partition global running max for every
+    input partitioning — duplicate order keys, negative values, and
+    1-row inputs included (ties broken by the unique id key)."""
+    from prac_data_pipelines_spark.operators.sorting import global_running_max
+
+    df = (spark.createDataFrame(
+        [(i, a, v) for i, (a, v) in enumerate(rows)],
+        "id long, a long, v long")
+        .repartition(parts))
+
+    keys = [F.col("a").asc(), F.col("id").asc()]
+    got = {r["id"]: r["rm"]
+           for r in global_running_max(df, keys, "v", out_col="rm")
+           .collect()}
+
+    want = {}
+    cur = None
+    for i, (a, v) in sorted(enumerate(rows), key=lambda t: (t[1][0], t[0])):
+        cur = v if cur is None else max(cur, v)
+        want[i] = cur
+    assert got == want
+
+
+# --- doc_c4_filters: injected-line rule battery == pure Python ----------
+
+_c4_docs = st.lists(
+    st.tuples(st.integers(0, 10_000),
+              st.lists(st.sampled_from(["aa", "bb", "cc"]),
+                       min_size=1, max_size=40)),
+    min_size=1, max_size=25, unique_by=lambda t: t[0])
+
+
+@given(docs=_c4_docs)
+@settings(**SETTINGS)
+def test_doc_c4_filters_equals_python_reference(spark, docs):
+    """The closed-form C4 battery (pseudo-lines, punctuation residue,
+    blocklist residues) must match a sequential Python evaluation of the
+    same rules — line-boundary word counts (last short line) included."""
+    import math
+    import os
+    import tempfile
+
+    from prac_data_pipelines_spark.queries.corpus import (
+        C4_BRACE_MOD,
+        C4_LINE_W,
+        C4_LOREM_MOD,
+        C4_MIN_LINE_WORDS,
+        C4_MIN_LINES,
+        q_doc_c4_filters,
+    )
+
+    d = tempfile.mkdtemp(prefix="c4_prop_")
+    rows = [(i, " ".join(ws), "s") for i, ws in docs]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = q_doc_c4_filters(spark, d).collect()[0].asDict()
+
+    tot = cons = pocas = bloq = ltot = lcons = 0
+    for i, ws in docs:
+        nw = len(ws)
+        nl = (nw + C4_LINE_W - 1) // C4_LINE_W
+        kl = sum(1 for j in range(nl)
+                 if (i + j) % 3 != 0
+                 and min(C4_LINE_W, nw - j * C4_LINE_W)
+                 >= C4_MIN_LINE_WORDS)
+        bl = int(i % C4_LOREM_MOD == 0 or i % C4_BRACE_MOD == 0)
+        tot += 1
+        cons += int(kl >= C4_MIN_LINES and bl == 0)
+        pocas += int(kl < C4_MIN_LINES)
+        bloq += bl
+        ltot += nl
+        lcons += kl
+    assert got["docs_total"] == tot
+    assert got["docs_conservados"] == cons
+    assert got["docs_pocas_lineas"] == pocas
+    assert got["docs_bloqueados"] == bloq
+    assert got["lineas_total"] == ltot
+    assert got["lineas_conservadas"] == lcons
+    assert got["tasa_lineas"] == math.floor(lcons / ltot * 1e6 + 0.5) / 1e6
+
+
+# --- doc_readability: vowel-run syllables == pure Python ----------------
+
+_read_docs = st.lists(
+    st.tuples(st.integers(0, 10_000),
+              st.lists(st.sampled_from(
+                  ["aa", "bcd", "queue", "rhythm", "xyz", "aeiouy",
+                   "banana", "strength", "ya"]),
+                  min_size=1, max_size=30)),
+    min_size=1, max_size=20, unique_by=lambda t: t[0])
+
+
+@given(docs=_read_docs)
+@settings(**SETTINGS)
+def test_doc_readability_equals_python_reference(spark, docs):
+    """The aggregate-ratio Flesch must match a Python evaluation of the
+    identical vowel-group heuristic (floor 1 syllable; vowel-less words
+    count as monosyllables) and the same single-division score."""
+    import math
+    import os
+    import re
+    import tempfile
+
+    from prac_data_pipelines_spark.queries.corpus import (
+        C4_LINE_W,
+        q_doc_readability,
+    )
+
+    d = tempfile.mkdtemp(prefix="read_prop_")
+    rows = [(i, " ".join(ws), "s") for i, ws in docs]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = q_doc_readability(spark, d).collect()[0].asDict()
+
+    def syl(w):
+        return max(1, sum(1 for s in re.split("[^aeiouy]+", w) if s))
+
+    ndocs = len(docs)
+    pal = sum(len(ws) for _, ws in docs)
+    sil = sum(syl(w) for _, ws in docs for w in ws)
+    ora = sum(max(1, len(ws) // C4_LINE_W) for _, ws in docs)
+    mono = sum(1 for _, ws in docs for w in ws if syl(w) == 1)
+
+    def q(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    assert got["docs"] == ndocs
+    assert got["palabras"] == pal
+    assert got["silabas"] == sil
+    assert got["oraciones"] == ora
+    assert got["monosilabas"] == mono
+    assert got["silabas_por_palabra"] == q(sil / pal)
+    assert got["palabras_por_oracion"] == q(pal / ora)
+    assert got["tasa_monosilabas"] == q(mono / pal)
+    assert abs(got["flesch"]
+               - q(206.835 - 1.015 * (pal / ora) - 84.6 * (sil / pal))
+               ) <= 2e-6
+
+
+# --- doc_hash_classifier: hashed-bigram linear gate == pure Python ------
+
+_clf_docs = st.lists(
+    st.tuples(st.integers(0, 10_000),
+              st.lists(st.sampled_from(
+                  ["the", "of", "data", "spark", "xx", "yy"]),
+                  min_size=1, max_size=25)),
+    min_size=1, max_size=20, unique_by=lambda t: t[0])
+
+
+@given(docs=_clf_docs)
+@settings(**SETTINGS)
+def test_doc_hash_classifier_equals_python_reference(spark, docs):
+    """The arithmetic-weight bigram scorer must match a sequential
+    Python scorer with the same md5-derived integer weights — 1-word
+    documents (zero bigrams) scoring exactly 0 included."""
+    import hashlib
+    import math
+    import os
+    import tempfile
+
+    from prac_data_pipelines_spark.queries.corpus import (
+        q_doc_hash_classifier,
+    )
+
+    d = tempfile.mkdtemp(prefix="clf_prop_")
+    rows = [(i, " ".join(ws), "s") for i, ws in docs]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = q_doc_hash_classifier(spark, d).collect()[0].asDict()
+
+    def w(a, b):
+        return int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:7],
+                   16) % 2001 - 1000
+
+    scores, sis, gis = [], [], []
+    for _, ws in docs:
+        gi = max(0, len(ws) - 1)
+        si = sum(w(ws[j], ws[j + 1]) for j in range(len(ws) - 1))
+        gis.append(gi)
+        sis.append(si)
+        scores.append(0.0 if gi == 0 else si / (1000.0 * gi))
+
+    def q(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    gsum = sum(gis)
+    assert got["docs_total"] == len(docs)
+    assert got["docs_conservados"] == sum(1 for s in sis if s > 0)
+    assert got["puntaje_medio"] == q(
+        0.0 if gsum == 0 else sum(sis) / (1000.0 * gsum))
+    assert got["puntaje_max"] == q(max(scores))
+    assert got["puntaje_min"] == q(min(scores))
+
+
+# --- corpus_compaction_audit: greedy byte bins == pure Python -----------
+
+_compact_docs = st.lists(
+    st.tuples(st.integers(0, 10_000),
+              st.sampled_from(["s0", "s1"]),
+              st.text(alphabet="ab é", min_size=0, max_size=400)),
+    min_size=1, max_size=30, unique_by=lambda t: t[0])
+
+
+@given(docs=_compact_docs)
+@settings(**SETTINGS)
+def test_corpus_compaction_audit_equals_python_reference(spark, docs):
+    """The two-level-cumsum bin planner must match a sequential greedy
+    binning over the same synthesized file manifest — UTF-8 octet
+    lengths (multi-byte chars), empty files, and single-file sources."""
+    import math
+    import os
+    import tempfile
+    from collections import defaultdict
+
+    from prac_data_pipelines_spark.queries.corpus import (
+        COMPACT_FILES_MOD,
+        COMPACT_TARGET,
+        q_corpus_compaction_audit,
+    )
+
+    d = tempfile.mkdtemp(prefix="compact_prop_")
+    rows = [(i, t, s) for i, s, t in docs]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r["source"]: r.asDict()
+           for r in q_corpus_compaction_audit(spark, d).collect()}
+
+    files = defaultdict(int)
+    for i, s, t in docs:
+        files[(s, i % COMPACT_FILES_MOD)] += len(t.encode("utf-8"))
+    per_src = defaultdict(list)
+    for (s, fid), b in files.items():
+        per_src[s].append((fid, b))
+
+    def q(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    for s, fl in per_src.items():
+        fl.sort()
+        bins = defaultdict(lambda: [0, 0])
+        cum = 0
+        for _, b in fl:
+            bins[cum // COMPACT_TARGET][0] += 1
+            bins[cum // COMPACT_TARGET][1] += b
+            cum += b
+        g = got[s]
+        assert g["archivos"] == len(fl)
+        assert g["bins"] == len(bins)
+        assert g["bytes_total"] == cum
+        assert g["bytes_bin_max"] == max(v[1] for v in bins.values())
+        assert g["archivos_bin_max"] == max(v[0] for v in bins.values())
+        assert g["factor_compactacion"] == q(len(fl) / len(bins))
+        assert g["llenado_medio"] == q(
+            cum / (len(bins) * float(COMPACT_TARGET)))
+
+
+# --- doc_bm25_topk: distributed BM25 == pure Python ---------------------
+
+_bm25_docs = st.lists(
+    st.tuples(st.integers(0, 10_000),
+              st.lists(st.sampled_from(
+                  ["the", "of", "data", "spark", "scan", "xx", "yy",
+                   "zz"]),
+                  min_size=1, max_size=20)),
+    min_size=2, max_size=20, unique_by=lambda t: t[0])
+
+
+@given(docs=_bm25_docs)
+@settings(**SETTINGS)
+def test_doc_bm25_topk_equals_python_reference(spark, docs):
+    """The shuffled tf/df/dl BM25 must match a sequential Python scorer
+    with the identical rational-idf contribution, identical 1e-6
+    pre-summation quantization, and the same (-score, doc_id) top-k
+    tiebreak."""
+    import hashlib
+    import math
+    import os
+    import tempfile
+    from collections import Counter
+
+    from prac_data_pipelines_spark.queries.corpus import (
+        BM25_B,
+        BM25_K1,
+        BM25_QMOD,
+        BM25_TOP,
+        q_doc_bm25_topk,
+    )
+
+    d = tempfile.mkdtemp(prefix="bm25_prop_")
+    rows = [(i, " ".join(ws), "s") for i, ws in docs]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = [(r["doc_id"], r["terminos"], r["puntaje"])
+           for r in q_doc_bm25_topk(spark, d).collect()]
+
+    tf = {i: Counter(ws) for i, ws in docs}
+    dl = {i: len(ws) for i, ws in docs}
+    n = len(docs)
+    sumdl = sum(dl.values())
+    dft = Counter(w for c in tf.values() for w in c)
+
+    def is_q(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:7],
+                   16) % BM25_QMOD == 0
+
+    scored = []
+    for i, c in tf.items():
+        ci = 0
+        terms = 0
+        for w, f in c.items():
+            if not is_q(w):
+                continue
+            terms += 1
+            idf = (2.0 * n - 2.0 * dft[w] + 1.0) / (2.0 * dft[w] + 1.0)
+            sat = (f * (BM25_K1 + 1)) / (
+                f + BM25_K1 * ((1 - BM25_B)
+                               + BM25_B * (float(dl[i]) * n / sumdl)))
+            ci += math.floor(idf * sat * 1_000_000 + 0.5)
+        if terms:
+            scored.append((i, terms, ci))
+    scored.sort(key=lambda t: (-t[2], t[0]))
+    want = [(i, t, math.floor(c / 1e6 * 1e6 + 0.5) / 1e6)
+            for i, t, c in scored[:BM25_TOP]]
+    assert got == want
+
+
+# --- events_watermark_audit: jittered lateness == pure Python -----------
+
+_wm_events = st.lists(
+    st.tuples(st.integers(0, 10_000), st.integers(0, 5_000)),
+    min_size=1, max_size=50, unique_by=lambda t: t[0])
+
+
+@given(events=_wm_events)
+@settings(**SETTINGS)
+def test_events_watermark_audit_equals_python_reference(spark, events):
+    """The two-level prefix-max lateness histogram must match a
+    sequential arrival-order replay — ties in the arrival key resolved
+    by event_id on both sides."""
+    import math
+    import os
+    import tempfile
+    from collections import defaultdict
+
+    from prac_data_pipelines_spark.queries.events import (
+        WM_JITTER_MOD,
+        WM_JITTER_STEP,
+        q_events_watermark_audit,
+    )
+
+    d = tempfile.mkdtemp(prefix="wm_prop_")
+    df = spark.createDataFrame(
+        [(i, 0, "t", 0.0, "{}", s) for i, s in events],
+        "event_id long, user_id long, event_type string, value double, "
+        "props string, sec long")
+    (df.withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+     .write.mode("overwrite").parquet(os.path.join(d, "events.parquet")))
+    got = {r["retraso"]: (r["n_eventos"], r["retraso_max_seg"], r["tasa"])
+           for r in q_events_watermark_audit(spark, d).collect()}
+
+    off = WM_JITTER_STEP * (WM_JITTER_MOD - 1) // 2
+    order = sorted(events,
+                   key=lambda t: (t[1] + (t[0] % WM_JITTER_MOD)
+                                  * WM_JITTER_STEP - off, t[0]))
+    buckets = defaultdict(lambda: [0, 0])
+    rm = None
+    for _, es in order:
+        rm = es if rm is None else max(rm, es)
+        late = rm - es
+        b = ("1_a_tiempo" if late == 0 else
+             "2_hasta_1m" if late <= 60 else
+             "3_hasta_5m" if late <= 300 else
+             "4_hasta_1h" if late <= 3600 else "5_mas_1h")
+        buckets[b][0] += 1
+        buckets[b][1] = max(buckets[b][1], late)
+    total = len(events)
+    want = {b: (c, m, math.floor(c / total * 1e6 + 0.5) / 1e6)
+            for b, (c, m) in buckets.items()}
+    assert got == want
+
+
+# --- emb_decontaminate: broadcast cosine probe == pure Python -----------
+
+_decon_rows = st.lists(
+    st.lists(st.integers(-4, 4), min_size=6, max_size=6)
+    .filter(lambda v: any(v)),
+    min_size=1, max_size=15)
+
+
+@given(rows=_decon_rows)
+@settings(**SETTINGS)
+def test_emb_decontaminate_equals_python_reference(spark, rows):
+    """The broadcast semantic-decontamination probe must match a
+    sequential Python scan with the same rotated-mix benchmark
+    synthesis, the same sequential-fold cosine, and the same r6-then-
+    threshold contamination rule."""
+    import math
+    import os
+    import tempfile
+
+    from prac_data_pipelines_spark.queries.vector import (
+        EMB_DECON_COS,
+        EMB_DECON_MOD,
+        q_emb_decontaminate,
+    )
+
+    d = tempfile.mkdtemp(prefix="decon_prop_")
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in r], i % 2) for i, r in enumerate(rows)],
+        "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    got = {r["label"]: r.asDict()
+           for r in q_emb_decontaminate(spark, d).collect()}
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for y in b:
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    bench = []
+    for bid, r in enumerate(rows):
+        if bid % EMB_DECON_MOD:
+            continue
+        a = [float(v) for v in r]
+        rot = a[1:] + a[:1]
+        alpha = {0: 0.0, 1: 0.2, 2: 0.6}[bid % 3]
+        bench.append([x + alpha * y for x, y in zip(a, rot)])
+
+    want = {}
+    for i, r in enumerate(rows):
+        a = [float(v) for v in r]
+        mc = math.floor(max(cos(a, b) for b in bench) * 1e6 + 0.5) / 1e6
+        w = want.setdefault(i % 2, {"vecs_total": 0, "vecs_contaminados": 0,
+                                    "vecs_conservados": 0, "cos_max": -2.0})
+        w["vecs_total"] += 1
+        w["vecs_contaminados"] += int(mc >= EMB_DECON_COS)
+        w["vecs_conservados"] += int(mc < EMB_DECON_COS)
+        w["cos_max"] = max(w["cos_max"], mc)
+    assert set(got) == set(want)
+    for lbl, w in want.items():
+        g = got[lbl]
+        for k in ("vecs_total", "vecs_contaminados", "vecs_conservados"):
+            assert g[k] == w[k], (lbl, k, g, w)
+        assert abs(g["cos_max"] - w["cos_max"]) <= 2e-6
+
+
+# --- doc_ngram_novelty: window-min attribution == pure Python -----------
+
+_novel_docs = st.lists(
+    st.tuples(st.integers(0, 10_000),
+              st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                       min_size=1, max_size=12)),
+    min_size=1, max_size=20, unique_by=lambda t: t[0])
+
+
+@given(docs=_novel_docs)
+@settings(**SETTINGS)
+def test_doc_ngram_novelty_equals_python_reference(spark, docs):
+    """The gram-partitioned window-min first-occurrence attribution must
+    match a sequential doc_id-order replay: distinct 3-shingles per doc
+    (short-doc fallback = whole text), a gram is novel in the LOWEST
+    doc_id containing it, per-source rollup identical."""
+    import hashlib
+    import math
+    import os
+    import tempfile
+
+    from prac_data_pipelines_spark.queries.text import (
+        q_doc_ngram_novelty,
+    )
+
+    d = tempfile.mkdtemp(prefix="novel_prop_")
+    rows = [(i, " ".join(ws), "s") for i, ws in docs]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = q_doc_ngram_novelty(spark, d).collect()[0].asDict()
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+    grams = {}
+    for i, ws in docs:
+        gs = ({h(" ".join(ws[j:j + 3])) for j in range(len(ws) - 2)}
+              if len(ws) >= 3 else {h(" ".join(ws))})
+        grams[i] = gs
+    first = {}
+    for i in sorted(grams):
+        for g in grams[i]:
+            first.setdefault(g, i)
+
+    totals = {i: len(gs) for i, gs in grams.items()}
+    news = {i: sum(1 for g in gs if first[g] == i)
+            for i, gs in grams.items()}
+    n = len(docs)
+    assert got["n_docs"] == n
+    assert got["ngramas"] == sum(totals.values())
+    assert got["ngramas_nuevos"] == sum(news.values())
+    assert got["docs_todo_nuevo"] == sum(
+        1 for i in grams if news[i] == totals[i])
+    assert got["docs_sin_novedad"] == sum(1 for i in grams if news[i] == 0)
+    want_mean = math.floor(
+        sum(news[i] / totals[i] for i in grams) / n * 10000 + 0.5) / 10000
+    assert abs(got["novedad_media"] - want_mean) <= 2e-4
+
+
+# --- ann_hard_negatives: label-filtered top-k == pure Python ------------
+
+_hn_rows = st.lists(
+    st.tuples(st.lists(st.integers(-4, 4), min_size=6, max_size=6)
+              .filter(lambda v: any(v)),
+              st.integers(0, 2)),
+    min_size=9, max_size=20)
+
+
+@given(rows=_hn_rows)
+@settings(**SETTINGS)
+def test_ann_hard_negatives_equals_python_reference(spark, rows):
+    """The broadcast label-filtered mining must match a sequential scan:
+    same r6-before-rank cosine, same different-label filter, same
+    (cos desc, cid asc) tiebreak, same top-HN_K cut."""
+    import math
+    import os
+    import tempfile
+
+    from prac_data_pipelines_spark.queries.vector import (
+        HN_K,
+        q_ann_hard_negatives,
+    )
+
+    d = tempfile.mkdtemp(prefix="hn_prop_")
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in r], lb) for i, (r, lb) in enumerate(rows)],
+        "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    got = [(r["qid"], r["cid"], r["neg_label"], r["cos"], r["rango"])
+           for r in q_ann_hard_negatives(spark, d).collect()]
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    want = []
+    for qid in range(min(8, len(rows))):
+        qv = [float(v) for v in rows[qid][0]]
+        ql = rows[qid][1]
+        cands = []
+        for cid in range(8, len(rows)):
+            cv, cl = rows[cid]
+            if cl == ql:
+                continue
+            c = math.floor(cos(qv, [float(v) for v in cv]) * 1e6
+                           + 0.5) / 1e6
+            cands.append((cid, cl, c))
+        cands.sort(key=lambda t: (-t[2], t[0]))
+        for rank, (cid, cl, c) in enumerate(cands[:HN_K], start=1):
+            want.append((qid, cid, cl, c, rank))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3] and g[4] == w[4], (g, w)
+        assert abs(g[3] - w[3]) <= 2e-6
+
+
+# --- events_bot_detection: sliding peak rate == pure Python -------------
+
+_bot_events = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 400)),
+    min_size=1, max_size=60)
+
+
+@given(events=_bot_events)
+@settings(**SETTINGS)
+def test_events_bot_detection_equals_python_reference(spark, events):
+    """The range-frame peak rate must match a sequential per-user sweep
+    (window anchored at each event, ties included on both sides), and
+    the bucket rollup must match exactly — integer counts only."""
+    import math
+    import os
+    import tempfile
+    from collections import defaultdict
+
+    from prac_data_pipelines_spark.queries.events import (
+        BOT_RATE,
+        BOT_WINDOW_SEC,
+        q_events_bot_detection,
+    )
+
+    d = tempfile.mkdtemp(prefix="bot_prop_")
+    df = spark.createDataFrame(
+        [(i, u, "t", 0.0, "{}", s) for i, (u, s) in enumerate(events)],
+        "event_id long, user_id long, event_type string, value double, "
+        "props string, sec long")
+    (df.withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+     .write.mode("overwrite").parquet(os.path.join(d, "events.parquet")))
+    got = {r["ritmo"]: (r["usuarios"], r["eventos"], r["pico_max"],
+                        r["tasa"])
+           for r in q_events_bot_detection(spark, d).collect()}
+
+    by_user = defaultdict(list)
+    for u, s in events:
+        by_user[u].append(s)
+    buckets = defaultdict(lambda: [0, 0, 0])
+    for u, secs in by_user.items():
+        secs.sort()
+        peak = max(sum(1 for t in secs
+                       if s - (BOT_WINDOW_SEC - 1) <= t <= s)
+                   for s in secs)
+        b = ("1_individual" if peak <= 1 else
+             "2_moderado" if peak <= 3 else
+             "3_intenso" if peak < BOT_RATE else "4_bot")
+        buckets[b][0] += 1
+        buckets[b][1] += len(secs)
+        buckets[b][2] = max(buckets[b][2], peak)
+    total = len(by_user)
+    want = {b: (us, ev, pk, math.floor(us / total * 1e6 + 0.5) / 1e6)
+            for b, (us, ev, pk) in buckets.items()}
+    assert got == want
+
+
+# --- training_mix_epochs: recipe arithmetic == pure Python --------------
+
+_mix_epoch_docs = st.lists(
+    st.tuples(st.integers(0, 10_000),
+              st.sampled_from(["s0", "s1", "s2"]),
+              st.lists(st.sampled_from(["aa", "bb"]), min_size=1,
+                       max_size=20)),
+    min_size=2, max_size=25, unique_by=lambda t: t[0])
+
+
+@given(docs=_mix_epoch_docs)
+@settings(**SETTINGS)
+def test_training_mix_epochs_equals_python_reference(spark, docs):
+    """The recipe table must match a sequential computation of the same
+    sqrt-dampened weights and floor-quantized token targets; the
+    repetition flag is exact integer comparison."""
+    import math
+    import os
+    import tempfile
+    from collections import defaultdict
+
+    from prac_data_pipelines_spark.queries.corpus import (
+        MIX_EPOCHS_MULT,
+        q_training_mix_epochs,
+    )
+
+    d = tempfile.mkdtemp(prefix="mixep_prop_")
+    rows = [(i, " ".join(ws), s) for i, s, ws in docs]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r["source"]: r.asDict()
+           for r in q_training_mix_epochs(spark, d).collect()}
+
+    toks = defaultdict(int)
+    ndocs = defaultdict(int)
+    for _, s, ws in docs:
+        toks[s] += len(ws)
+        ndocs[s] += 1
+    ttok = sum(toks.values())
+    ssqrt = sum(math.sqrt(t) for t in sorted(toks.values()))
+
+    assert set(got) == set(toks)
+    for s, t in toks.items():
+        g = got[s]
+        assert g["n_docs"] == ndocs[s]
+        assert g["tokens"] == t
+        assert abs(g["peso"]
+                   - math.floor(math.sqrt(t) / ssqrt * 1e6 + 0.5) / 1e6
+                   ) <= 2e-6
+        obj = math.floor(MIX_EPOCHS_MULT * ttok
+                         * (math.sqrt(t) / ssqrt) + 0.5)
+        assert abs(g["tokens_objetivo"] - obj) <= 1
+        assert abs(g["epocas"]
+                   - math.floor(g["tokens_objetivo"] / t * 1e6 + 0.5) / 1e6
+                   ) <= 2e-6
+        assert g["repetido"] == (g["tokens_objetivo"] > t)
+
+
+# --- doc_langmix_detect: chunk-level stopword votes == pure Python ------
+
+_langmix_docs = st.lists(
+    st.tuples(st.integers(0, 10_000),
+              st.sampled_from(["en", "es"]),
+              st.lists(st.sampled_from(
+                  ["the", "of", "is", "el", "la", "de", "xx", "yy"]),
+                  min_size=1, max_size=40)),
+    min_size=1, max_size=20, unique_by=lambda t: t[0])
+
+
+@given(docs=_langmix_docs)
+@settings(**SETTINGS)
+def test_doc_langmix_detect_equals_python_reference(spark, docs):
+    """The positional-slice chunk votes must match a sequential chunker:
+    same C4_LINE_W chunks (short tail included), same en/es stopword
+    majority per chunk, same mixed-doc flag and per-lang rollup."""
+    import math
+    import os
+    import tempfile
+    from collections import defaultdict
+
+    from prac_data_pipelines_spark.queries.corpus import (
+        C4_LINE_W,
+        q_doc_langmix_detect,
+    )
+
+    d = tempfile.mkdtemp(prefix="langmix_prop_")
+    rows = [(i, " ".join(ws), "s", lg) for i, lg, ws in docs]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r["lang"]: r.asDict()
+           for r in q_doc_langmix_detect(spark, d).collect()}
+
+    en = {"the", "and", "of", "is", "to", "in"}
+    es = {"el", "la", "de", "los", "un", "en"}
+    agg = defaultdict(lambda: {"docs": 0, "docs_mezclados": 0,
+                               "trozos_en": 0, "trozos_es": 0,
+                               "trozos_unk": 0})
+    for _, lg, ws in docs:
+        nl = (len(ws) + C4_LINE_W - 1) // C4_LINE_W
+        cen = ces = 0
+        for j in range(nl):
+            chunk = ws[j * C4_LINE_W:(j + 1) * C4_LINE_W]
+            ven = sum(1 for w in chunk if w in en)
+            ves = sum(1 for w in chunk if w in es)
+            if ven > ves:
+                cen += 1
+            elif ves > ven:
+                ces += 1
+        a = agg[lg]
+        a["docs"] += 1
+        a["docs_mezclados"] += int(cen > 0 and ces > 0)
+        a["trozos_en"] += cen
+        a["trozos_es"] += ces
+        a["trozos_unk"] += nl - cen - ces
+    assert set(got) == set(agg)
+    for lg, w in agg.items():
+        g = got[lg]
+        for k, v in w.items():
+            assert g[k] == v, (lg, k, g, w)
+        assert g["tasa_mezcla"] == math.floor(
+            w["docs_mezclados"] / w["docs"] * 1e6 + 0.5) / 1e6

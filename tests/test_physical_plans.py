@@ -556,6 +556,195 @@ def test_doc_length_buckets_has_no_per_source_window(spark, sf_dir):
         assert "_pid" in spec, spec
 
 
+def test_doc_c4_filters_is_map_side_fold(spark, sf_dir):
+    """The C4 rule battery is closed-form integer arithmetic per
+    document: the plan must be scan -> fold -> per-source aggregate —
+    no window, no join, no SinglePartition funnel anywhere."""
+    from prac_data_pipelines_spark.queries.corpus import q_doc_c4_filters
+
+    plan = _plan(q_doc_c4_filters(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_doc_readability_is_map_side_fold(spark, sf_dir):
+    """Readability sums are per-row integer folds + one per-source
+    rollup — same no-window/no-join/no-funnel contract as the C4
+    battery."""
+    from prac_data_pipelines_spark.queries.corpus import q_doc_readability
+
+    plan = _plan(q_doc_readability(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_doc_hash_classifier_has_no_weight_join(spark, sf_dir):
+    """The hashed-bigram gate's weight 'lookup' is arithmetic over the
+    gram hash — the plan must contain NO join at all (no weight table,
+    no explode-regroup), no window, and no SinglePartition."""
+    from prac_data_pipelines_spark.queries.corpus import (
+        q_doc_hash_classifier,
+    )
+
+    plan = _plan(q_doc_hash_classifier(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_corpus_compaction_audit_grouped_window(spark, sf_dir):
+    """The per-source running byte total must ride grouped_positions:
+    every window partitions by (range-partition id, source) — one
+    dominant source never collapses to a single task — and nothing
+    funnels through SinglePartition."""
+    import re
+
+    from prac_data_pipelines_spark.queries.corpus import (
+        q_corpus_compaction_audit,
+    )
+
+    plan = _plan(q_corpus_compaction_audit(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for spec in specs:
+        assert "_pid" in spec, spec
+
+
+def test_doc_bm25_topk_broadcasts_probe_and_takeordered(spark, sf_dir):
+    """BM25's query-term probe must be a broadcast hash join against the
+    term-keyed tf table, the global top-k must be a TakeOrdered (never a
+    full sort), and the only SinglePartition is the 1-row corpus-stats
+    aggregate."""
+    from prac_data_pipelines_spark.queries.corpus import q_doc_bm25_topk
+
+    plan = _plan(q_doc_bm25_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SinglePartition") <= 1
+
+
+def test_events_watermark_audit_two_level_prefix_max(spark, sf_dir):
+    """The arrival-order running max must be the two-level prefix max:
+    every window partitions by the range-partition id (never a global
+    unpartitioned window), the prefix combine is a broadcast join, and
+    the only SinglePartition is the bounded total-count aggregate."""
+    import re
+
+    from prac_data_pipelines_spark.queries.events import (
+        q_events_watermark_audit,
+    )
+
+    plan = _plan(q_events_watermark_audit(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("SinglePartition") <= 1
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for spec in specs:
+        assert "_pid" in spec, spec
+
+
+def test_emb_decontaminate_broadcasts_bench_set(spark, sf_dir):
+    """The benchmark embeddings must reach the corpus as a broadcast
+    (eval-set-sized), the corpus itself never shuffling before the
+    per-vector rollup: broadcast nested-loop probe, no CartesianProduct,
+    no window, no SinglePartition."""
+    from prac_data_pipelines_spark.queries.vector import (
+        q_emb_decontaminate,
+    )
+
+    plan = _plan(q_emb_decontaminate(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_doc_ngram_novelty_windows_on_hashed_grams(spark, sf_dir):
+    """doc_ngram_novelty must shuffle HASHED grams and attach the
+    first-occurrence doc via ONE gram-partitioned window min (unbounded
+    parallelism — gram cardinality scales with the corpus), never a
+    groupBy + self-join and never a single-partition stage."""
+    import re
+
+    from prac_data_pipelines_spark.queries.text import q_doc_ngram_novelty
+
+    plan = _plan(q_doc_ngram_novelty(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("Window [") == 1
+    spec = re.search(r"Window \[min\(doc_id[^\]]*windowspecdefinition\((\w+)#",
+                     plan)
+    assert spec and spec.group(1) == "g", plan[:2000]
+
+
+def test_ann_hard_negatives_broadcasts_query_batch(spark, sf_dir):
+    """The query batch must be broadcast against the corpus (one corpus
+    scan, no shuffle before the per-query rank); the label filter prunes
+    before ranking, so the plan has no CartesianProduct and no
+    SinglePartition."""
+    from prac_data_pipelines_spark.queries.vector import (
+        q_ann_hard_negatives,
+    )
+
+    plan = _plan(q_ann_hard_negatives(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_events_bot_detection_windows_on_user(spark, sf_dir):
+    """The sliding peak-rate window must partition by user_id
+    (cardinality grows with the data — never a low-card funnel); the
+    only SinglePartition is the bounded bucket-total aggregate."""
+    import re
+
+    from prac_data_pipelines_spark.queries.events import (
+        q_events_bot_detection,
+    )
+
+    plan = _plan(q_events_bot_detection(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("SinglePartition") <= 1
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs
+    for spec in specs:
+        assert spec == "user_id", plan[:2000]
+
+
+def test_training_mix_epochs_is_broadcast_arithmetic(spark, sf_dir):
+    """The recipe table is one wordcount aggregate + a 1-row broadcast
+    of the totals + closed-form arithmetic: no window, no
+    CartesianProduct, and the only SinglePartition is the 1-row totals
+    aggregate."""
+    from prac_data_pipelines_spark.queries.corpus import (
+        q_training_mix_epochs,
+    )
+
+    plan = _plan(q_training_mix_epochs(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("SinglePartition") <= 1
+
+
+def test_doc_langmix_detect_is_map_side_fold(spark, sf_dir):
+    """Chunk votes are positional slices over the staged word array —
+    per-row folds only: no window, no join, no SinglePartition before
+    the |langs|-row rollup."""
+    from prac_data_pipelines_spark.queries.corpus import (
+        q_doc_langmix_detect,
+    )
+
+    plan = _plan(q_doc_langmix_detect(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
 def test_no_per_element_resplit_in_any_query(spark, sf_dir):
     """Regression guard for the doc_signal_corr lesson: an expression
     like element_at(split(trim(text)...), i) inside a lambda re-splits

@@ -89,12 +89,20 @@ def probe_llm(spark, sf_dir: str, k: int) -> None:
                  "doc_minhash_est_error", "doc_gopher_quality",
                  "bpe_encode_curve", "ivf_recall_audit",
                  "emb_anisotropy_audit", "doc_ccnet_buckets",
-                 "bpe_train_steps", "events_heavy_hitters",
+                 "bpe_train_steps",
                  "emb_pq_audit",
                  "doc_bloom_decontaminate", "bpe_fertility",
                  "doc_length_buckets", "emb_dedup_curve",
                  "corpus_snapshot_diff", "doc_signal_corr",
-                 "doc_mixture_sample"):
+                 "doc_mixture_sample",
+                 # round-6 session-5 additions (events_watermark_audit
+                 # and events_heavy_hitters live in the events battery —
+                 # this scratch dir has no events table)
+                 "doc_c4_filters", "doc_readability",
+                 "doc_hash_classifier", "emb_decontaminate",
+                 "corpus_compaction_audit", "doc_bm25_topk",
+                 "doc_ngram_novelty", "ann_hard_negatives",
+                 "training_mix_epochs", "doc_langmix_detect"):
         t0 = time.time()
         queries[name](spark, scratch).write.format("noop").mode("overwrite").save()
         print(f"{name} at {k}x: {time.time()-t0:.2f}s")
@@ -136,7 +144,9 @@ def probe_events_rolling(spark, sf_dir: str, k: int) -> None:
                "events_hourly", "events_hopping", "events_ohlc",
                "events_transitions", "events_conversion_pairs",
                "events_conversion_window", "events_asof_attribution",
-               "events_gapfill", "events_uniques_sketch"]
+               "events_gapfill", "events_uniques_sketch",
+               "events_heavy_hitters", "events_watermark_audit",
+               "events_bot_detection"]
     t0 = time.time()
     q_events_rolling(spark, scratch).write.format("noop").mode("overwrite").save()
     print(f"events_rolling(single-key) at {k}x: {time.time()-t0:.2f}s")
