@@ -165,6 +165,8 @@ HEADLINE = [
     "events_bot_detection",
     "training_mix_epochs",
     "doc_langmix_detect",
+    "vocab_growth_curve",
+    "events_cohort_value",
 ]
 
 

@@ -2746,3 +2746,122 @@ FROM agg ORDER BY lang
 """
 
 register("doc_langmix_detect", q_doc_langmix_detect, SQL_DOC_LANGMIX_DETECT)
+
+
+# --------------------------------------------------------------------------
+# vocab_growth_curve — Heaps-law vocabulary growth in INGESTION order:
+# docs are ranked by doc_id into quartiles and each distinct word is
+# attributed to the quartile where it first appears (quartile is
+# monotone in rank, so min(quartile) == quartile of the min-rank doc).
+# A healthy crawl keeps discovering vocabulary (sub-linear but nonzero
+# growth per quartile); a collapsing tail — late quartiles adding ~no
+# new words — is the saturation signal that stops further crawling of a
+# source. The complement at shingle granularity is doc_ngram_novelty.
+#
+# Scale: the doc ranking runs over a SLIM (doc_id) projection through
+# global_positions (range partition + local rank + triangular broadcast
+# offsets — no SinglePartition funnel over the corpus); the three
+# quartile-BOUNDARY doc_ids come back as a 1-row broadcast, so the text
+# itself is bucketed map-side and never rides a shuffle (an earlier
+# form range-shuffled the word arrays — docs/METRICS.md read
+# shuffle/scan 3.7 until the boundary-broadcast rewrite). Only the
+# first-occurrence attribution pays a word-level shuffle (min(quartile)
+# per word, map-side partial); the running vocab total is a window over
+# the 4-row rollup — bounded by construction. Empty middle quartiles
+# (N < 4) inherit the previous boundary so the bucket arithmetic stays
+# exact: cuartil = 1 + sum_q [doc_id > effective_boundary_q], which
+# equals the rank formula because quartile is monotone in rank.
+# --------------------------------------------------------------------------
+
+VOCAB_QUARTILES = 4
+
+
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sorting import global_positions
+
+    docs = _docs(spark, sf_dir)
+    ranked = global_positions(
+        docs.select("doc_id"), [F.col("doc_id").asc()], pos_col="_pos")
+    n_docs = ranked.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    slim_q = (ranked.crossJoin(broadcast(n_docs))
+              .selectExpr("doc_id",
+                          f"least({VOCAB_QUARTILES - 1}, "
+                          f"cast((_pos - 1) * {VOCAB_QUARTILES} div _n "
+                          f"as int)) + 1 AS _q"))
+    bounds = slim_q.agg(
+        *[F.max(F.when(F.col("_q") == q, F.col("doc_id"))).alias(f"_b{q}")
+          for q in range(1, VOCAB_QUARTILES)])
+    # effective boundary for quartile q: its own last doc_id, or (when
+    # the quartile is empty at N < VOCAB_QUARTILES) the previous one's.
+    eff = {q: "coalesce(" + ", ".join(f"_b{j}" for j in range(q, 0, -1))
+           + ")" for q in range(1, VOCAB_QUARTILES)}
+    cuartil_expr = "1 + " + " + ".join(
+        f"(CASE WHEN doc_id > {eff[q]} THEN 1 ELSE 0 END)"
+        for q in range(1, VOCAB_QUARTILES))
+    quart = (docs.selectExpr("doc_id", f"{WORDS} AS _ws")
+             .crossJoin(broadcast(bounds))
+             .selectExpr("_ws", f"{cuartil_expr} AS cuartil"))
+    # doc and token counts fold map-side from size(_ws) — only the
+    # first-occurrence attribution pays the word-level shuffle.
+    docs_q = (quart.groupBy("cuartil")
+              .agg(F.count(F.lit(1)).cast("long").alias("docs"),
+                   F.sum(F.size("_ws")).cast("long").alias("palabras")))
+    first_q = (quart.select("cuartil", F.explode("_ws").alias("w"))
+               .groupBy("w")
+               .agg(F.min("cuartil").alias("_fq"))
+               .groupBy("_fq")
+               .agg(F.count(F.lit(1)).cast("long").alias("vocab_nuevo"))
+               .withColumnRenamed("_fq", "cuartil"))
+    # 4-row frame: the running total window is bounded by construction.
+    wq = (Window.orderBy("cuartil")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (docs_q
+            .join(first_q, "cuartil", "left")
+            .select("cuartil", "docs", "palabras",
+                    F.coalesce("vocab_nuevo", F.lit(0)).cast("long")
+                    .alias("vocab_nuevo"))
+            .withColumn("vocab_acum",
+                        F.sum("vocab_nuevo").over(wq).cast("long"))
+            .select("cuartil", "docs", "palabras", "vocab_nuevo",
+                    "vocab_acum",
+                    r6(F.col("vocab_nuevo") / F.col("palabras"))
+                    .alias("tasa_nuevas"))
+            .orderBy("cuartil"))
+
+
+SQL_VOCAB_GROWTH_CURVE = f"""
+WITH ranked AS (
+  SELECT {SQL_WORDS} AS _ws,
+         row_number() OVER (ORDER BY doc_id) AS _pos,
+         count(*) OVER () AS _n
+  FROM documents
+), quart AS (
+  SELECT _ws,
+         least({VOCAB_QUARTILES - 1},
+               ((_pos - 1) * {VOCAB_QUARTILES}) // _n)::INT + 1 AS cuartil
+  FROM ranked
+), first_q AS (
+  SELECT cuartil, count(*)::BIGINT AS vocab_nuevo FROM (
+    SELECT w, min(cuartil) AS cuartil
+    FROM (SELECT cuartil, unnest(_ws) AS w FROM quart) GROUP BY w)
+  GROUP BY cuartil
+), docs_q AS (
+  SELECT cuartil, count(*)::BIGINT AS docs,
+         sum(len(_ws))::BIGINT AS palabras
+  FROM quart GROUP BY cuartil
+), joined AS (
+  SELECT d.cuartil, d.docs, d.palabras,
+         coalesce(f.vocab_nuevo, 0)::BIGINT AS vocab_nuevo
+  FROM docs_q d
+  LEFT JOIN first_q f USING (cuartil)
+)
+SELECT cuartil, docs, palabras, vocab_nuevo,
+       sum(vocab_nuevo) OVER (ORDER BY cuartil
+                              ROWS UNBOUNDED PRECEDING)::BIGINT
+         AS vocab_acum,
+       floor(vocab_nuevo::DOUBLE / palabras * 1000000 + 0.5) / 1000000
+         AS tasa_nuevas
+FROM joined ORDER BY cuartil
+"""
+
+register("vocab_growth_curve", q_vocab_growth_curve, SQL_VOCAB_GROWTH_CURVE)

@@ -1112,12 +1112,16 @@ def q_events_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("_late") <= 300, "3_hasta_5m")
         .when(F.col("_late") <= 3600, "4_hasta_1h")
         .otherwise("5_mas_1h").alias("retraso"), "_late")
-    total = bucketed.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    # total via a window over the |buckets|-row rollup (bounded <= 5
+    # rows) — a separate count branch would re-run the prefix-max
+    # pipeline a second time.
     return (
         bucketed.groupBy("retraso")
         .agg(F.count(F.lit(1)).cast("long").alias("n_eventos"),
              F.max("_late").cast("long").alias("retraso_max_seg"))
-        .crossJoin(F.broadcast(total))
+        .withColumn("_n", F.sum("n_eventos").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)))
         .select("retraso", "n_eventos", "retraso_max_seg",
                 r6(F.col("n_eventos") / F.col("_n")).alias("tasa"))
         .orderBy("retraso")
@@ -1190,12 +1194,16 @@ def q_events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("_peak") <= 3, "2_moderado")
         .when(F.col("_peak") < BOT_RATE, "3_intenso")
         .otherwise("4_bot").alias("ritmo"))
-    total = bucketed.agg(F.count(F.lit(1)).cast("long").alias("_t"))
+    # total via a window over the |buckets|-row rollup (bounded <= 4
+    # rows) — a separate count branch would re-run the sliding-window
+    # pipeline a second time.
     return (bucketed.groupBy("ritmo")
             .agg(F.count(F.lit(1)).cast("long").alias("usuarios"),
                  F.sum("_n").cast("long").alias("eventos"),
                  F.max("_peak").cast("long").alias("pico_max"))
-            .crossJoin(F.broadcast(total))
+            .withColumn("_t", F.sum("usuarios").over(
+                Window.rowsBetween(Window.unboundedPreceding,
+                                   Window.unboundedFollowing)))
             .select("ritmo", "usuarios", "eventos", "pico_max",
                     r6(F.col("usuarios") / F.col("_t")).alias("tasa"))
             .orderBy("ritmo"))
@@ -1231,3 +1239,77 @@ GROUP BY ritmo ORDER BY ritmo
 
 register("events_bot_detection", q_events_bot_detection,
          SQL_EVENTS_BOT_DETECTION)
+
+
+# --------------------------------------------------------------------------
+# events_cohort_value — cohort LTV: users bucketed by first-seen epoch
+# week (events_retention's cohort), purchase VALUE rolled up per
+# (cohort, week offset) with the running cumulative — the money twin of
+# the retention count matrix (retention says who comes back; this says
+# what the cohort is worth by age). Purchase amounts are quantized to
+# integer CENTS per event before any summation (the repo's money rule:
+# distributed float accumulation order never touches a compared total).
+#
+# Scale shape: ONE keyed shuffle on user_id (map-side partial) building
+# per-(user, week) cents, cohort attached via a user-partitioned window
+# min (key cardinality grows with the data), then a |cohorts x offsets|
+# rollup; the running cumulative windows over that aggregated frame
+# (weeks-squared rows, never events).
+# --------------------------------------------------------------------------
+
+def q_events_cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_uw = (ev.select("user_id", epoch_sec("ts").alias("_es"),
+                        "event_type", "value")
+              .selectExpr(
+                  "user_id", "_es div 604800 AS _wk",
+                  "CASE WHEN event_type = 'purchase' "
+                  "THEN cast(floor(value * 100 + 0.5) as bigint) "
+                  "ELSE cast(0 as bigint) END AS _cents")
+              .groupBy("user_id", "_wk")
+              .agg(F.sum("_cents").cast("long").alias("_c")))
+    cohorted = per_uw.withColumn(
+        "_cohorte", F.min("_wk").over(Window.partitionBy("user_id")))
+    per_cell = (cohorted
+                .select("_cohorte", (F.col("_wk") - F.col("_cohorte"))
+                        .alias("desfase"), "_c")
+                .groupBy("_cohorte", "desfase")
+                .agg(F.count(F.lit(1)).cast("long").alias("usuarios"),
+                     F.sum("_c").cast("long").alias("_cents")))
+    wc = (Window.partitionBy("_cohorte").orderBy("desfase")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (per_cell
+            .withColumn("_acum", F.sum("_cents").over(wc))
+            .select(F.col("_cohorte").alias("cohorte_semana"), "desfase",
+                    "usuarios",
+                    r2(F.col("_cents") / F.lit(100.0)).alias("valor"),
+                    r2(F.col("_acum") / F.lit(100.0)).alias("valor_acum"))
+            .orderBy("cohorte_semana", "desfase"))
+
+
+SQL_EVENTS_COHORT_VALUE = """
+WITH per_uw AS (
+  SELECT user_id, (epoch_us(ts) // 1000000) // 604800 AS _wk,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN floor(value * 100 + 0.5)::BIGINT
+                  ELSE 0 END)::BIGINT AS _c
+  FROM events GROUP BY user_id, (epoch_us(ts) // 1000000) // 604800
+), cohorted AS (
+  SELECT user_id, _wk, _c,
+         min(_wk) OVER (PARTITION BY user_id) AS _cohorte
+  FROM per_uw
+), per_cell AS (
+  SELECT _cohorte, _wk - _cohorte AS desfase,
+         count(*)::BIGINT AS usuarios, sum(_c)::BIGINT AS _cents
+  FROM cohorted GROUP BY _cohorte, _wk - _cohorte
+)
+SELECT _cohorte AS cohorte_semana, desfase, usuarios,
+       floor(_cents / 100.0 * 100 + 0.5) / 100 AS valor,
+       floor(sum(_cents) OVER (PARTITION BY _cohorte ORDER BY desfase
+                               ROWS UNBOUNDED PRECEDING)
+             / 100.0 * 100 + 0.5) / 100 AS valor_acum
+FROM per_cell ORDER BY cohorte_semana, desfase
+"""
+
+register("events_cohort_value", q_events_cohort_value,
+         SQL_EVENTS_COHORT_VALUE)

@@ -2009,3 +2009,124 @@ def test_doc_langmix_detect_equals_python_reference(spark, docs):
             assert g[k] == v, (lg, k, g, w)
         assert g["tasa_mezcla"] == math.floor(
             w["docs_mezclados"] / w["docs"] * 1e6 + 0.5) / 1e6
+
+
+# --- vocab_growth_curve: rank-quartile attribution == pure Python -------
+
+_vocab_docs = st.lists(
+    st.tuples(st.integers(0, 10_000),
+              st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+                       min_size=1, max_size=15)),
+    min_size=1, max_size=25, unique_by=lambda t: t[0])
+
+
+@given(docs=_vocab_docs)
+@settings(**SETTINGS)
+def test_vocab_growth_curve_equals_python_reference(spark, docs):
+    """The global_positions rank-quartile bucketing and the min-quartile
+    first-occurrence attribution must match a sequential doc_id-order
+    replay — sparse doc_ids, fewer docs than quartiles, and words
+    spanning quartile boundaries included."""
+    import math
+    import os
+    import tempfile
+    from collections import defaultdict
+
+    from prac_data_pipelines_spark.queries.corpus import (
+        VOCAB_QUARTILES,
+        q_vocab_growth_curve,
+    )
+
+    d = tempfile.mkdtemp(prefix="vocab_prop_")
+    rows = [(i, " ".join(ws), "s") for i, ws in docs]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r["cuartil"]: r.asDict()
+           for r in q_vocab_growth_curve(spark, d).collect()}
+
+    n = len(docs)
+    ordered = sorted(docs)
+    agg = defaultdict(lambda: {"docs": 0, "palabras": 0, "vocab_nuevo": 0})
+    seen = set()
+    for pos, (_, ws) in enumerate(ordered, start=1):
+        q = min(VOCAB_QUARTILES - 1,
+                (pos - 1) * VOCAB_QUARTILES // n) + 1
+        agg[q]["docs"] += 1
+        agg[q]["palabras"] += len(ws)
+        for w in ws:
+            if w not in seen:
+                seen.add(w)
+                agg[q]["vocab_nuevo"] += 1
+    assert set(got) == set(agg)
+    acum = 0
+    for q in sorted(agg):
+        w = agg[q]
+        acum += w["vocab_nuevo"]
+        g = got[q]
+        for k, v in w.items():
+            assert g[k] == v, (q, k, g, w)
+        assert g["vocab_acum"] == acum
+        assert g["tasa_nuevas"] == math.floor(
+            w["vocab_nuevo"] / w["palabras"] * 1e6 + 0.5) / 1e6
+
+
+# --- events_cohort_value: cents-exact cohort LTV == pure Python ---------
+
+_cohort_events = st.lists(
+    st.tuples(st.integers(0, 4),                     # user
+              st.integers(0, 604800 * 5 - 1),        # second (5 weeks)
+              st.sampled_from(["purchase", "view"]),
+              st.integers(1, 40_000)),               # value in cents
+    min_size=1, max_size=50)
+
+
+@given(events=_cohort_events)
+@settings(**SETTINGS)
+def test_events_cohort_value_equals_python_reference(spark, events):
+    """The cohort LTV rollup must match a sequential replay: epoch-week
+    cohorts, per-event cents quantization BEFORE summation, exact
+    integer cumulative per cohort."""
+    import math
+    import os
+    import tempfile
+    from collections import defaultdict
+
+    from prac_data_pipelines_spark.queries.events import (
+        q_events_cohort_value,
+    )
+
+    d = tempfile.mkdtemp(prefix="cohort_prop_")
+    df = spark.createDataFrame(
+        [(i, u, t, c / 100.0, "{}", s)
+         for i, (u, s, t, c) in enumerate(events)],
+        "event_id long, user_id long, event_type string, value double, "
+        "props string, sec long")
+    (df.withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+     .write.mode("overwrite").parquet(os.path.join(d, "events.parquet")))
+    got = [(r["cohorte_semana"], r["desfase"], r["usuarios"], r["valor"],
+            r["valor_acum"])
+           for r in q_events_cohort_value(spark, d).collect()]
+
+    first_wk = {}
+    cell_users = defaultdict(set)
+    cell_cents = defaultdict(int)
+    for u, s, t, c in events:
+        wk = s // 604800
+        first_wk[u] = min(first_wk.get(u, wk), wk)
+    for u, s, t, c in events:
+        wk = s // 604800
+        cell_users[(first_wk[u], wk - first_wk[u])].add(u)
+        if t == "purchase":
+            cents = math.floor((c / 100.0) * 100 + 0.5)
+            cell_cents[(first_wk[u], wk - first_wk[u])] += cents
+    want = []
+    for coh in sorted({c for c, _ in cell_users}):
+        acum = 0
+        for off in sorted(o for c, o in cell_users if c == coh):
+            cents = cell_cents[(coh, off)]
+            acum += cents
+            want.append((coh, off, len(cell_users[(coh, off)]),
+                         math.floor(cents / 100.0 * 100 + 0.5) / 100,
+                         math.floor(acum / 100.0 * 100 + 0.5) / 100))
+    assert got == want

@@ -643,7 +643,12 @@ def test_events_watermark_audit_two_level_prefix_max(spark, sf_dir):
     assert plan.count("SinglePartition") <= 1
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs
-    for spec in specs:
+    # every COLUMN-partitioned window rides the range-partition id; the
+    # one unpartitioned window is the total over the <=5-row bucket
+    # rollup (its spec starts with the frame, not a column reference).
+    col_specs = [s for s in specs if not s.startswith("specifiedwindowframe")]
+    assert col_specs
+    for spec in col_specs:
         assert "_pid" in spec, spec
 
 
@@ -743,6 +748,49 @@ def test_doc_langmix_detect_is_map_side_fold(spark, sf_dir):
     assert "Window" not in plan
     assert "Join" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_vocab_growth_curve_rank_is_two_level(spark, sf_dir):
+    """The doc ranking must be global_positions (windows partition by
+    the range-partition id, never an unpartitioned global row_number);
+    the only unpartitioned window is the running total over the
+    4-row quartile rollup, and the only SinglePartition feeds it or the
+    1-row doc count."""
+    import re
+
+    from prac_data_pipelines_spark.queries.corpus import (
+        q_vocab_growth_curve,
+    )
+
+    plan = _plan(q_vocab_growth_curve(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    unpart = [s for s in specs if "_pid" not in s and "cuartil" in s]
+    corpus_scale = [s for s in specs if "_pid" not in s
+                    and "cuartil" not in s]
+    assert not corpus_scale, corpus_scale  # no global window over docs
+    assert len(unpart) <= 1  # the bounded 4-row running total
+
+
+def test_events_cohort_value_windows_on_keys(spark, sf_dir):
+    """The cohort attach must window on user_id (cardinality grows with
+    data); the cumulative must window on the aggregated cohort frame —
+    no window over raw events without a grown key, no SinglePartition,
+    no CartesianProduct."""
+    import re
+
+    from prac_data_pipelines_spark.queries.events import (
+        q_events_cohort_value,
+    )
+
+    plan = _plan(q_events_cohort_value(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs
+    for spec in specs:
+        assert spec in ("user_id", "_cohorte"), plan[:2000]
 
 
 def test_no_per_element_resplit_in_any_query(spark, sf_dir):

@@ -102,7 +102,8 @@ def probe_llm(spark, sf_dir: str, k: int) -> None:
                  "doc_hash_classifier", "emb_decontaminate",
                  "corpus_compaction_audit", "doc_bm25_topk",
                  "doc_ngram_novelty", "ann_hard_negatives",
-                 "training_mix_epochs", "doc_langmix_detect"):
+                 "training_mix_epochs", "doc_langmix_detect",
+                 "vocab_growth_curve"):
         t0 = time.time()
         queries[name](spark, scratch).write.format("noop").mode("overwrite").save()
         print(f"{name} at {k}x: {time.time()-t0:.2f}s")
@@ -146,7 +147,7 @@ def probe_events_rolling(spark, sf_dir: str, k: int) -> None:
                "events_conversion_window", "events_asof_attribution",
                "events_gapfill", "events_uniques_sketch",
                "events_heavy_hitters", "events_watermark_audit",
-               "events_bot_detection"]
+               "events_bot_detection", "events_cohort_value"]
     t0 = time.time()
     q_events_rolling(spark, scratch).write.format("noop").mode("overwrite").save()
     print(f"events_rolling(single-key) at {k}x: {time.time()-t0:.2f}s")
