@@ -13,8 +13,10 @@ from pyspark.sql.functions import broadcast
 from ..operators.rounding import r4, r6
 from ..operators.similarity import (
     cosine_expr,
+    dot_expr,
     norm_expr,
     sql_cosine_expr,
+    sql_dot_expr,
     sql_norm_expr,
 )
 from ..sources import load_table
@@ -1687,20 +1689,28 @@ _DECON_ALPHA = ("CASE WHEN bid % 3 = 0 THEN cast(0.0 as double) "
 
 def q_emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    base = emb.selectExpr(
+    # norms are staged ONCE per side before the broadcast cross — the
+    # inline cosine re-folded both norms per PAIR (|corpus| x |bench|
+    # interpreted lambda folds; measured 6.3 s -> the dot alone at
+    # sf0.1). Same arithmetic bit-for-bit: dot / (na * nb).
+    base = (emb.selectExpr(
         "vec_id", "label",
         "transform(embedding, v -> cast(v as double)) AS embedding")
+        .selectExpr("vec_id", "label", "embedding",
+                    f"{norm_expr('embedding')} AS _na"))
     bench = (base.filter((F.col("vec_id") % EMB_DECON_MOD == 0)
                          & (F.col("vec_id") < EMB_DECON_MAX_ID))
              .selectExpr("vec_id AS bid", "embedding")
              .selectExpr(
                  "bid",
                  f"zip_with(embedding, {_DECON_ROT}, "
-                 f"(a, b) -> a + ({_DECON_ALPHA}) * b) AS be"))
+                 f"(a, b) -> a + ({_DECON_ALPHA}) * b) AS be")
+             .selectExpr("bid", "be", f"{norm_expr('be')} AS _nb"))
     scored = (
         base.join(broadcast(bench))
         .selectExpr("vec_id", "label",
-                    f"{cosine_expr('embedding', 'be')} AS _cos")
+                    f"({dot_expr('embedding', 'be')} / (_na * _nb)) "
+                    "AS _cos")
         .groupBy("vec_id", "label")
         .agg(r6(F.max("_cos")).alias("_mc")))
     return (
