@@ -59,6 +59,7 @@ def curate(spark: SparkSession, sf_dir: str,
            min_quality: float | None = None,
            min_lm_prob: float | None = None,
            min_dsir: float | None = None,
+           min_clf_score: float | None = None,
            token_budget: float | None = None) -> dict[str, DataFrame]:
     """Build the named-view dictionary of the curation flow.
 
@@ -73,6 +74,12 @@ def curate(spark: SparkSession, sf_dir: str,
     ``queries.corpus.doc_dsir_doc_weights``) falls below the threshold
     drop with motivo ``dsir_fuera_dominio`` — ``1.0`` keeps exactly the
     docs more target-like than raw-like. Off by default.
+
+    ``min_clf_score`` switches on the model-based quality gate
+    (fastText-classifier shape, ``queries.corpus.doc_clf_scores``):
+    documents whose normalized hashed-bigram classifier score falls
+    below the threshold drop with motivo ``clasificador_bajo``. Off by
+    default.
 
     ``token_budget`` (fraction, e.g. 0.4) switches on the final
     budget cut: per source, the surviving docs are ranked by quality
@@ -152,6 +159,14 @@ def curate(spark: SparkSession, sf_dir: str,
                        .select("doc_id")
                        .withColumn("motivo", F.lit("dsir_fuera_dominio")))
         dropped = dropped.unionByName(dsir_losers)
+    if min_clf_score is not None:
+        from .queries.corpus import doc_clf_scores
+
+        clf_losers = (doc_clf_scores(docs)
+                      .filter(F.col("_score") < min_clf_score)
+                      .select("doc_id")
+                      .withColumn("motivo", F.lit("clasificador_bajo")))
+        dropped = dropped.unionByName(clf_losers)
     views["descartados"] = dropped
 
     kept = (docs.join(quality, "doc_id").join(lang, "doc_id")
@@ -224,6 +239,10 @@ def main() -> int:
     ap.add_argument("--min-lm-prob", type=float, default=None,
                     help="drop docs whose mean bigram-LM probability under "
                          "the corpus-trained LM is below this threshold")
+    ap.add_argument("--min-clf-score", type=float, default=None,
+                    help="drop docs whose hashed-bigram classifier score "
+                         "is below this threshold (0.0 = the keep rule "
+                         "doc_hash_classifier reports)")
     ap.add_argument("--token-budget", type=float, default=None,
                     metavar="FRAC",
                     help="after all filters, keep only each source's "
@@ -271,6 +290,7 @@ def main() -> int:
     views = curate(spark, sf_dir, args.min_quality,
                    min_lm_prob=args.min_lm_prob,
                    min_dsir=args.min_dsir,
+                   min_clf_score=args.min_clf_score,
                    token_budget=args.token_budget)
     export(spark, views, args.out, sf_dir, build_index=build_index)
     n = spark.read.parquet(f"{args.out}/curado").count()

@@ -2326,9 +2326,12 @@ _SQL_GRAM_W = ("('0x' || substr(md5(_ws[i] || ' ' || _ws[i + 1]), 1, 7))"
                "::BIGINT % 2001 - 1000")
 
 
-def q_doc_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    per_doc = (
+def doc_clf_scores(docs: DataFrame) -> DataFrame:
+    """Per-document hashed-bigram classifier score — the frame-level seam
+    the pipeline's ``--min-clf-score`` stage shares with
+    ``doc_hash_classifier`` (same split, same weights, same edge rule
+    for <2-word docs)."""
+    return (
         docs.selectExpr("doc_id", "source", f"{WORDS} AS _ws")
         .selectExpr(
             "doc_id", "source", "greatest(0, size(_ws) - 1) AS _gi",
@@ -2339,6 +2342,10 @@ def q_doc_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", "_gi", "_si",
             "CASE WHEN _gi = 0 THEN cast(0.0 as double) "
             "ELSE _si / (1000.0 * _gi) END AS _score"))
+
+
+def q_doc_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = doc_clf_scores(_docs(spark, sf_dir))
     return (
         per_doc.groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("docs_total"),

@@ -138,6 +138,41 @@ def test_cli_lm_filter_stage(spark, sf_dir, tmp_path, monkeypatch):
     assert spark.read.parquet(f"{out}/curado").count() < docs * 0.1
 
 
+def test_cli_clf_filter_stage(spark, sf_dir, tmp_path, monkeypatch):
+    """--min-clf-score: scores live in [-1, 1], so a threshold of 2.0
+    drops every document with motivo clasificador_bajo, and a
+    threshold at the keep rule (0.0) drops exactly the docs
+    doc_hash_classifier does NOT count as conservados."""
+    import sys
+
+    from prac_data_pipelines_spark import corpus_pipeline
+    from prac_data_pipelines_spark.queries.corpus import (
+        q_doc_hash_classifier,
+    )
+
+    out = str(tmp_path / "out_clf")
+    monkeypatch.setattr(sys, "argv", [
+        "corpus_pipeline", "--sf-dir", sf_dir, "--out", out,
+        "--skip-index", "--min-clf-score", "2.0"])
+    assert corpus_pipeline.main() == 0
+    dropped = spark.read.parquet(f"{out}/descartados")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert dropped.filter("motivo = 'clasificador_bajo'").count() == docs
+
+    # threshold just above 0 == the complement of the query's keep rule
+    # (keep: raw score > 0 <=> normalized score > 0)
+    out2 = str(tmp_path / "out_clf0")
+    monkeypatch.setattr(sys, "argv", [
+        "corpus_pipeline", "--sf-dir", sf_dir, "--out", out2,
+        "--skip-index", "--min-clf-score", "1e-9"])
+    assert corpus_pipeline.main() == 0
+    dropped2 = spark.read.parquet(f"{out2}/descartados")
+    rep = q_doc_hash_classifier(spark, sf_dir).collect()
+    want_dropped = sum(r["docs_total"] - r["docs_conservados"] for r in rep)
+    assert (dropped2.filter("motivo = 'clasificador_bajo'").count()
+            == want_dropped)
+
+
 def test_cli_token_budget_stage(spark, sf_dir, tmp_path, monkeypatch):
     """--token-budget FRAC: after all filters, each source keeps only its
     highest-quality docs until FRAC of its surviving tokens are spent;
