@@ -167,6 +167,7 @@ HEADLINE = [
     "doc_langmix_detect",
     "vocab_growth_curve",
     "events_cohort_value",
+    "simhash_recall_audit",
 ]
 
 

@@ -54,22 +54,22 @@ _PRIORITY: tuple[str, ...] = (
     # Session-6 additions:
     "doc_ngram_novelty", "ann_hard_negatives", "events_bot_detection",
     "training_mix_epochs", "doc_langmix_detect", "vocab_growth_curve",
-    "events_cohort_value",
+    "events_cohort_value", "simhash_recall_audit",
     # Modified in r6 (grouped-positions pack fold, pinned Pareto tail,
     # rank-space sketch check, byte-true shard manifest):
     "doc_pack_fold", "pareto_abc", "cxc_concentracion", "sketch_profile",
     # Last driver verdict r3 (26):
     "cxc_master_summary", "cxc_saldo_factura", "cxc_antiguedad",
-    "cxc_antiguedad_cliente", "cxc_cartera",
+    "cxc_antiguedad_cliente",
     # Slipped past r5's 50-row budget (r3-era verdicts):
     # --- 50-row budget boundary ---
-    # (cxc_resumen_concepto ... cxc_morosidad_cliente displaced past the
+    # (cxc_cartera ... cxc_morosidad_cliente displaced past the
     # boundary by the session-6 additions (doc_ngram_novelty ...
-    # events_cohort_value); cxc_saldo_cliente ... doc_lang_id by the
+    # simhash_recall_audit); cxc_saldo_cliente ... doc_lang_id by the
     # session-5 additions (doc_c4_filters ... events_watermark_audit);
     # together with knn_brute ... distinct_counts — displaced by the
     # session-4 batch — they lead the r7 rotation)
-    "cxc_resumen_concepto", "cxc_cancelados",
+    "cxc_cartera", "cxc_resumen_concepto", "cxc_cancelados",
     "cxc_ajustes", "cxc_auditoria_nulos", "cxc_kpis",
     "cxc_limite_credito", "cxc_morosidad_cliente",
     "cxc_saldo_cliente", "cxc_movimientos_abiertos", "doc_exact_dedup",

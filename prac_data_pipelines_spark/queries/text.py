@@ -1992,3 +1992,112 @@ FROM d GROUP BY source ORDER BY source
 """
 
 register("doc_ngram_novelty", q_doc_ngram_novelty, SQL_DOC_NGRAM_NOVELTY)
+
+
+# --------------------------------------------------------------------------
+# simhash_recall_audit — the SimHash member of the audit family
+# (ann_recall_audit = sign-LSH vs brute cosine, ivf_recall_audit = IVF
+# vs brute, doc_minhash_est_error = MinHash estimate vs exact Jaccard):
+# how much of the TRUE near-duplicate set does a Hamming-radius cutoff
+# on the word-level SimHash capture? Ground truth = the exact-verified
+# Jaccard >= CURATION_JACCARD pairs (the dedup drop set); for each
+# ground pair the audit reports its SimHash Hamming distance, and the
+# cumulative recall per distance is the curve that picks the radius a
+# simhash-based deduper would run at.
+#
+# Scale shape: identical to doc_ngram_jaccard up to the pair set (the
+# banded LSH join is the only corpus-scale work, hot bands guarded);
+# the SimHash lookups join the PAIRS (tiny by construction) against the
+# narrow (doc_id, simhash) projection; the rollup and its cumulative
+# window are bounded by SIMHASH_BITS + 1 rows.
+# --------------------------------------------------------------------------
+
+def q_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = (docs.selectExpr("doc_id", "text", f"{WORDS} AS _ws")
+          .selectExpr("doc_id", f"array_distinct({_SHINGLES_WS}) AS sh"))
+    bands = _band_guard(
+        _with_sigs(docs).selectExpr("doc_id", _BANDS_EXPR)).cache()
+    cand = (
+        bands.select(F.col("doc_id").alias("d1"), "banda")
+        .join(bands.select(F.col("doc_id").alias("d2"), "banda"), "banda")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .dropDuplicates(["d1", "d2"]))
+    jac = ("floor(size(array_intersect(sh1, sh2)) / cast(size(sh1) "
+           "+ size(sh2) - size(array_intersect(sh1, sh2)) as double) "
+           "* 10000 + 0.5) / 10000")
+    ground = (
+        cand.join(sh.select(F.col("doc_id").alias("d1"),
+                            F.col("sh").alias("sh1")), "d1")
+        .join(sh.select(F.col("doc_id").alias("d2"),
+                        F.col("sh").alias("sh2")), "d2")
+        .selectExpr("d1", "d2", f"{jac} AS _j")
+        .filter(F.col("_j") >= CURATION_JACCARD)
+        .select("d1", "d2"))
+    sim = q_doc_simhash(spark, sf_dir)
+    hams = (ground
+            .join(sim.selectExpr("doc_id AS d1", "simhash AS h1"), "d1")
+            .join(sim.selectExpr("doc_id AS d2", "simhash AS h2"), "d2")
+            .selectExpr("cast(bit_count(h1 ^ h2) as bigint) AS hamming"))
+    wc = (Window.orderBy("hamming")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    return (hams.groupBy("hamming")
+            .agg(F.count(F.lit(1)).cast("long").alias("pares"))
+            .withColumn("pares_acum", F.sum("pares").over(wc).cast("long"))
+            .withColumn("_total", F.sum("pares").over(wt))
+            .select("hamming", "pares", "pares_acum",
+                    r6(F.col("pares_acum") / F.col("_total"))
+                    .alias("recall_acum"))
+            .orderBy("hamming"))
+
+
+SQL_SIMHASH_RECALL_AUDIT = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({SQL_SHINGLES}) AS sh FROM documents
+), hs AS (
+  SELECT doc_id, list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}) AS hs
+  FROM documents
+), sigs AS (
+  SELECT doc_id, {SQL_SIGS} AS sigs FROM hs
+), {SQL_BANDS_CTE}, cand AS (
+  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+  FROM bands l JOIN bands r ON l.banda = r.banda AND l.doc_id < r.doc_id
+), ground AS (
+  SELECT d1, d2
+  FROM cand JOIN sh l ON l.doc_id = cand.d1
+            JOIN sh r ON r.doc_id = cand.d2
+  WHERE floor(len(list_intersect(l.sh, r.sh))::DOUBLE
+              / (len(l.sh) + len(r.sh)
+                 - len(list_intersect(l.sh, r.sh)))::DOUBLE
+              * 10000 + 0.5) / 10000 >= {CURATION_JACCARD}
+), whs AS (
+  SELECT doc_id, list_transform({SQL_WORDS}, w -> {_sql_h('w')}) AS whs
+  FROM documents
+), sim AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, {SIMHASH_BITS}), b ->
+           CASE WHEN list_sum(list_transform(whs, h ->
+                  CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+  FROM whs
+), hams AS (
+  SELECT bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+  FROM ground JOIN sim a ON a.doc_id = ground.d1
+              JOIN sim b ON b.doc_id = ground.d2
+), hist AS (
+  SELECT hamming, count(*)::BIGINT AS pares FROM hams GROUP BY hamming
+)
+SELECT hamming, pares,
+       sum(pares) OVER (ORDER BY hamming ROWS UNBOUNDED PRECEDING)::BIGINT
+         AS pares_acum,
+       floor(sum(pares) OVER (ORDER BY hamming ROWS UNBOUNDED PRECEDING)
+             ::DOUBLE / (sum(pares) OVER ())::DOUBLE * 1000000 + 0.5)
+         / 1000000 AS recall_acum
+FROM hist ORDER BY hamming
+"""
+
+register("simhash_recall_audit", q_simhash_recall_audit,
+         SQL_SIMHASH_RECALL_AUDIT)

@@ -2011,6 +2011,89 @@ def test_doc_langmix_detect_equals_python_reference(spark, docs):
             w["docs_mezclados"] / w["docs"] * 1e6 + 0.5) / 1e6
 
 
+# --- simhash_recall_audit: hamming curve == Python over primitives ------
+
+_recall_texts = st.lists(
+    st.sampled_from([
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog tonight",
+        "a completely different document about spark windows",
+        "a completely different document about spark joins",
+        "short one",
+    ]),
+    min_size=2, max_size=14)
+
+
+@given(texts=_recall_texts)
+@settings(**SETTINGS)
+def test_simhash_recall_audit_equals_python_replay(spark, texts):
+    """The audit must equal a sequential replay built from the engine's
+    own (independently oracle-verified) primitives: LSH candidates via
+    minhash_signatures bands, ground truth via exact shingle Jaccard at
+    the r4-rounded CURATION_JACCARD rule, distances via the collected
+    SimHashes, cumulative recall over the histogram."""
+    import math
+    import os
+    import re
+    import tempfile
+    from collections import Counter
+
+    from prac_data_pipelines_spark.queries.text import (
+        CURATION_JACCARD,
+        MAX_BAND_DOCS,
+        N_BANDS,
+        minhash_signatures,
+        q_doc_simhash,
+        q_simhash_recall_audit,
+    )
+
+    d = tempfile.mkdtemp(prefix="shr_prop_")
+    rows = [(i, t, "s") for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = [(r["hamming"], r["pares"], r["pares_acum"], r["recall_acum"])
+           for r in q_simhash_recall_audit(spark, d).collect()]
+
+    sigs = {r["doc_id"]: tuple(r["sigs"])
+            for r in minhash_signatures(docs).collect()}
+    sims = {r["doc_id"]: r["simhash"]
+            for r in q_doc_simhash(spark, d).collect()}
+
+    def bandset(s):
+        return {(b, s[2 * b], s[2 * b + 1]) for b in range(N_BANDS)}
+
+    # hot-band guard: bands shared by > MAX_BAND_DOCS docs drop out
+    band_n = Counter(b for i in sigs for b in bandset(sigs[i]))
+    ok_bands = {b for b, n in band_n.items() if n <= MAX_BAND_DOCS}
+
+    def shingles(t):
+        ws = re.split(r"\s+", t.strip(" "))
+        return (set(" ".join(ws[i:i + 3]) for i in range(len(ws) - 2))
+                if len(ws) >= 3 else {t.strip(" ")})
+
+    hist = Counter()
+    ids = sorted(sigs)
+    for i in ids:
+        for j in ids:
+            if not (i < j and bandset(sigs[i]) & bandset(sigs[j]) & ok_bands):
+                continue
+            si, sj = shingles(texts[i]), shingles(texts[j])
+            inter = len(si & sj)
+            jac = math.floor(inter / (len(si) + len(sj) - inter)
+                             * 10000 + 0.5) / 10000
+            if jac >= CURATION_JACCARD:
+                hist[bin(sims[i] ^ sims[j]).count("1")] += 1
+    total = sum(hist.values())
+    want = []
+    acum = 0
+    for h in sorted(hist):
+        acum += hist[h]
+        want.append((h, hist[h], acum,
+                     math.floor(acum / total * 1e6 + 0.5) / 1e6))
+    assert got == want
+
+
 # --- vocab_growth_curve: rank-quartile attribution == pure Python -------
 
 _vocab_docs = st.lists(

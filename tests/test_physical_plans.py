@@ -750,6 +750,21 @@ def test_doc_langmix_detect_is_map_side_fold(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_simhash_recall_audit_joins_pairs_not_corpus(spark, sf_dir):
+    """The only corpus-scale work is the banded LSH join (same contract
+    as doc_ngram_jaccard); the SimHash lookups join the thresholded PAIR
+    set, the distance is a JVM bit_count, and the only unpartitioned
+    windows run over the <= SIMHASH_BITS+1-row histogram."""
+    from prac_data_pipelines_spark.queries.text import (
+        q_simhash_recall_audit,
+    )
+
+    plan = _plan(q_simhash_recall_audit(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "bit_count" in plan
+    assert plan.count("SinglePartition") <= 2  # bounded histogram windows
+
+
 def test_vocab_growth_curve_rank_is_two_level(spark, sf_dir):
     """The doc ranking must be global_positions (windows partition by
     the range-partition id, never an unpartitioned global row_number);
