@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -228,6 +229,25 @@ def main() -> None:
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     try:
         with open(detail_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+        # Also write a round-stamped copy so driver runs stop overwriting
+        # each other and round-over-round per-query deltas stay separable
+        # from quiet-host builder numbers (VERDICT-r6 item #4).  The round
+        # is the driver's: BENCH_r{N}.json lands after this bench runs, so
+        # the current run belongs to max(existing)+1.
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            here = os.path.dirname(os.path.abspath(__file__))
+            prior = [
+                int(m.group(1))
+                for f in os.listdir(here)
+                if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+            ]
+            rnd = str(max(prior) + 1 if prior else 1)
+        stem, ext = os.path.splitext(detail_path)
+        versioned = f"{stem}_r{int(rnd):02d}{ext}"
+        with open(versioned, "w") as fh:
             json.dump(out, fh, indent=1)
             fh.write("\n")
     except OSError:

@@ -29,80 +29,49 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # not yet received a driver-green row first so every operator accumulates a
 # driver verdict across rounds; the remainder keeps registration order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-6 rotation (completes the freshness plan from
-    # docs/ROUND5_NOTES.md: after this head runs, every registered
-    # query's driver verdict is <= 2 rounds old). Head = 21 new + 4
-    # modified this round + 21 of the 26 r3-era stale + 4 of the 6 that
-    # slipped past r5's 50-row budget — exactly 50. (shard_manifest, also
-    # r6-modified, sits first past the boundary: the new shard_verify
-    # in-head pins the same writer contract more strictly.)
+    # Round-7 rotation (VERDICT-r6 item #1: drain the r3-era backlog and
+    # do NOT let new ops displace it).  Head-50 layout, enforced by
+    # tests/test_freshness.py + tools/freshness.py:
+    #   1. the 28 r3-era stale verdicts (must-run: >3 rounds old at r7),
+    #   2. new/modified r7 ops (never-verified => must-run),
+    #   3. r4-era fill to exactly 50 (registration order).
+    # The remaining r4-era re-verdicts are staged after the boundary and
+    # lead the r8 rotation.
     #
-    # New in r6:
-    "shard_verify", "emb_quantize", "doc_dup_ngrams", "source_cross_dup",
-    "doc_token_budget", "doc_dsir_weights", "doc_substring_dedup",
-    "ann_recall_audit", "doc_winnowing", "doc_minhash_est_error",
-    "doc_gopher_quality", "bpe_encode_curve", "ivf_recall_audit",
-    "emb_anisotropy_audit", "doc_ccnet_buckets", "bpe_train_steps",
-    "events_heavy_hitters", "emb_pq_audit", "emb_drift_audit",
-    "doc_bloom_decontaminate", "bpe_fertility", "doc_length_buckets",
-    "events_uniques_sketch", "emb_dedup_curve", "corpus_snapshot_diff",
-    "doc_signal_corr", "doc_mixture_sample",
-    # Session-5 additions (newest first-class ops):
-    "doc_c4_filters", "doc_readability", "doc_hash_classifier",
-    "emb_decontaminate", "corpus_compaction_audit", "doc_bm25_topk",
-    "events_watermark_audit",
-    # Session-6 additions:
-    "doc_ngram_novelty", "ann_hard_negatives", "events_bot_detection",
-    "training_mix_epochs", "doc_langmix_detect", "vocab_growth_curve",
-    "events_cohort_value", "simhash_recall_audit",
-    # Modified in r6 (grouped-positions pack fold, pinned Pareto tail,
-    # rank-space sketch check, byte-true shard manifest):
-    "doc_pack_fold", "pareto_abc", "cxc_concentracion", "sketch_profile",
-    # Last driver verdict r3 (26):
-    "cxc_master_summary", "cxc_saldo_factura", "cxc_antiguedad",
-    "cxc_antiguedad_cliente",
-    # Slipped past r5's 50-row budget (r3-era verdicts):
-    # --- 50-row budget boundary ---
-    # (cxc_cartera ... cxc_morosidad_cliente displaced past the
-    # boundary by the session-6 additions (doc_ngram_novelty ...
-    # simhash_recall_audit); cxc_saldo_cliente ... doc_lang_id by the
-    # session-5 additions (doc_c4_filters ... events_watermark_audit);
-    # together with knn_brute ... distinct_counts — displaced by the
-    # session-4 batch — they lead the r7 rotation)
+    # r3-era stale (28):
     "cxc_cartera", "cxc_resumen_concepto", "cxc_cancelados",
     "cxc_ajustes", "cxc_auditoria_nulos", "cxc_kpis",
-    "cxc_limite_credito", "cxc_morosidad_cliente",
-    "cxc_saldo_cliente", "cxc_movimientos_abiertos", "doc_exact_dedup",
-    "doc_token_stats", "doc_bpe_tokens", "doc_quality", "doc_lang_id",
-    "knn_brute", "fuzzy_name_blocks", "band_groups", "scalar_suite",
+    "cxc_limite_credito", "cxc_morosidad_cliente", "cxc_saldo_cliente",
+    "cxc_movimientos_abiertos", "doc_exact_dedup", "doc_token_stats",
+    "doc_bpe_tokens", "doc_quality", "doc_lang_id", "knn_brute",
+    "fuzzy_name_blocks", "band_groups", "scalar_suite",
     "cancelled_filter", "union_views", "column_profile",
-    "distinct_counts",
-    # (r4-era re-verdicts lead the r7 rotation; shard_manifest and
-    # events_rolling were r6-modified and head that list;
-    # doc_simhash, embedding_norms, doc_fingerprint, fuzzy_block_stats
-    # and doc_sample are the r3-era verdicts displaced by the
-    # late-batch ops)
-    "doc_simhash", "embedding_norms", "doc_fingerprint", "doc_sample",
-    "fuzzy_block_stats", "shard_manifest", "events_rolling",
-    "events_transitions", "pricing_summary", "parts_never_ordered", "rich_inactive_customers",
+    "distinct_counts", "doc_simhash", "embedding_norms",
+    "doc_fingerprint", "doc_sample", "fuzzy_block_stats",
+    # New in r7 (below the stale re-verdicts, per VERDICT-r6):
+    # (inserted as they land; each displaces one r4-era fill row)
+    # r4-era fill to 50 (kmeans_embeddings included deliberately: its
+    # unattributed +43% bench move in r6 gets a fresh verdict too):
+    "events_rolling", "events_transitions", "pricing_summary",
+    "parts_never_ordered", "rich_inactive_customers",
     "min_cost_supplier", "order_vs_customer_avg", "doc_curation",
-    "doc_minhash_pairs", "doc_ngram_jaccard",
-    # r5-verdict queries (freshest; next rotation re-verdicts the r4-era
-    # remainder first):
-    "doc_lm_quality", "bpe_merge_pairs", "emb_label_centroids",
-    "doc_lang_confusion", "events_dau_wau", "emb_near_dup",
-    "multimodal_features", "multimodal_resize", "multimodal_frames",
-    "doc_decontaminate", "doc_pii_scrub", "doc_pack_sequences",
-    "tfidf_top_terms", "doc_repetition", "doc_stratified_sample",
-    "priority_late_lines", "customer_order_distribution",
-    "large_quantity_orders", "volume_shipping", "market_share",
-    "waiting_suppliers", "important_stock", "top_supplier", "sql_text",
-    "distinct_values", "quantiles", "window_suite", "rollup_summary",
-    "set_ops", "asof_latest_order", "distribution_windows",
-    "cube_summary", "master_denorm", "order_balance", "order_last_ship",
-    "open_order_lines", "flag_full_outer", "customer_first_order",
-    "aging_buckets", "aging_pivot", "customer_metrics", "running_balance",
-    "zscore_outliers", "dual_sort", "top_customers",
+    "doc_minhash_pairs", "doc_ngram_jaccard", "doc_quality_quantiles",
+    "doc_dup_clusters", "doc_dedup_keep_best", "doc_simhash_pairs",
+    "doc_chunks", "knn_lsh", "kmeans_embeddings", "knn_ivf",
+    "emb_semantic_dedup", "events_hourly", "events_sessionize",
+    "events_json",
+    # --- 50-row budget boundary ---
+    # r4-era remainder (leads the r8 rotation):
+    "events_funnel", "events_segment_value", "events_rolling_sharded",
+    "events_anomaly", "events_retention", "events_gapfill",
+    "events_asof_attribution", "events_conversion_pairs",
+    "events_conversion_window", "events_hopping", "events_ohlc",
+    "sql_lateral_topk", "grouping_sets_summary", "shipping_priority",
+    "local_supplier_volume", "returned_items", "promo_revenue_share",
+    "discounted_bulk_revenue", "revenue_change", "product_profit",
+    "line_priority_mix", "small_qty_revenue", "dominant_part_suppliers",
+    "vocab_top_terms", "source_mix", "doc_passage_dedup",
+    "doc_train_split",
 )
 
 
