@@ -169,6 +169,9 @@ HEADLINE = [
     "vocab_growth_curve",
     "events_cohort_value",
     "simhash_recall_audit",
+    # Round-7: span-granularity exact-substring dedup, perceptual-hash
+    # image dedup + its recall audit, streaming curation-gate twin.
+    "doc_dup_spans",
 ]
 
 

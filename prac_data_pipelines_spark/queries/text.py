@@ -1430,6 +1430,119 @@ register("doc_substring_dedup", q_doc_substring_dedup, SQL_DOC_SUBSTRING_DEDUP)
 
 
 # --------------------------------------------------------------------------
+# doc_dup_spans — span-granularity exact-substring dedup (VERDICT-r6 #5).
+# doc_substring_dedup reports per-doc COVERAGE of duplicated SUBSTR_K-token
+# windows; the production technique (the suffix-array pass of Lee et al.
+# 2022) removes variable-length duplicated SPANS. This operator closes the
+# gap Spark-natively: chain flagged windows whose starts are <= SUBSTR_K
+# apart into maximal runs (the union of their [pos, pos+K) intervals is
+# then contiguous) and emit, per document, every maximal duplicated span
+# of at least DUP_SPAN_MIN tokens with its start and length — exactly the
+# removal list a span-dedup pipeline stage consumes.
+#
+# Plan shape (same hash-keyed discipline as doc_substring_dedup): one
+# wordcount-class shuffle on 28-bit window hashes (map-side combined), one
+# hash-keyed semi join to flag repeated windows, then two doc_id-keyed
+# window passes (lag -> span break flag, running sum -> span id) and one
+# (doc_id, span_id) groupBy. Every post-join key is doc_id-rooted —
+# high-cardinality, grows with the corpus, no funnel at 100 TB.
+# --------------------------------------------------------------------------
+
+DUP_SPAN_MIN = 2 * SUBSTR_K  # report spans of at least 16 tokens
+
+
+def dup_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, desde_palabra, n_palabras) — every maximal duplicated span
+    (no minimum-length filter; the registered query applies DUP_SPAN_MIN).
+    Separated so the chaining can be property-tested against a brute-force
+    Python span finder."""
+    base = docs.selectExpr("doc_id", f"{WORDS} AS _ws")
+    wins = (base.filter(f"size(_ws) >= {SUBSTR_K}")
+            .selectExpr(
+                "doc_id",
+                f"explode(transform(sequence(0, size(_ws) - {SUBSTR_K}), "
+                f"i -> struct(i AS pos, "
+                f"{_h(f'concat_ws(chr(32), {_SUB_TERMS})')} AS g))) AS _w")
+            .select("doc_id", "_w.pos", "_w.g"))
+    dup = (wins.groupBy("g")
+           .agg(F.count(F.lit(1)).alias("_n"))
+           .filter("_n >= 2")
+           .select("g"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # adjacent flagged windows chain iff their [pos, pos+K) intervals
+    # touch or overlap: gap <= K (gap == K is token-contiguous)
+    return (wins.join(dup, "g")
+            .withColumn("_prev", F.lag("pos").over(w))
+            .withColumn(
+                "_new",
+                F.when(F.col("_prev").isNull()
+                       | (F.col("pos") - F.col("_prev") > SUBSTR_K), 1)
+                .otherwise(0))
+            .withColumn("_sid", F.sum("_new").over(w))
+            .groupBy("doc_id", "_sid")
+            .agg(F.min("pos").cast("long").alias("desde_palabra"),
+                 (F.max("pos") - F.min("pos") + SUBSTR_K).cast("long")
+                 .alias("n_palabras"))
+            .drop("_sid"))
+
+
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    spans = dup_spans(docs).filter(F.col("n_palabras") >= DUP_SPAN_MIN)
+    w = Window.partitionBy("doc_id").orderBy("desde_palabra")
+    return (spans
+            .withColumn("span_idx", F.row_number().over(w).cast("long"))
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .selectExpr("cast(doc_id as bigint) AS doc_id", "source",
+                        "span_idx", "desde_palabra", "n_palabras")
+            .orderBy("doc_id", "span_idx"))
+
+
+SQL_DOC_DUP_SPANS = f"""
+WITH ws AS (
+  SELECT doc_id, source, {SQL_WORDS} AS w FROM documents
+), wins0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(w) - {SUBSTR_K - 1}),
+                i -> {{'pos': i,
+                       'g': {_sql_h(f"concat_ws(chr(32), {_SQL_SUB_TERMS})")}}}))
+           AS s
+  FROM ws WHERE len(w) >= {SUBSTR_K}
+), wins AS (
+  SELECT doc_id, s.pos AS pos, s.g AS g FROM wins0
+), dup AS (
+  SELECT g FROM wins GROUP BY g HAVING count(*) >= 2
+), st AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS _prev
+  FROM wins JOIN dup USING (g)
+), sn AS (
+  SELECT doc_id, pos,
+         CASE WHEN _prev IS NULL OR pos - _prev > {SUBSTR_K}
+              THEN 1 ELSE 0 END AS _new
+  FROM st
+), sid AS (
+  SELECT doc_id, pos,
+         sum(_new) OVER (PARTITION BY doc_id ORDER BY pos) AS _sid
+  FROM sn
+), sp AS (
+  SELECT doc_id, min(pos)::BIGINT AS desde_palabra,
+         (max(pos) - min(pos) + {SUBSTR_K})::BIGINT AS n_palabras
+  FROM sid GROUP BY doc_id, _sid
+  HAVING max(pos) - min(pos) + {SUBSTR_K} >= {DUP_SPAN_MIN}
+)
+SELECT sp.doc_id::BIGINT AS doc_id, ws.source,
+       row_number() OVER (PARTITION BY sp.doc_id
+                          ORDER BY desde_palabra)::BIGINT AS span_idx,
+       desde_palabra, n_palabras
+FROM sp JOIN ws USING (doc_id)
+ORDER BY doc_id, span_idx
+"""
+
+register("doc_dup_spans", q_doc_dup_spans, SQL_DOC_DUP_SPANS)
+
+
+# --------------------------------------------------------------------------
 # doc_winnowing — positional winnowing fingerprints (Schleimer, Wilkerson
 # & Aiken, SIGMOD 2003 — the MOSS algorithm). Unlike doc_fingerprint's
 # single global min-shingle, winnowing slides a window of FP_W consecutive

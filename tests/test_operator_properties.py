@@ -391,6 +391,47 @@ def test_substring_coverage_equals_interval_union(spark, docs):
         assert got[doc_id] == (len(toks), len(covered)), doc_id
 
 
+@given(docs=_substr_docs)
+@settings(**SETTINGS)
+def test_dup_spans_equal_brute_force_interval_merge(spark, docs):
+    """Chained flagged windows (gap <= K breaks into a new span at > K)
+    must produce exactly the maximal intervals of the brute-force union
+    of repeated K-token windows — including overlapping flags, exactly
+    token-contiguous flags (gap == K), and span-less docs."""
+    from prac_data_pipelines_spark.queries.text import SUBSTR_K, dup_spans
+
+    rows = [(i, " ".join(toks) if toks else "", "s") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = sorted((r["doc_id"], r["desde_palabra"], r["n_palabras"])
+                 for r in dup_spans(df).collect())
+
+    # brute force: union the [i, i+K) spans of corpus-repeated windows,
+    # then read the maximal runs off the sorted covered-position set
+    toks_by_doc = {i: (t.strip().split() if t.strip() else [""])
+                   for i, (_, t, _) in enumerate(rows)}
+    counts: dict[tuple, int] = {}
+    for toks in toks_by_doc.values():
+        for i in range(len(toks) - SUBSTR_K + 1):
+            w = tuple(toks[i:i + SUBSTR_K])
+            counts[w] = counts.get(w, 0) + 1
+    want = []
+    for doc_id, toks in toks_by_doc.items():
+        covered = set()
+        for i in range(len(toks) - SUBSTR_K + 1):
+            if counts[tuple(toks[i:i + SUBSTR_K])] >= 2:
+                covered.update(range(i, i + SUBSTR_K))
+        run_start = None
+        for p in sorted(covered) + [None]:
+            if run_start is None:
+                run_start, prev = p, p
+            elif p is None or p > prev + 1:
+                want.append((doc_id, run_start, prev - run_start + 1))
+                run_start, prev = p, p
+            else:
+                prev = p
+    assert got == sorted(want)
+
+
 _dsir_docs = st.lists(
     st.tuples(st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=12),
               st.sampled_from(["en", "es", "fr"])),

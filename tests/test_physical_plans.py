@@ -416,6 +416,22 @@ def test_doc_substring_dedup_windows_on_doc_id(spark, sf_dir):
     assert spec and spec.group(1) == "doc_id", plan[:2000]
 
 
+def test_doc_dup_spans_windows_on_doc_id(spark, sf_dir):
+    """doc_dup_spans chains flagged windows with doc_id-partitioned lag /
+    running-sum / row_number passes — every windowspec must partition by
+    doc_id (corpus-cardinality key), and the duplicate flagging must stay
+    a hashed-key join: no all-pairs, no single-partition stage."""
+    import re
+
+    from prac_data_pipelines_spark.queries.text import q_doc_dup_spans
+
+    plan = _plan(q_doc_dup_spans(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(s == "doc_id" for s in specs), plan[:2000]
+
+
 def test_ann_recall_audit_broadcasts_queries(spark, sf_dir):
     """ann_recall_audit's exact baseline must broadcast the (small) query
     batch against the corpus — exactly one corpus-wide nested-loop pass —

@@ -103,7 +103,9 @@ def probe_llm(spark, sf_dir: str, k: int) -> None:
                  "corpus_compaction_audit", "doc_bm25_topk",
                  "doc_ngram_novelty", "ann_hard_negatives",
                  "training_mix_epochs", "doc_langmix_detect",
-                 "vocab_growth_curve", "simhash_recall_audit"):
+                 "vocab_growth_curve", "simhash_recall_audit",
+                 # round-7 additions
+                 "doc_dup_spans"):
         t0 = time.time()
         queries[name](spark, scratch).write.format("noop").mode("overwrite").save()
         print(f"{name} at {k}x: {time.time()-t0:.2f}s")
