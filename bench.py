@@ -172,6 +172,8 @@ HEADLINE = [
     # Round-7: span-granularity exact-substring dedup, perceptual-hash
     # image dedup + its recall audit, streaming curation-gate twin.
     "doc_dup_spans",
+    "multimodal_phash_pairs",
+    "multimodal_phash_recall",
 ]
 
 

@@ -144,3 +144,58 @@ def sample_frames(docs_with_payload: DataFrame, max_frames: int = 8) -> DataFram
 
     return (docs_with_payload.select("doc_id", "payload")
             .mapInPandas(batches, schema=FRAME_SCHEMA))
+
+
+# --------------------------------------------------------------------------
+# Perceptual hashing (dHash) — the image-dedup fingerprint. A real
+# deployment decodes the payload with PIL, average-pools the grayscale
+# image to a PHASH_ROWS x PHASH_COLS grid, and compares horizontally
+# adjacent cells (Krawetz's difference hash). Here the decode is the
+# deterministic stub consistent with decode_stub: the grid cells are
+# average-pool stand-ins computed from equal byte slices of the payload,
+# so near-identical payloads of similar length produce Hamming-close
+# hashes — the locality property the banded dedup downstream relies on.
+# PHASH_ROWS x (PHASH_COLS - 1) = 63 bits, so the packed hash always fits
+# a non-negative signed int64 (and DuckDB can mirror it bit-for-bit).
+# --------------------------------------------------------------------------
+
+PHASH_ROWS = 9
+PHASH_COLS = 8
+PHASH_BITS = PHASH_ROWS * (PHASH_COLS - 1)  # 63
+
+PHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("phash", LongType()),
+])
+
+
+def phash_stub(payload: bytes) -> int:
+    """dHash over the stub-decoded grid: cell k = sum of the k-th of 72
+    equal byte slices mod 256 (average-pool stand-in), bit (r, c) = 1 iff
+    cell[r, c+1] > cell[r, c], packed LSB-first in row-major order."""
+    import numpy as np
+
+    n = len(payload)
+    cells_n = PHASH_ROWS * PHASH_COLS
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(arr)])
+    bounds = (n * np.arange(cells_n + 1)) // cells_n
+    cells = ((cs[bounds[1:]] - cs[bounds[:-1]]) % 256).reshape(
+        PHASH_ROWS, PHASH_COLS)
+    bits = (cells[:, 1:] > cells[:, :-1]).flatten()
+    return int((bits.astype(np.int64) << np.arange(PHASH_BITS)).sum())
+
+
+def dhash_images(docs_with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual-hash stage over the binary column."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "phash": pd.Series([phash_stub(p) for p in pdf["payload"]],
+                                   dtype="int64"),
+            })
+
+    return (docs_with_payload.select("doc_id", "payload")
+            .mapInPandas(batches, schema=PHASH_SCHEMA))

@@ -50,7 +50,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_fingerprint", "doc_sample", "fuzzy_block_stats",
     # New in r7 (below the stale re-verdicts, per VERDICT-r6):
     # (inserted as they land; each displaces one r4-era fill row)
-    "doc_dup_spans",
+    "doc_dup_spans", "multimodal_phash_pairs", "multimodal_phash_recall",
     # r4-era fill to 50 (kmeans_embeddings included deliberately: its
     # unattributed +43% bench move in r6 gets a fresh verdict too):
     "events_rolling", "events_transitions", "pricing_summary",
@@ -59,10 +59,10 @@ _PRIORITY: tuple[str, ...] = (
     "doc_minhash_pairs", "doc_ngram_jaccard", "doc_quality_quantiles",
     "doc_dup_clusters", "doc_dedup_keep_best", "doc_simhash_pairs",
     "doc_chunks", "knn_lsh", "kmeans_embeddings", "knn_ivf",
-    "emb_semantic_dedup", "events_hourly", "events_sessionize",
+    "emb_semantic_dedup",
     # --- 50-row budget boundary ---
     # r4-era remainder (leads the r8 rotation):
-    "events_json", "events_funnel", "events_segment_value", "events_rolling_sharded",
+    "events_hourly", "events_sessionize", "events_json", "events_funnel", "events_segment_value", "events_rolling_sharded",
     "events_anomaly", "events_retention", "events_gapfill",
     "events_asof_attribution", "events_conversion_pairs",
     "events_conversion_window", "events_hopping", "events_ohlc",

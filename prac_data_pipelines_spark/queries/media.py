@@ -114,3 +114,191 @@ FROM frames ORDER BY doc_id, frame_idx
 """
 
 register("multimodal_frames", q_multimodal_frames, SQL_MULTIMODAL_FRAMES)
+
+
+# --------------------------------------------------------------------------
+# multimodal_phash_pairs — perceptual-hash (dHash) image dedup
+# (VERDICT-r6 #6). The Arrow stage computes a 63-bit difference hash over
+# the stub-decoded grid (operators/multimodal.py::phash_stub — a real
+# deployment swaps the grid for PIL average-pooling, everything after is
+# unchanged); candidate pairs come from Hamming-banded bucketing — the
+# same never-all-pairs LSH shape as doc_simhash_pairs: a pair is a
+# candidate iff one of its PH_BANDS 16-bit hash slices matches exactly,
+# so the self-join shuffles on short band keys, hot bands are guarded,
+# and the exact Hamming check runs per candidate row only.
+#
+# Scale: the hash stage is embarrassingly parallel (one Arrow batch pass
+# per partition); the band key space grows with the corpus (2^16 values
+# per band x content) so no funnel; in-bucket joins are bounded by the
+# MAX_BAND_DOCS guard. 100 TB images ride the identical plan — only the
+# decode inside the stub changes.
+# --------------------------------------------------------------------------
+
+from ..operators.multimodal import PHASH_BITS, dhash_images  # noqa: E402
+from ..operators.rounding import r6  # noqa: E402
+from .text import MAX_BAND_DOCS, _band_guard  # noqa: E402
+
+PH_BANDS = 4
+PH_BAND_BITS = 16  # band 3 carries the top 15 of the 63 bits
+# <= 3 differing bits across 4 bands => at least one band is clean
+# (pigeonhole), so banding recall is GUARANTEED 1.0 at this threshold —
+# the audit below measures the decay beyond it (same rationale as
+# SIMHASH_MAX_HAMMING).
+PH_MAX_HAMMING = 3
+PH_AUDIT_MAX_ID = 500   # fixed audit slice (the EMB_DECON_MAX_ID lesson:
+PH_AUDIT_MAX_H = 16     # never let an O(|A|^2) audit grow with the corpus)
+
+_PH_CELLS = 72  # PHASH_ROWS x PHASH_COLS
+
+# DuckDB twin of phash_stub: byte values come from hex(encode(text))
+# two-hex-digit slices (verified byte-identical to Spark's UTF-8 bytes),
+# cell k = sum of the k-th of 72 equal byte slices mod 256, bit b
+# compares row-major-adjacent cells (1-indexed lists: +1 / +2).
+SQL_PHASH_CTE = f"""ph0 AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text))::BIGINT AS n
+  FROM documents
+), phcells AS (
+  SELECT doc_id,
+         list_transform(range(0, {_PH_CELLS}), k ->
+           coalesce(list_sum(list_transform(
+             range((n * k) // {_PH_CELLS}, (n * (k + 1)) // {_PH_CELLS}),
+             i -> ('0x' || substr(hx, (2 * i)::INT + 1, 2))::BIGINT)), 0)
+           % 256) AS cells
+  FROM ph0
+), ph AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, {PHASH_BITS}), b ->
+           CASE WHEN cells[((b // 7) * 8 + (b % 7) + 2)::INT]
+                     > cells[((b // 7) * 8 + (b % 7) + 1)::INT]
+                THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS phash
+  FROM phcells
+)"""
+
+
+def _phashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dhash_images(attach_payload(docs))
+
+
+def _phash_bands(ph: DataFrame) -> DataFrame:
+    return _band_guard(ph.selectExpr(
+        "doc_id", "phash",
+        f"explode(transform(sequence(0, {PH_BANDS - 1}), b -> "
+        f"concat(b, ':', (shiftright(phash, b * {PH_BAND_BITS}) "
+        f"& {2 ** PH_BAND_BITS - 1})))) AS banda"))
+
+
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cache: the banded frame feeds both sides of the self-join — without
+    # it the Arrow hash stage runs twice over the corpus
+    bands = _phash_bands(_phashes(spark, sf_dir)).cache()
+    left = bands.select(F.col("doc_id").alias("d1"),
+                        F.col("phash").alias("p1"), "banda")
+    right = bands.select(F.col("doc_id").alias("d2"),
+                         F.col("phash").alias("p2"), "banda")
+    return (
+        left.join(right, "banda")
+        .filter(F.col("d1") < F.col("d2"))
+        .withColumn("hamming", F.expr("bit_count(p1 ^ p2)").cast("long"))
+        .filter(F.col("hamming") <= PH_MAX_HAMMING)
+        .dropDuplicates(["d1", "d2"])
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    )
+
+
+SQL_MULTIMODAL_PHASH_PAIRS = f"""
+WITH {SQL_PHASH_CTE}, pb0 AS (
+  SELECT doc_id, phash,
+         concat(b, ':', (phash >> (b * {PH_BAND_BITS}))
+                        & {2 ** PH_BAND_BITS - 1}) AS banda
+  FROM ph CROSS JOIN (SELECT unnest(range(0, {PH_BANDS})) AS b)
+), pbands AS (
+  SELECT doc_id, phash, banda FROM (
+    SELECT *, count(*) OVER (PARTITION BY banda) AS _n FROM pb0)
+  WHERE _n <= {MAX_BAND_DOCS}
+)
+SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+       bit_count(xor(l.phash, r.phash))::BIGINT AS hamming
+FROM pbands l JOIN pbands r ON l.banda = r.banda AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.phash, r.phash)) <= {PH_MAX_HAMMING}
+ORDER BY d1, d2
+"""
+
+register("multimodal_phash_pairs", q_multimodal_phash_pairs,
+         SQL_MULTIMODAL_PHASH_PAIRS)
+
+
+# --------------------------------------------------------------------------
+# multimodal_phash_recall — banding recall audit against EXACT Hamming
+# ground truth. Over a FIXED audit slice (doc_id < PH_AUDIT_MAX_ID), the
+# exact side enumerates every pair within PH_AUDIT_MAX_H bits via a
+# broadcast cross of the (bounded) slice — the canonical ground truth,
+# O(|A|^2) with |A| pinned, never corpus-growing; the banded side reuses
+# the production bucketing restricted to the slice. Output: per Hamming
+# distance, exact pairs vs banded-caught pairs and the recall curve —
+# the quantity that justifies (or indicts) the PH_BANDS/PH_BAND_BITS
+# choice, symmetric with simhash_recall_audit/ann_recall_audit.
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_phash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    audit = (_phashes(spark, sf_dir)
+             .filter(F.col("doc_id") < PH_AUDIT_MAX_ID).cache())
+    a = audit.select(F.col("doc_id").alias("d1"), F.col("phash").alias("p1"))
+    b = audit.select(F.col("doc_id").alias("d2"), F.col("phash").alias("p2"))
+    exact = (a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+             .withColumn("hamming", F.expr("bit_count(p1 ^ p2)").cast("long"))
+             .filter(F.col("hamming") <= PH_AUDIT_MAX_H)
+             .select("d1", "d2", "hamming"))
+    cand = (_phash_bands(audit)
+            .select(F.col("doc_id").alias("d1"), "banda")
+            .join(_phash_bands(audit).select(F.col("doc_id").alias("d2"),
+                                             "banda"), "banda")
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2")
+            .dropDuplicates(["d1", "d2"])
+            .withColumn("_caught", F.lit(1)))
+    return (exact.join(cand, ["d1", "d2"], "left")
+            .groupBy("hamming")
+            .agg(F.count(F.lit(1)).cast("long").alias("pares_exactas"),
+                 F.sum(F.coalesce(F.col("_caught"), F.lit(0))).cast("long")
+                 .alias("pares_capturadas"))
+            .withColumn("recall",
+                        r6(F.col("pares_capturadas")
+                           / F.col("pares_exactas")))
+            .orderBy("hamming"))
+
+
+SQL_MULTIMODAL_PHASH_RECALL = f"""
+WITH {SQL_PHASH_CTE}, audit AS (
+  SELECT doc_id, phash FROM ph WHERE doc_id < {PH_AUDIT_MAX_ID}
+), exact AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+  FROM audit a JOIN audit b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= {PH_AUDIT_MAX_H}
+), ab0 AS (
+  SELECT doc_id, concat(b, ':', (phash >> (b * {PH_BAND_BITS}))
+                               & {2 ** PH_BAND_BITS - 1}) AS banda
+  FROM audit CROSS JOIN (SELECT unnest(range(0, {PH_BANDS})) AS b)
+), abands AS (
+  SELECT doc_id, banda FROM (
+    SELECT *, count(*) OVER (PARTITION BY banda) AS _n FROM ab0)
+  WHERE _n <= {MAX_BAND_DOCS}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+  FROM abands l JOIN abands r ON l.banda = r.banda AND l.doc_id < r.doc_id
+)
+SELECT hamming, count(*)::BIGINT AS pares_exactas,
+       sum(CASE WHEN cand.d1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS pares_capturadas,
+       floor(sum(CASE WHEN cand.d1 IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE * 1000000 + 0.5) / 1000000 AS recall
+FROM exact LEFT JOIN cand USING (d1, d2)
+GROUP BY hamming ORDER BY hamming
+"""
+
+register("multimodal_phash_recall", q_multimodal_phash_recall,
+         SQL_MULTIMODAL_PHASH_RECALL)

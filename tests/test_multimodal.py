@@ -46,3 +46,55 @@ def test_frame_sampling_fans_out_and_reassembles(spark, sf_dir):
     assert full.count() > 0
     assert full.filter(F.col("sampled") != F.col("n_bytes")).count() == 0
     out.unpersist()
+
+
+def test_phash_stub_matches_brute_force_and_fits_int64():
+    """phash_stub's vectorized cumsum/pooling must equal a straight
+    Python rendering of the spec (72 equal byte slices -> mod-256 sums ->
+    row-major adjacent comparisons, LSB-first), and the 63-bit pack must
+    stay non-negative for any payload."""
+    from prac_data_pipelines_spark.operators.multimodal import (
+        PHASH_BITS,
+        PHASH_COLS,
+        PHASH_ROWS,
+        phash_stub,
+    )
+
+    def brute(payload: bytes) -> int:
+        n, cells_n = len(payload), PHASH_ROWS * PHASH_COLS
+        cells = [sum(payload[(n * k) // cells_n:(n * (k + 1)) // cells_n])
+                 % 256 for k in range(cells_n)]
+        h = 0
+        for r in range(PHASH_ROWS):
+            for c in range(PHASH_COLS - 1):
+                if cells[r * PHASH_COLS + c + 1] > cells[r * PHASH_COLS + c]:
+                    h |= 1 << (r * (PHASH_COLS - 1) + c)
+        return h
+
+    import random
+
+    rng = random.Random(7)
+    payloads = [b"", b"x", bytes(range(256)), b"\xff" * 500,
+                "héllo ñ world".encode() * 9]
+    payloads += [bytes(rng.randrange(256) for _ in range(rng.randrange(400)))
+                 for _ in range(40)]
+    for p in payloads:
+        got = phash_stub(p)
+        assert got == brute(p), p[:40]
+        assert 0 <= got < (1 << PHASH_BITS)
+
+
+def test_phash_locality_near_identical_payloads_hamming_close(spark, sf_dir):
+    """The dedup contract: a small in-place edit touches few pooling
+    cells, so the perceptual hashes of near-identical payloads must stay
+    within the banded-capture threshold, while unrelated payloads do not
+    collide to 0 distance."""
+    from prac_data_pipelines_spark.operators.multimodal import phash_stub
+
+    base = bytes(range(256)) * 4
+    edited = bytearray(base)
+    edited[100] = 0  # one-byte in-place edit
+    ham = bin(phash_stub(base) ^ phash_stub(bytes(edited))).count("1")
+    assert ham <= 3, ham
+    other = bytes(reversed(base))
+    assert bin(phash_stub(base) ^ phash_stub(other)).count("1") > 3

@@ -432,6 +432,28 @@ def test_doc_dup_spans_windows_on_doc_id(spark, sf_dir):
     assert specs and all(s == "doc_id" for s in specs), plan[:2000]
 
 
+def test_multimodal_phash_pairs_banded_join(spark, sf_dir):
+    """Perceptual-hash dedup must stay a banded LSH self-join — the
+    candidate join keys on the short band string, never all-pairs."""
+    from prac_data_pipelines_spark.queries.media import q_multimodal_phash_pairs
+
+    plan = _plan(q_multimodal_phash_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "banda" in plan
+
+
+def test_multimodal_phash_recall_broadcasts_audit_slice(spark, sf_dir):
+    """The exact-Hamming ground truth is a broadcast cross of the FIXED
+    audit slice (bounded |A|^2) — a BroadcastNestedLoopJoin, never a
+    CartesianProduct over the corpus."""
+    from prac_data_pipelines_spark.queries.media import q_multimodal_phash_recall
+
+    plan = _plan(q_multimodal_phash_recall(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ann_recall_audit_broadcasts_queries(spark, sf_dir):
     """ann_recall_audit's exact baseline must broadcast the (small) query
     batch against the corpus — exactly one corpus-wide nested-loop pass —

@@ -105,7 +105,8 @@ def probe_llm(spark, sf_dir: str, k: int) -> None:
                  "training_mix_epochs", "doc_langmix_detect",
                  "vocab_growth_curve", "simhash_recall_audit",
                  # round-7 additions
-                 "doc_dup_spans"):
+                 "doc_dup_spans", "multimodal_phash_pairs",
+                 "multimodal_phash_recall"):
         t0 = time.time()
         queries[name](spark, scratch).write.format("noop").mode("overwrite").save()
         print(f"{name} at {k}x: {time.time()-t0:.2f}s")
