@@ -2326,22 +2326,32 @@ _SQL_GRAM_W = ("('0x' || substr(md5(_ws[i] || ' ' || _ws[i + 1]), 1, 7))"
                "::BIGINT % 2001 - 1000")
 
 
+def with_clf_score(docs: DataFrame) -> DataFrame:
+    """Append the classifier columns (``_gi``, ``_si``, ``_score``) to
+    ``docs`` WITHOUT dropping any existing column. Pure per-row folds —
+    stateless, so the same expression gates batch frames and streaming
+    micro-batches (``streaming.corpus.stream_curation_gate``) with
+    bit-identical verdicts."""
+    return (
+        docs.withColumn("_ws", F.expr(WORDS))
+        .withColumn("_gi", F.expr("greatest(0, size(_ws) - 1)"))
+        .withColumn("_si", F.expr(
+            f"CASE WHEN size(_ws) >= 2 THEN "
+            f"aggregate(sequence(1, size(_ws) - 1), cast(0 as bigint), "
+            f"(a, i) -> a + ({_GRAM_W})) ELSE cast(0 as bigint) END"))
+        .withColumn("_score", F.expr(
+            "CASE WHEN _gi = 0 THEN cast(0.0 as double) "
+            "ELSE _si / (1000.0 * _gi) END"))
+        .drop("_ws"))
+
+
 def doc_clf_scores(docs: DataFrame) -> DataFrame:
     """Per-document hashed-bigram classifier score — the frame-level seam
     the pipeline's ``--min-clf-score`` stage shares with
     ``doc_hash_classifier`` (same split, same weights, same edge rule
     for <2-word docs)."""
-    return (
-        docs.selectExpr("doc_id", "source", f"{WORDS} AS _ws")
-        .selectExpr(
-            "doc_id", "source", "greatest(0, size(_ws) - 1) AS _gi",
-            f"CASE WHEN size(_ws) >= 2 THEN "
-            f"aggregate(sequence(1, size(_ws) - 1), cast(0 as bigint), "
-            f"(a, i) -> a + ({_GRAM_W})) ELSE cast(0 as bigint) END AS _si")
-        .selectExpr(
-            "doc_id", "source", "_gi", "_si",
-            "CASE WHEN _gi = 0 THEN cast(0.0 as double) "
-            "ELSE _si / (1000.0 * _gi) END AS _score"))
+    return with_clf_score(docs).select("doc_id", "source", "_gi", "_si",
+                                       "_score")
 
 
 def q_doc_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,6 +49,29 @@ def stream_content_dedup(docs: DataFrame,
             .dropDuplicatesWithinWatermark(["text_hash"]))
 
 
+def stream_curation_gate(docs: DataFrame, min_clf_score: float = 0.0,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of the batch curation gate chain: the hashed-bigram
+    quality classifier (``corpus_pipeline --min-clf-score``) as a
+    STATELESS per-micro-batch filter, feeding survivors through the
+    watermarked exact-dedup state (``stream_content_dedup``).
+
+    The classifier is a pure per-row fold (``queries.corpus
+    .with_clf_score`` — the exact expression the batch pipeline gates
+    with), so verdicts are independent of micro-batch boundaries; the
+    only state in the chain is the dedup's content-hash horizon. That
+    makes the composition batch-equivalent by construction: score-filter
+    then distinct-content == the batch pipeline's clf gate then exact
+    dedup (equality pinned on a 3-micro-batch replay in
+    tests/test_streaming.py). ``docs`` needs (doc_id, text, ts)."""
+    from ..queries.corpus import with_clf_score
+
+    gated = (with_clf_score(docs)
+             .filter(F.col("_score") >= min_clf_score)
+             .drop("_gi", "_si", "_score"))
+    return stream_content_dedup(gated, watermark=watermark)
+
+
 def stream_ingest_dedup(docs_stream: DataFrame, state_dir: str,
                         out_dir: str, checkpoint_dir: str) -> None:
     """Drain available document batches through the dedup state: novel

@@ -332,3 +332,53 @@ def test_stream_cm_sketch_matches_batch(spark, stream_dir, sf_dir):
     closed = {(dia, d, b, n) for dia, d, b, n in batch
               if (dia + 1) * 86400 < max_sec - 7200}
     assert closed and closed <= got <= batch
+
+
+def test_stream_curation_gate_matches_batch_pipeline(spark, tmp_path):
+    """Batch<->streaming symmetry for the curation path (VERDICT-r6 #7):
+    the classifier gate + exact dedup streamed over a 3-micro-batch
+    replay must keep exactly the batch pipeline's set — score-gated
+    (same with_clf_score expression as --min-clf-score) then one
+    survivor per distinct text, with clones planted within AND across
+    micro-batches."""
+    from prac_data_pipelines_spark.queries.corpus import with_clf_score
+    from prac_data_pipelines_spark.streaming.corpus import (
+        stream_curation_gate,
+    )
+    from prac_data_pipelines_spark.streaming.events import run_to_memory
+    from pyspark.sql import functions as F
+
+    texts = [f"training corpus document number {i} body {'hm ' * (i % 5)}"
+             for i in range(12)]
+    rows = []
+    for b in range(3):                      # 3 files -> 3 micro-batches
+        for j in range(12):
+            # batch b carries texts [4b..4b+8): 4-text overlap with the
+            # next batch = cross-batch clones; j spread also duplicates
+            # within a batch
+            t = texts[(4 * b + j) % 12]
+            rows.append((b * 100 + j, t, f"2024-01-01 0{b}:{j:02d}:00", b))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, ts_s string, b int")
+    src = tmp_path / "gate_src"
+    src.mkdir()
+    for b in range(3):
+        (df.filter(F.col("b") == b)
+         .selectExpr("doc_id", "text", "cast(ts_s as timestamp) AS ts")
+         .coalesce(1).write.parquet(str(src / f"f{b}.parquet")))
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string, ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*.parquet"))
+    run_to_memory(stream_curation_gate(stream, min_clf_score=0.0),
+                  "curation_gate_test", output_mode="append")
+    got = {r["text"] for r in spark.table("curation_gate_test").collect()}
+
+    batch = (with_clf_score(
+        df.selectExpr("doc_id", "text", "cast(ts_s as timestamp) AS ts"))
+        .filter(F.col("_score") >= 0.0))
+    want = {r["text"] for r in batch.select("text").distinct().collect()}
+    assert got == want
+    # the gate must actually drop something and keep something
+    assert 0 < len(want) < 12
