@@ -174,6 +174,7 @@ HEADLINE = [
     "doc_dup_spans",
     "multimodal_phash_pairs",
     "multimodal_phash_recall",
+    "multimodal_phash_clusters",
 ]
 
 

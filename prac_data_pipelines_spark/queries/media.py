@@ -302,3 +302,65 @@ GROUP BY hamming ORDER BY hamming
 
 register("multimodal_phash_recall", q_multimodal_phash_recall,
          SQL_MULTIMODAL_PHASH_RECALL)
+
+
+# --------------------------------------------------------------------------
+# multimodal_phash_clusters — connected components over the perceptual-
+# hash pair graph: the image-side twin of doc_dup_clusters, completing
+# the multimodal dedup family to pairs -> clusters granularity. Each
+# image (payload) is labeled with the smallest doc_id reachable through
+# banded Hamming<=threshold pairs; cluster size is what a keep-one-
+# per-cluster stage consumes. The propagation loop is the shared
+# operators/graph.py core (pointer jumping, O(log diameter) rounds);
+# the oracle is an independent formulation — transitive closure via a
+# recursive CTE.
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_phash_clusters(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from ..operators.graph import min_label_components
+
+    pairs = q_multimodal_phash_pairs(spark, sf_dir).select("d1", "d2")
+    labels = min_label_components(spark, pairs)
+    cluster_size = (labels.groupBy("etiqueta")
+                    .agg(F.count(F.lit(1)).cast("long").alias("tam_cluster")))
+    return (labels.join(cluster_size, "etiqueta")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("etiqueta").cast("long").alias("cluster_id"),
+                    "tam_cluster")
+            .orderBy("cluster_id", "doc_id"))
+
+
+SQL_MULTIMODAL_PHASH_CLUSTERS = f"""
+WITH RECURSIVE {SQL_PHASH_CTE}, pb0 AS (
+  SELECT doc_id, phash,
+         concat(b, ':', (phash >> (b * {PH_BAND_BITS}))
+                        & {2 ** PH_BAND_BITS - 1}) AS banda
+  FROM ph CROSS JOIN (SELECT unnest(range(0, {PH_BANDS})) AS b)
+), pbands AS (
+  SELECT doc_id, phash, banda FROM (
+    SELECT *, count(*) OVER (PARTITION BY banda) AS _n FROM pb0)
+  WHERE _n <= {MAX_BAND_DOCS}
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+  FROM pbands l JOIN pbands r ON l.banda = r.banda AND l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.phash, r.phash)) <= {PH_MAX_HAMMING}
+), edges AS (
+  SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs
+), reach AS (
+  SELECT d1 AS src, d2 AS dst FROM edges
+  UNION
+  SELECT r.src, e.d2 FROM reach r JOIN edges e ON r.dst = e.d1
+), labeled AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT doc_id::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id,
+       (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS tam_cluster
+FROM labeled
+ORDER BY cluster_id, doc_id
+"""
+
+register("multimodal_phash_clusters", q_multimodal_phash_clusters,
+         SQL_MULTIMODAL_PHASH_CLUSTERS)

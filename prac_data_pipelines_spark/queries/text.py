@@ -969,73 +969,15 @@ _CC_MAX_ROUNDS = 20  # with pointer jumping this covers diameter ~2^20
 
 
 def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the propagation loop (sizing, pointer jumping, per-round lineage
+    # truncation, convergence proof) lives in operators/graph.py — shared
+    # with the perceptual-hash image clusters
+    from ..operators.graph import min_label_components
+
     pairs = (q_doc_minhash_pairs(spark, sf_dir)
              .filter(F.col("jaccard_est") >= CLUSTER_MIN_EST)
              .select("d1", "d2"))
-    edges0 = (pairs.unionByName(pairs.select(F.col("d2").alias("d1"),
-                                             F.col("d1").alias("d2")))
-              .distinct().cache())
-    # right-size the loop's parallelism to the graph: the pair graph is a
-    # small fraction of the corpus (near-dups), and every round shuffles
-    # it several times — at the session's default partition count most
-    # loop tasks are empty scheduling overhead (measured 2x the wall of a
-    # sized loop at sf0.1). localCheckpoint pins partitioning across
-    # rounds, so AQE cannot coalesce it away; size it once up front.
-    n_part = max(4, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                        edges0.count() // 50_000 + 1))
-    edges = edges0.repartition(n_part, "d1").cache()
-    edges.count()  # materialize before dropping the pre-repartition cache
-    edges0.unpersist()
-    labels = (edges.select(F.col("d1").alias("doc_id")).distinct()
-              .withColumn("etiqueta", F.col("doc_id")).cache())
-    converged = False
-    for i in range(1, _CC_MAX_ROUNDS + 1):
-        neighbor_min = (
-            edges.join(labels, edges.d2 == labels.doc_id)
-            .groupBy(F.col("d1").alias("doc_id"))
-            .agg(F.min("etiqueta").alias("_nb_min"))
-        )
-        stepped = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select("doc_id", F.col("etiqueta").alias("_prev"),
-                    F.least("etiqueta", F.coalesce("_nb_min", F.col("etiqueta")))
-                    .alias("etiqueta"))
-        )
-        # pointer jumping: labels only ever point at other member doc_ids,
-        # and min-propagation is monotone, so label(label(x)) <= label(x)
-        parents = stepped.select(F.col("doc_id").alias("_p_id"),
-                                 F.col("etiqueta").alias("_p_lab"))
-        updated = (
-            stepped.join(parents, stepped.etiqueta == parents._p_id, "left")
-            .select("doc_id", "_prev",
-                    F.least("etiqueta", F.coalesce("_p_lab", F.col("etiqueta")))
-                    .alias("etiqueta"))
-            # truncate the iterative lineage EVERY round: the pointer jump
-            # references the previous generation three times, so plan size
-            # grows ~3^rounds without a hard cut and Catalyst analysis time
-            # dwarfs the actual label shuffles (measured 63s/round by round
-            # 4 at 40k docs with a 5-round cut). The checkpoint materializes
-            # |labels| rows — same cost class as the cache it replaces.
-            .localCheckpoint()
-        )
-        # convergence: `_prev` (the round-start label) carried through the
-        # checkpoint makes the check a filter-count over already-materialized
-        # rows — no join against the previous generation, so it is cheap
-        # enough to run EVERY round. A round that moves nothing is a true
-        # fixed point: propagation-fixed on a connected component forces the
-        # label constant across every edge (label(x)<=label(y) both ways),
-        # i.e. full convergence, and the jump is then the identity.
-        changed = updated.filter("etiqueta != _prev").count()
-        labels.unpersist()  # superseded generation — don't pin executor memory
-        labels = updated.drop("_prev")
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            f"doc_dup_clusters: min-label propagation did not converge in "
-            f"{_CC_MAX_ROUNDS} rounds — component diameter exceeds 2^"
-            f"{_CC_MAX_ROUNDS}? Inspect the pair graph before trusting labels.")
+    labels = min_label_components(spark, pairs, max_rounds=_CC_MAX_ROUNDS)
     cluster_size = (labels.groupBy("etiqueta")
                     .agg(F.count(F.lit(1)).cast("long").alias("tam_cluster")))
     return (labels.join(cluster_size, "etiqueta")

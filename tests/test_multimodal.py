@@ -98,3 +98,27 @@ def test_phash_locality_near_identical_payloads_hamming_close(spark, sf_dir):
     assert ham <= 3, ham
     other = bytes(reversed(base))
     assert bin(phash_stub(base) ^ phash_stub(other)).count("1") > 3
+
+
+def test_phash_clusters_consistent_with_pairs(spark, sf_dir):
+    """Every banded Hamming pair must land in one cluster, cluster sizes
+    must sum to the labeled-node count, and every label must be the
+    smallest doc_id of its component (min-label semantics)."""
+    from prac_data_pipelines_spark.queries.media import (
+        q_multimodal_phash_clusters,
+        q_multimodal_phash_pairs,
+    )
+
+    labels = {r["doc_id"]: r["cluster_id"]
+              for r in q_multimodal_phash_clusters(spark, sf_dir).collect()}
+    pairs = [(r["d1"], r["d2"])
+             for r in q_multimodal_phash_pairs(spark, sf_dir).collect()]
+    assert pairs, "fixture corpus should contain phash dup pairs"
+    for d1, d2 in pairs:
+        assert labels[d1] == labels[d2], (d1, d2)
+    # min-label: each cluster id is the smallest member
+    by_cluster: dict[int, list[int]] = {}
+    for doc, c in labels.items():
+        by_cluster.setdefault(c, []).append(doc)
+    for c, members in by_cluster.items():
+        assert c == min(members)
