@@ -60,6 +60,7 @@ def curate(spark: SparkSession, sf_dir: str,
            min_lm_prob: float | None = None,
            min_dsir: float | None = None,
            min_clf_score: float | None = None,
+           max_dup_frac: float | None = None,
            token_budget: float | None = None) -> dict[str, DataFrame]:
     """Build the named-view dictionary of the curation flow.
 
@@ -80,6 +81,12 @@ def curate(spark: SparkSession, sf_dir: str,
     documents whose normalized hashed-bigram classifier score falls
     below the threshold drop with motivo ``clasificador_bajo``. Off by
     default.
+
+    ``max_dup_frac`` switches on the exact-substring dedup gate (the
+    Lee et al. 2022 signal, ``queries.text.doc_substring_coverage``):
+    documents where MORE than this fraction of tokens is covered by
+    corpus-repeated SUBSTR_K-token windows drop with motivo
+    ``duplicado_sustancial``. Off by default.
 
     ``token_budget`` (fraction, e.g. 0.4) switches on the final
     budget cut: per source, the surviving docs are ranked by quality
@@ -167,6 +174,17 @@ def curate(spark: SparkSession, sf_dir: str,
                       .select("doc_id")
                       .withColumn("motivo", F.lit("clasificador_bajo")))
         dropped = dropped.unionByName(clf_losers)
+    if max_dup_frac is not None:
+        from .queries.text import doc_substring_coverage
+
+        # strict > so max_dup_frac=1.0 keeps even fully-duplicated docs
+        # and 0.0 drops every doc containing any repeated window
+        dup_losers = (doc_substring_coverage(docs)
+                      .filter(F.col("_cov")
+                              > F.col("_n") * F.lit(max_dup_frac))
+                      .select("doc_id")
+                      .withColumn("motivo", F.lit("duplicado_sustancial")))
+        dropped = dropped.unionByName(dup_losers)
     views["descartados"] = dropped
 
     kept = (docs.join(quality, "doc_id").join(lang, "doc_id")
@@ -243,6 +261,10 @@ def main() -> int:
                     help="drop docs whose hashed-bigram classifier score "
                          "is below this threshold (0.0 = the keep rule "
                          "doc_hash_classifier reports)")
+    ap.add_argument("--max-dup-frac", type=float, default=None,
+                    help="drop documents whose fraction of tokens covered "
+                         "by corpus-repeated windows exceeds this "
+                         "(exact-substring dedup gate)")
     ap.add_argument("--token-budget", type=float, default=None,
                     metavar="FRAC",
                     help="after all filters, keep only each source's "
@@ -291,6 +313,7 @@ def main() -> int:
                    min_lm_prob=args.min_lm_prob,
                    min_dsir=args.min_dsir,
                    min_clf_score=args.min_clf_score,
+                   max_dup_frac=args.max_dup_frac,
                    token_budget=args.token_budget)
     export(spark, views, args.out, sf_dir, build_index=build_index)
     n = spark.read.parquet(f"{args.out}/curado").count()

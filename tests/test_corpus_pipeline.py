@@ -243,3 +243,36 @@ def test_cli_dsir_filter_stage(spark, sf_dir, tmp_path, monkeypatch):
     curados = {r.doc_id for r in
                spark.read.parquet(f"{out}/curado").collect()}
     assert not (got & curados)
+
+
+def test_cli_dup_frac_filter_stage(spark, sf_dir, tmp_path, monkeypatch):
+    """--max-dup-frac: 1.0 keeps everything (strict >, coverage cannot
+    exceed 1), and a mid threshold drops exactly the docs whose
+    doc_substring_coverage fraction exceeds it."""
+    import sys
+
+    from prac_data_pipelines_spark import corpus_pipeline
+    from prac_data_pipelines_spark.queries.text import (
+        doc_substring_coverage,
+    )
+    from prac_data_pipelines_spark.sources import load_table
+
+    out = str(tmp_path / "out_dup1")
+    monkeypatch.setattr(sys, "argv", [
+        "corpus_pipeline", "--sf-dir", sf_dir, "--out", out,
+        "--skip-index", "--max-dup-frac", "1.0"])
+    assert corpus_pipeline.main() == 0
+    dropped = spark.read.parquet(f"{out}/descartados")
+    assert dropped.filter("motivo = 'duplicado_sustancial'").count() == 0
+
+    out2 = str(tmp_path / "out_dup05")
+    monkeypatch.setattr(sys, "argv", [
+        "corpus_pipeline", "--sf-dir", sf_dir, "--out", out2,
+        "--skip-index", "--max-dup-frac", "0.05"])
+    assert corpus_pipeline.main() == 0
+    dropped2 = spark.read.parquet(f"{out2}/descartados")
+    got = dropped2.filter("motivo = 'duplicado_sustancial'").count()
+    cov = doc_substring_coverage(
+        load_table(spark, sf_dir, "documents")).collect()
+    want = sum(1 for r in cov if r["_cov"] > r["_n"] * 0.05)
+    assert got == want and want > 0
