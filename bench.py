@@ -175,6 +175,7 @@ HEADLINE = [
     "multimodal_phash_pairs",
     "multimodal_phash_recall",
     "multimodal_phash_clusters",
+    "multimodal_phash_keep_best",
 ]
 
 

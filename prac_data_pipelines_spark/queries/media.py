@@ -332,8 +332,10 @@ def q_multimodal_phash_clusters(spark: SparkSession,
             .orderBy("cluster_id", "doc_id"))
 
 
-SQL_MULTIMODAL_PHASH_CLUSTERS = f"""
-WITH RECURSIVE {SQL_PHASH_CTE}, pb0 AS (
+# Recursive-CTE twin of the image cluster labeling, shared by
+# multimodal_phash_clusters and multimodal_phash_keep_best:
+# `labeled` = (doc_id, cluster_id) for every doc in the phash pair graph.
+SQL_PHASH_CLUSTERS_CTE = f"""WITH RECURSIVE {SQL_PHASH_CTE}, pb0 AS (
   SELECT doc_id, phash,
          concat(b, ':', (phash >> (b * {PH_BAND_BITS}))
                         & {2 ** PH_BAND_BITS - 1}) AS banda
@@ -355,7 +357,10 @@ WITH RECURSIVE {SQL_PHASH_CTE}, pb0 AS (
 ), labeled AS (
   SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
   FROM reach GROUP BY src
-)
+)"""
+
+SQL_MULTIMODAL_PHASH_CLUSTERS = f"""
+{SQL_PHASH_CLUSTERS_CTE}
 SELECT doc_id::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id,
        (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS tam_cluster
 FROM labeled
@@ -364,3 +369,62 @@ ORDER BY cluster_id, doc_id
 
 register("multimodal_phash_clusters", q_multimodal_phash_clusters,
          SQL_MULTIMODAL_PHASH_CLUSTERS)
+
+
+# --------------------------------------------------------------------------
+# multimodal_phash_keep_best — canonical-representative selection for
+# image clusters, the verdict stage after multimodal_phash_clusters
+# (symmetric with doc_dedup_keep_best): every payload gets keep/drop;
+# singletons keep; within a cluster the LARGEST payload wins
+# (octet_length — the bytes/resolution proxy a real image pipeline
+# ranks by), doc_id as the deterministic tiebreak. The verdict window
+# partitions by cluster_id — corpus-cardinality (mostly singletons),
+# never a funnel.
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_phash_keep_best(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.graph import min_label_components
+
+    pairs = q_multimodal_phash_pairs(spark, sf_dir).select("d1", "d2")
+    labels = min_label_components(spark, pairs).withColumnRenamed(
+        "etiqueta", "cluster_id")
+    docs = (load_table(spark, sf_dir, "documents")
+            .selectExpr("doc_id",
+                        "octet_length(encode(text, 'UTF-8')) AS n_bytes"))
+    labeled = (docs.join(labels, "doc_id", "left")
+               .withColumn("cluster_id",
+                           F.coalesce("cluster_id", F.col("doc_id"))))
+    w = (Window.partitionBy("cluster_id")
+         .orderBy(F.col("n_bytes").desc(), F.col("doc_id").asc()))
+    return (
+        labeled.withColumn("mantener", F.row_number().over(w) == 1)
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("cluster_id").cast("long").alias("cluster_id"),
+                F.col("n_bytes").cast("long").alias("n_bytes"),
+                "mantener")
+        .orderBy("doc_id")
+    )
+
+
+SQL_MULTIMODAL_PHASH_KEEP_BEST = f"""
+{SQL_PHASH_CLUSTERS_CTE},
+todos AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+         octet_length(encode(d.text)) AS n_bytes
+  FROM documents d LEFT JOIN labeled l ON d.doc_id = l.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id,
+       n_bytes::BIGINT AS n_bytes,
+       (row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY n_bytes DESC, doc_id ASC) = 1)
+         AS mantener
+FROM todos
+ORDER BY doc_id
+"""
+
+register("multimodal_phash_keep_best", q_multimodal_phash_keep_best,
+         SQL_MULTIMODAL_PHASH_KEEP_BEST)

@@ -122,3 +122,22 @@ def test_phash_clusters_consistent_with_pairs(spark, sf_dir):
         by_cluster.setdefault(c, []).append(doc)
     for c, members in by_cluster.items():
         assert c == min(members)
+
+
+def test_phash_keep_best_one_winner_per_cluster(spark, sf_dir):
+    """Exactly one mantener=true per cluster; singletons always keep;
+    the winner has the cluster's largest payload (smallest id on tie)."""
+    from prac_data_pipelines_spark.queries.media import (
+        q_multimodal_phash_keep_best,
+    )
+
+    rows = q_multimodal_phash_keep_best(spark, sf_dir).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert any(len(m) > 1 for m in by_cluster.values())  # real clusters
+    for members in by_cluster.values():
+        winners = [r for r in members if r["mantener"]]
+        assert len(winners) == 1
+        best = min(members, key=lambda r: (-r["n_bytes"], r["doc_id"]))
+        assert winners[0]["doc_id"] == best["doc_id"]

@@ -106,7 +106,8 @@ def probe_llm(spark, sf_dir: str, k: int) -> None:
                  "vocab_growth_curve", "simhash_recall_audit",
                  # round-7 additions
                  "doc_dup_spans", "multimodal_phash_pairs",
-                 "multimodal_phash_recall", "multimodal_phash_clusters"):
+                 "multimodal_phash_recall", "multimodal_phash_clusters",
+                 "multimodal_phash_keep_best"):
         t0 = time.time()
         queries[name](spark, scratch).write.format("noop").mode("overwrite").save()
         print(f"{name} at {k}x: {time.time()-t0:.2f}s")
