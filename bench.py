@@ -176,6 +176,8 @@ HEADLINE = [
     "multimodal_phash_recall",
     "multimodal_phash_clusters",
     "multimodal_phash_keep_best",
+    "doc_minhash_containment",
+    "doc_dedup_weights",
 ]
 
 

@@ -952,6 +952,96 @@ register("doc_curation", q_doc_curation, SQL_DOC_CURATION)
 
 
 # --------------------------------------------------------------------------
+# doc_minhash_containment — asymmetric containment on the LSH candidate
+# pairs (Broder 1997's second resemblance measure): C(A in B) =
+# |A∩B| / |A| over distinct shingle sets. Jaccard misses INCLUSIONS —
+# a short document quoted wholesale inside a long one scores
+# |A|/|B| << 1 on Jaccard but 1.0 on containment — and inclusion dups
+# are exactly what boilerplate wrappers and quote-heavy pages produce.
+# Emits every candidate pair where either direction's containment
+# clears CONTAINMENT_T, with both directions + Jaccard, and flags pure
+# inclusions (containment high, Jaccard below the near-dup threshold).
+#
+# Scale: identical shape to doc_ngram_jaccard — banded candidates only
+# (never all-pairs), one narrow cached band frame, exact set math per
+# candidate row. Thresholds compare ROUNDED values so both engines make
+# identical keep decisions at the boundary.
+# --------------------------------------------------------------------------
+
+CONTAINMENT_T = 0.7
+
+
+def q_doc_minhash_containment(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = (docs.selectExpr("doc_id", "text", f"{WORDS} AS _ws")
+          .selectExpr("doc_id", f"array_distinct({_SHINGLES_WS}) AS sh"))
+    bands = _band_guard(
+        _with_sigs(docs).selectExpr("doc_id", _BANDS_EXPR)).cache()
+    cand = (
+        bands.select(F.col("doc_id").alias("d1"), "banda")
+        .join(bands.select(F.col("doc_id").alias("d2"), "banda"), "banda")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .dropDuplicates(["d1", "d2"]))
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("d1"),
+                            F.col("sh").alias("sh1")), "d1")
+        .join(sh.select(F.col("doc_id").alias("d2"),
+                        F.col("sh").alias("sh2")), "d2")
+        .withColumn("_i", F.expr("size(array_intersect(sh1, sh2))")
+                    .cast("double")))
+    c12 = r4(F.col("_i") / F.expr("size(sh1)"))
+    c21 = r4(F.col("_i") / F.expr("size(sh2)"))
+    jac = r4(F.col("_i") / (F.expr("size(sh1) + size(sh2)") - F.col("_i")))
+    return (
+        verified.select("d1", "d2",
+                        c12.alias("contencion_1_en_2"),
+                        c21.alias("contencion_2_en_1"),
+                        jac.alias("jaccard"))
+        .filter(F.greatest("contencion_1_en_2", "contencion_2_en_1")
+                >= CONTAINMENT_T)
+        .withColumn("es_inclusion",
+                    F.col("jaccard") < CURATION_JACCARD)
+        .orderBy("d1", "d2"))
+
+
+SQL_DOC_MINHASH_CONTAINMENT = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({SQL_SHINGLES}) AS sh FROM documents
+), hs AS (
+  SELECT doc_id, list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}) AS hs
+  FROM documents
+), sigs AS (
+  SELECT doc_id, {SQL_SIGS} AS sigs FROM hs
+), {SQL_BANDS_CTE}, cand AS (
+  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+  FROM bands l JOIN bands r ON l.banda = r.banda AND l.doc_id < r.doc_id
+), met AS (
+  SELECT d1, d2,
+         floor(len(list_intersect(l.sh, r.sh))::DOUBLE / len(l.sh)
+               * 10000 + 0.5) / 10000 AS contencion_1_en_2,
+         floor(len(list_intersect(l.sh, r.sh))::DOUBLE / len(r.sh)
+               * 10000 + 0.5) / 10000 AS contencion_2_en_1,
+         floor(len(list_intersect(l.sh, r.sh))::DOUBLE
+               / (len(l.sh) + len(r.sh)
+                  - len(list_intersect(l.sh, r.sh)))::DOUBLE
+               * 10000 + 0.5) / 10000 AS jaccard
+  FROM cand JOIN sh l ON l.doc_id = cand.d1
+            JOIN sh r ON r.doc_id = cand.d2
+)
+SELECT d1, d2, contencion_1_en_2, contencion_2_en_1, jaccard,
+       jaccard < {CURATION_JACCARD} AS es_inclusion
+FROM met
+WHERE greatest(contencion_1_en_2, contencion_2_en_1) >= {CONTAINMENT_T}
+ORDER BY d1, d2
+"""
+
+register("doc_minhash_containment", q_doc_minhash_containment,
+         SQL_DOC_MINHASH_CONTAINMENT)
+
+
+# --------------------------------------------------------------------------
 # doc_dup_clusters — connected components over the near-dup pair graph:
 # each document labeled with the smallest doc_id reachable through LSH
 # candidate pairs. Spark side: iterative min-label propagation PLUS
@@ -1068,6 +1158,70 @@ ORDER BY doc_id
 
 register("doc_dedup_keep_best", q_doc_dedup_keep_best,
          SQL_DOC_DEDUP_KEEP_BEST)
+
+
+# --------------------------------------------------------------------------
+# doc_dedup_weights — SOFT dedup: instead of keep-one-drop-rest, every
+# document gets sampling weight 1/|cluster| (singletons 1.0), so a
+# training sampler sees each piece of CONTENT with equal total
+# probability while keeping every copy available — the standard
+# alternative when hard dedup is too aggressive (copies carry distinct
+# metadata) or when repetition should be down-weighted, not erased.
+# Reports, per source, the effective corpus the weights induce.
+#
+# Determinism: weights are materialized as exact integers
+# floor(1e6 / |cluster|) and summed as BIGINTs; division to a double
+# happens once at the edge — a float sum of repeating-binary 1/3-type
+# weights would be partition-order dependent (operators/rounding.py
+# caveat) and could flip the r4 rounding across engines.
+# --------------------------------------------------------------------------
+
+
+def q_doc_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = (q_doc_dup_clusters(spark, sf_dir)
+                .select("doc_id", "tam_cluster"))
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "source", f"cast(size({WORDS}) as bigint) AS _toks")
+    weighted = (docs.join(clusters, "doc_id", "left")
+                .withColumn("_tam", F.coalesce("tam_cluster", F.lit(1)))
+                .withColumn("_w6", F.expr("1000000 div _tam")))
+    return (weighted.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("_toks").cast("long").alias("tokens"),
+                 F.sum("_w6").cast("long").alias("_sw6"),
+                 F.sum(F.col("_toks") * F.col("_w6")).cast("long")
+                 .alias("_stw6"))
+            .select("source", "n_docs", "tokens",
+                    r4(F.col("_sw6") / F.lit(1000000.0))
+                    .alias("docs_efectivos"),
+                    F.expr("_stw6 div 1000000").cast("long")
+                    .alias("tokens_efectivos"),
+                    r4(F.col("_stw6")
+                       / (F.lit(1000000.0) * F.col("tokens")))
+                    .alias("frac_efectiva"))
+            .orderBy("source"))
+
+
+SQL_DOC_DEDUP_WEIGHTS = f"""
+{SQL_CLUSTERS_CTE},
+tam AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY cluster_id) AS tam_cluster
+  FROM labeled
+), weighted AS (
+  SELECT d.source, len({SQL_WORDS})::BIGINT AS _toks,
+         1000000 // coalesce(t.tam_cluster, 1) AS _w6
+  FROM documents d LEFT JOIN tam t ON d.doc_id = t.doc_id
+)
+SELECT source, count(*)::BIGINT AS n_docs, sum(_toks)::BIGINT AS tokens,
+       floor(sum(_w6)::DOUBLE / 1000000.0 * 10000 + 0.5) / 10000
+         AS docs_efectivos,
+       (sum(_toks * _w6) // 1000000)::BIGINT AS tokens_efectivos,
+       floor(sum(_toks * _w6)::DOUBLE / (1000000.0 * sum(_toks))
+             * 10000 + 0.5) / 10000 AS frac_efectiva
+FROM weighted GROUP BY source ORDER BY source
+"""
+
+register("doc_dedup_weights", q_doc_dedup_weights, SQL_DOC_DEDUP_WEIGHTS)
 
 
 # --------------------------------------------------------------------------

@@ -207,3 +207,28 @@ def test_conversion_window_consistent_with_pairs(spark, sf_dir):
         if r["n_compras"]:
             n, _ = from_pairs[r["click_id"]]
             assert n == r["n_compras"]
+
+
+def test_dedup_weights_conserve_content_mass(spark, sf_dir):
+    """Soft-dedup invariant: every content cluster contributes total
+    weight ~1 (quantized to millionths), so the corpus-wide effective
+    doc count must equal singletons + number of multi-doc clusters,
+    within the floor(1e6/tam) quantization error (< tam/1e6 per
+    cluster). Containment pairs must also be a superset story: every
+    pair doc_ngram_jaccard reports at the near-dup threshold has
+    containment >= jaccard in both directions by set algebra."""
+    from prac_data_pipelines_spark.queries.text import (
+        q_doc_dedup_weights,
+        q_doc_dup_clusters,
+    )
+    from prac_data_pipelines_spark.sources import load_table
+
+    rows = q_doc_dedup_weights(spark, sf_dir).collect()
+    total_eff = sum(r["docs_efectivos"] for r in rows)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    clustered = q_doc_dup_clusters(spark, sf_dir).collect()
+    n_clustered_docs = len(clustered)
+    n_clusters = len({r["cluster_id"] for r in clustered})
+    want = (n_docs - n_clustered_docs) + n_clusters
+    assert abs(total_eff - want) < 0.01 + n_clusters * 64 / 1e6
+    assert total_eff < n_docs  # weighting must actually down-weight

@@ -432,6 +432,21 @@ def test_doc_dup_spans_windows_on_doc_id(spark, sf_dir):
     assert specs and all(s == "doc_id" for s in specs), plan[:2000]
 
 
+def test_doc_minhash_containment_banded_join(spark, sf_dir):
+    """Containment verification must run only on banded LSH candidates —
+    the join keys on the band string, never all-pairs, no single-
+    partition stage."""
+    from prac_data_pipelines_spark.queries.text import (
+        q_doc_minhash_containment,
+    )
+
+    plan = _plan(q_doc_minhash_containment(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+    assert "banda" in plan
+
+
 def test_multimodal_phash_pairs_banded_join(spark, sf_dir):
     """Perceptual-hash dedup must stay a banded LSH self-join — the
     candidate join keys on the short band string, never all-pairs."""
