@@ -311,3 +311,40 @@ def test_emb_dedup_curve_monotone_and_separating(spark, acc_dir):
         assert b["docs_conservados"] >= a["docs_conservados"]
     assert rows[-1]["docs_caidos"] < rows[0]["docs_caidos"]
     assert all(r["docs_caidos"] >= 30 for r in rows)
+
+
+def test_phash_clusters_match_union_find_at_sf01(spark):
+    """Image-side CC (shared operators/graph.py loop) must partition
+    identically to a driver-side union-find over the same banded
+    Hamming pairs at the 5k-doc scale the sf0.1 oracle run skips."""
+    import os
+
+    import pytest
+
+    big = "/root/testdata/sf0.1"
+    if not os.path.isdir(big):
+        pytest.skip("sf0.1 testdata not present")
+    from prac_data_pipelines_spark.queries.media import (
+        q_multimodal_phash_clusters,
+        q_multimodal_phash_pairs,
+    )
+
+    pairs = q_multimodal_phash_pairs(spark, big).select("d1", "d2").collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r["d1"]), find(r["d2"])
+        if a != b:
+            hi, lo = max(a, b), min(a, b)
+            parent[hi] = lo
+    want = {x: find(x) for x in parent}
+
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in q_multimodal_phash_clusters(spark, big).collect()}
+    assert got == want and len(got) > 0
