@@ -72,6 +72,52 @@ def stream_curation_gate(docs: DataFrame, min_clf_score: float = 0.0,
     return stream_content_dedup(gated, watermark=watermark)
 
 
+def stream_phash_dedup(docs: DataFrame,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming perceptual-hash dedup — the multimodal face of
+    ``stream_content_dedup``: each micro-batch's payloads are dHashed in
+    the stateless Arrow stage (``operators.multimodal.phash_stub``, the
+    same hash the batch pair/cluster family keys on), then the first
+    arrival per exact perceptual hash inside the watermark horizon wins.
+    Hamming-0 collisions are the dedup core the banded batch pairs
+    extend to hamming<=3; the streaming state holds one entry per
+    distinct phash per horizon — O(content-per-window), not O(stream).
+    ``docs`` needs (doc_id, text, ts)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from ..operators.multimodal import phash_stub
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("phash", LongType()),
+    ])
+
+    def batches(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "text": pdf["text"],
+                "ts": pdf["ts"],
+                "phash": pd.Series(
+                    [phash_stub(t.encode("utf-8")) for t in pdf["text"]],
+                    dtype="int64"),
+            })
+
+    hashed = docs.select("doc_id", "text", "ts").mapInPandas(
+        batches, schema=schema)
+    return (hashed.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["phash"]))
+
+
 def stream_ingest_dedup(docs_stream: DataFrame, state_dir: str,
                         out_dir: str, checkpoint_dir: str) -> None:
     """Drain available document batches through the dedup state: novel

@@ -382,3 +382,53 @@ def test_stream_curation_gate_matches_batch_pipeline(spark, tmp_path):
     assert got == want
     # the gate must actually drop something and keep something
     assert 0 < len(want) < 12
+
+
+def test_stream_phash_dedup_matches_batch_distinct(spark, tmp_path):
+    """Streaming perceptual dedup over a 3-micro-batch replay must keep
+    exactly one survivor per distinct dHash — the same distinct set the
+    batch Arrow stage computes — with hash-identical payloads planted
+    within and across micro-batches."""
+    from pyspark.sql import functions as F
+
+    from prac_data_pipelines_spark.operators.multimodal import (
+        attach_payload,
+        dhash_images,
+    )
+    from prac_data_pipelines_spark.streaming.corpus import (
+        stream_phash_dedup,
+    )
+    from prac_data_pipelines_spark.streaming.events import run_to_memory
+
+    texts = [f"image payload stand in {i} " + "pix " * (i % 6)
+             for i in range(9)]
+    rows = []
+    for b in range(3):
+        for j in range(9):
+            rows.append((b * 100 + j, texts[(3 * b + j) % 9],
+                         f"2024-01-01 0{b}:{j:02d}:00", b))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, ts_s string, b int")
+    src = tmp_path / "phash_src"
+    src.mkdir()
+    for b in range(3):
+        (df.filter(F.col("b") == b)
+         .selectExpr("doc_id", "text", "cast(ts_s as timestamp) AS ts")
+         .coalesce(1).write.parquet(str(src / f"f{b}.parquet")))
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string, ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*.parquet"))
+    run_to_memory(stream_phash_dedup(stream), "phash_dedup_test",
+                  output_mode="append")
+    kept = spark.table("phash_dedup_test").collect()
+
+    batch_hashes = {
+        r["phash"]
+        for r in dhash_images(attach_payload(
+            df.selectExpr("doc_id", "text"))).collect()
+    }
+    assert {r["phash"] for r in kept} == batch_hashes
+    assert len(kept) == len(batch_hashes)  # one survivor per hash
+    assert len(kept) < len(rows)           # clones actually dropped
