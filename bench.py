@@ -178,6 +178,7 @@ HEADLINE = [
     "multimodal_phash_keep_best",
     "doc_minhash_containment",
     "doc_dedup_weights",
+    "events_quantile_sketch",
 ]
 
 

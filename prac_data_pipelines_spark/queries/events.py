@@ -1313,3 +1313,140 @@ FROM per_cell ORDER BY cohorte_semana, desfase
 
 register("events_cohort_value", q_events_cohort_value,
          SQL_EVENTS_COHORT_VALUE)
+
+
+# --------------------------------------------------------------------------
+# events_quantile_sketch — mergeable QUANTILE sketch, completing the
+# sketch family (Count-Min = frequency, HLL = cardinality, this =
+# distribution): a fixed-width histogram over integer cents (HDR-
+# histogram shape). The per-(type, bucket) counts ARE the sketch — at
+# 100 TB you persist them as the partial aggregate and answer any
+# quantile over any union of partitions by SUMMING buckets, never
+# rescanning raw events; merge is exact (integer adds), insertion- and
+# partition-order independent by construction.
+#
+# Approximate quantile = upper edge of the first bucket whose running
+# count reaches ceil(q*n); the error is structurally < one bucket
+# width, and the query audits that bound against the EXACT rank-based
+# quantile (smallest value whose cumulative count reaches the same
+# rank — no interpolation, hence bit-portable across engines). All
+# arithmetic is integer cents: no float sums, no percentile_approx.
+#
+# Scale: two wordcount-class aggregates (per-(type, cents) for the
+# exact audit baseline — key space bounded by the value DOMAIN, 49k
+# cents, not the corpus; per-(type, bucket) for the sketch). The
+# cumulative windows run over those aggregated frames only (the
+# events_cohort_value pattern) — never over raw events.
+# --------------------------------------------------------------------------
+
+QS_BUCKET_CENTS = 1000  # $10 histogram resolution
+
+
+def q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "cast(floor(value * 100 + 0.5) as bigint) AS _c")
+    wt = Window.partitionBy("event_type")
+    wc = wt.orderBy("_c").rowsBetween(Window.unboundedPreceding,
+                                      Window.currentRow)
+    per_cents = (ev.groupBy("event_type", "_c")
+                 .agg(F.count(F.lit(1)).alias("_n"))
+                 .withColumn("_cum", F.sum("_n").over(wc))
+                 .withColumn("_tot", F.sum("_n").over(wt)))
+
+    def exact(num: int, den: int, alias: str):
+        # rank-based lower quantile at rank ceil(num/den * n)
+        return F.min(F.when(
+            F.col("_cum") >= F.expr(f"({num} * _tot + {den} - 1) div {den}"),
+            F.col("_c"))).cast("long").alias(alias)
+
+    exacts = per_cents.groupBy("event_type").agg(
+        F.max("_tot").cast("long").alias("n"),
+        exact(1, 2, "p50_exacto"), exact(19, 20, "p95_exacto"),
+        exact(99, 100, "p99_exacto"))
+
+    hist = (ev.selectExpr("event_type",
+                          f"_c div {QS_BUCKET_CENTS} AS _b")
+            .groupBy("event_type", "_b")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .withColumn("_cum", F.sum("_n").over(wt.orderBy("_b")
+                        .rowsBetween(Window.unboundedPreceding,
+                                     Window.currentRow)))
+            .withColumn("_tot", F.sum("_n").over(wt)))
+
+    def approx(num: int, den: int, alias: str):
+        # upper edge of the first bucket reaching the rank
+        return (F.min(F.when(
+            F.col("_cum") >= F.expr(f"({num} * _tot + {den} - 1) div {den}"),
+            F.col("_b"))) * QS_BUCKET_CENTS + (QS_BUCKET_CENTS - 1)) \
+            .cast("long").alias(alias)
+
+    approxs = hist.groupBy("event_type").agg(
+        approx(1, 2, "p50_aprox"), approx(19, 20, "p95_aprox"),
+        approx(99, 100, "p99_aprox"))
+
+    ok = ((F.col("p50_aprox") - F.col("p50_exacto")).between(
+              0, QS_BUCKET_CENTS - 1)
+          & (F.col("p95_aprox") - F.col("p95_exacto")).between(
+              0, QS_BUCKET_CENTS - 1)
+          & (F.col("p99_aprox") - F.col("p99_exacto")).between(
+              0, QS_BUCKET_CENTS - 1))
+    return (exacts.join(approxs, "event_type")
+            .withColumn("sketch_ok", ok)
+            .select("event_type", "n", "p50_exacto", "p50_aprox",
+                    "p95_exacto", "p95_aprox", "p99_exacto", "p99_aprox",
+                    "sketch_ok")
+            .orderBy("event_type"))
+
+
+SQL_EVENTS_QUANTILE_SKETCH = f"""
+WITH ev AS (
+  SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS _c FROM events
+), per_cents AS (
+  SELECT event_type, _c, count(*)::BIGINT AS _n
+  FROM ev GROUP BY event_type, _c
+), cum AS (
+  SELECT event_type, _c,
+         sum(_n) OVER (PARTITION BY event_type ORDER BY _c
+                       ROWS UNBOUNDED PRECEDING) AS _cum,
+         sum(_n) OVER (PARTITION BY event_type) AS _tot
+  FROM per_cents
+), exacts AS (
+  SELECT event_type, max(_tot)::BIGINT AS n,
+         min(CASE WHEN _cum >= (1 * _tot + 1) // 2 THEN _c END)::BIGINT
+           AS p50_exacto,
+         min(CASE WHEN _cum >= (19 * _tot + 19) // 20 THEN _c END)::BIGINT
+           AS p95_exacto,
+         min(CASE WHEN _cum >= (99 * _tot + 99) // 100 THEN _c END)::BIGINT
+           AS p99_exacto
+  FROM cum GROUP BY event_type
+), hist AS (
+  SELECT event_type, _c // {QS_BUCKET_CENTS} AS _b, count(*)::BIGINT AS _n
+  FROM ev GROUP BY event_type, _c // {QS_BUCKET_CENTS}
+), hcum AS (
+  SELECT event_type, _b,
+         sum(_n) OVER (PARTITION BY event_type ORDER BY _b
+                       ROWS UNBOUNDED PRECEDING) AS _cum,
+         sum(_n) OVER (PARTITION BY event_type) AS _tot
+  FROM hist
+), approxs AS (
+  SELECT event_type,
+         (min(CASE WHEN _cum >= (1 * _tot + 1) // 2 THEN _b END)
+          * {QS_BUCKET_CENTS} + {QS_BUCKET_CENTS - 1})::BIGINT AS p50_aprox,
+         (min(CASE WHEN _cum >= (19 * _tot + 19) // 20 THEN _b END)
+          * {QS_BUCKET_CENTS} + {QS_BUCKET_CENTS - 1})::BIGINT AS p95_aprox,
+         (min(CASE WHEN _cum >= (99 * _tot + 99) // 100 THEN _b END)
+          * {QS_BUCKET_CENTS} + {QS_BUCKET_CENTS - 1})::BIGINT AS p99_aprox
+  FROM hcum GROUP BY event_type
+)
+SELECT e.event_type, e.n, e.p50_exacto, a.p50_aprox, e.p95_exacto,
+       a.p95_aprox, e.p99_exacto, a.p99_aprox,
+       (a.p50_aprox - e.p50_exacto BETWEEN 0 AND {QS_BUCKET_CENTS - 1}
+        AND a.p95_aprox - e.p95_exacto BETWEEN 0 AND {QS_BUCKET_CENTS - 1}
+        AND a.p99_aprox - e.p99_exacto BETWEEN 0 AND {QS_BUCKET_CENTS - 1})
+         AS sketch_ok
+FROM exacts e JOIN approxs a USING (event_type)
+ORDER BY e.event_type
+"""
+
+register("events_quantile_sketch", q_events_quantile_sketch,
+         SQL_EVENTS_QUANTILE_SKETCH)

@@ -101,3 +101,52 @@ def test_hll_union_merge_accuracy_and_order_invariance(spark):
     est3 = merged_estimate(rows.repartition(3, "dia"))
     assert est1 == est2 == est3, (est1, est2, est3)
     assert abs(est1 - n) <= 0.05 * n, est1
+
+
+def test_quantile_histogram_sketch_merges_exactly(spark, sf_dir):
+    """The quantile sketch's merge contract: per-shard fixed-bucket
+    histograms summed bucket-wise must give EXACTLY the quantiles of
+    the one-shot global histogram (integer adds — unlike HLL there is
+    no merge error at all), for any shard split."""
+    from collections import Counter
+
+    from prac_data_pipelines_spark.queries.events import (
+        QS_BUCKET_CENTS,
+        q_events_quantile_sketch,
+    )
+    from prac_data_pipelines_spark.operators.timeops import epoch_sec  # noqa: F401
+    from prac_data_pipelines_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    ev = (load_table(spark, sf_dir, "events")
+          .selectExpr("event_id", "event_type",
+                      "cast(floor(value * 100 + 0.5) as bigint) AS c")
+          .collect())
+
+    def quantiles_from_hist(hist: Counter, n: int):
+        out = []
+        for num, den in ((1, 2), (19, 20), (99, 100)):
+            rank = (num * n + den - 1) // den
+            cum = 0
+            for b in sorted(hist):
+                cum += hist[b]
+                if cum >= rank:
+                    out.append(b * QS_BUCKET_CENTS + QS_BUCKET_CENTS - 1)
+                    break
+        return out
+
+    # shard 3 ways by event_id, build per-shard hists, merge by summing
+    by_type_merged: dict[str, Counter] = {}
+    by_type_n: dict[str, int] = {}
+    for shard in range(3):
+        for r in ev:
+            if r["event_id"] % 3 != shard:
+                continue
+            h = by_type_merged.setdefault(r["event_type"], Counter())
+            h[r["c"] // QS_BUCKET_CENTS] += 1
+            by_type_n[r["event_type"]] = by_type_n.get(r["event_type"], 0) + 1
+
+    got = {r["event_type"]: (r["p50_aprox"], r["p95_aprox"], r["p99_aprox"])
+           for r in q_events_quantile_sketch(spark, sf_dir).collect()}
+    for t, hist in by_type_merged.items():
+        assert tuple(quantiles_from_hist(hist, by_type_n[t])) == got[t], t
