@@ -179,6 +179,7 @@ HEADLINE = [
     "doc_minhash_containment",
     "doc_dedup_weights",
     "events_quantile_sketch",
+    "doc_normalized_dedup",
 ]
 
 

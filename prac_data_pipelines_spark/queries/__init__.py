@@ -53,18 +53,18 @@ _PRIORITY: tuple[str, ...] = (
     "doc_dup_spans", "multimodal_phash_pairs", "multimodal_phash_recall",
     "multimodal_phash_clusters", "multimodal_phash_keep_best",
     "doc_minhash_containment", "doc_dedup_weights",
-    "events_quantile_sketch",
-    # r4-era fill to 50 (kmeans_embeddings included deliberately: its
-    # unattributed +43% bench move in r6 gets a fresh verdict too):
+    "events_quantile_sketch", "doc_normalized_dedup",
+    # r4-era fill to 50:
     "events_rolling", "events_transitions", "pricing_summary",
     "parts_never_ordered", "rich_inactive_customers",
     "min_cost_supplier", "order_vs_customer_avg", "doc_curation",
     "doc_minhash_pairs", "doc_ngram_jaccard", "doc_quality_quantiles",
-    "doc_dup_clusters", "doc_dedup_keep_best", "doc_simhash_pairs",
+    "doc_dup_clusters", "doc_dedup_keep_best",
     # --- 50-row budget boundary ---
     # r4-era remainder (leads the r8 rotation; kmeans_embeddings no
     # longer needs a priority slot — the r6 +43% bench question was
     # cleared by the committed quiet detail, not a verdict):
+    "doc_simhash_pairs",
     "doc_chunks", "knn_lsh", "kmeans_embeddings", "knn_ivf",
     "emb_semantic_dedup",
     "events_hourly", "events_sessionize", "events_json", "events_funnel",

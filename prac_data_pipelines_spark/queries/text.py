@@ -158,6 +158,64 @@ register("doc_exact_dedup", q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP)
 
 
 # --------------------------------------------------------------------------
+# doc_normalized_dedup — normalization-equivalence dedup, the stage
+# between byte-exact and near-dup: case folding + whitespace-run
+# collapse + trim before hashing, so "same content, different casing /
+# spacing" collides (the CCNet/C4 preprocessing step byte-exact dedup
+# misses). Variants are synthesized deterministically (doc_id < 25
+# cloned UPPERCASED with doubled spaces, re-keyed +2000000 — the
+# established clone-synthesis pattern, queries/corpus.py passage
+# dedup) so the grouping is demonstrable; ``variantes`` counts the
+# DISTINCT raw texts inside each normalized group — > 1 is exactly the
+# set a byte-exact pass leaves behind.
+#
+# Normalization is case + whitespace only: punctuation/unicode classes
+# differ between engines; regexp_replace replaces all matches in Spark
+# by default but needs the 'g' flag in DuckDB.
+#
+# Scale: one hash-shuffle on the normalized digest (map-side combined),
+# same class as doc_exact_dedup.
+# --------------------------------------------------------------------------
+
+_NORM = "lower(regexp_replace(trim(text), '\\\\s+', ' '))"
+_SQL_NORM = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
+
+
+def q_doc_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    variants = (docs.filter(F.col("doc_id") < 25)
+                .selectExpr("doc_id + 2000000 AS doc_id",
+                            "replace(upper(text), ' ', '  ') AS text"))
+    union = docs.unionByName(variants)
+    return (
+        union.groupBy(F.md5(F.expr(_NORM)).alias("huella_norm"))
+        .agg(F.count(F.lit(1)).cast("long").alias("docs"),
+             F.countDistinct("text").cast("long").alias("variantes"),
+             F.min("doc_id").cast("long").alias("canonico"))
+        .filter(F.col("docs") > 1)
+        .orderBy("canonico")
+    )
+
+
+SQL_DOC_NORMALIZED_DEDUP = f"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, replace(upper(text), ' ', '  ')
+  FROM documents WHERE doc_id < 25
+)
+SELECT md5({_SQL_NORM}) AS huella_norm, count(*)::BIGINT AS docs,
+       count(DISTINCT text)::BIGINT AS variantes,
+       min(doc_id)::BIGINT AS canonico
+FROM unioned GROUP BY 1 HAVING count(*) > 1
+ORDER BY canonico
+"""
+
+register("doc_normalized_dedup", q_doc_normalized_dedup,
+         SQL_DOC_NORMALIZED_DEDUP)
+
+
+# --------------------------------------------------------------------------
 # doc_token_stats — token counting + length stats, all array expressions.
 # --------------------------------------------------------------------------
 
