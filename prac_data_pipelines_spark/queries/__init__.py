@@ -29,44 +29,17 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # not yet received a driver-green row first so every operator accumulates a
 # driver verdict across rounds; the remainder keeps registration order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-7 rotation (VERDICT-r6 item #1: drain the r3-era backlog and
-    # do NOT let new ops displace it).  Head-50 layout, enforced by
+    # Round-8 rotation (VERDICT-r7 item #1).  Head-50 layout, enforced by
     # tests/test_freshness.py + tools/freshness.py:
-    #   1. the 28 r3-era stale verdicts (must-run: >3 rounds old at r7),
-    #   2. new/modified r7 ops (never-verified => must-run),
-    #   3. r4-era fill to exactly 50 (registration order).
-    # The remaining r4-era re-verdicts are staged after the boundary and
-    # lead the r8 rotation.
+    #   1. the 36 r4-era must-runs (verdict >3 rounds old at r8),
+    #   2. new/modified r8 ops (never-verified => must-run),
+    #   3. r5-era fill to exactly 50 (verdict-age order).
+    # New r8 ops may only displace fill rows, never the must-run block
+    # (VERDICT-r7 item #3 caps new ops at 14 = 50 - 36).
     #
-    # r3-era stale (28):
-    "cxc_cartera", "cxc_resumen_concepto", "cxc_cancelados",
-    "cxc_ajustes", "cxc_auditoria_nulos", "cxc_kpis",
-    "cxc_limite_credito", "cxc_morosidad_cliente", "cxc_saldo_cliente",
-    "cxc_movimientos_abiertos", "doc_exact_dedup", "doc_token_stats",
-    "doc_bpe_tokens", "doc_quality", "doc_lang_id", "knn_brute",
-    "fuzzy_name_blocks", "band_groups", "scalar_suite",
-    "cancelled_filter", "union_views", "column_profile",
-    "distinct_counts", "doc_simhash", "embedding_norms",
-    "doc_fingerprint", "doc_sample", "fuzzy_block_stats",
-    # New in r7 (below the stale re-verdicts, per VERDICT-r6):
-    # (inserted as they land; each displaces one r4-era fill row)
-    "doc_dup_spans", "multimodal_phash_pairs", "multimodal_phash_recall",
-    "multimodal_phash_clusters", "multimodal_phash_keep_best",
-    "doc_minhash_containment", "doc_dedup_weights",
-    "events_quantile_sketch", "doc_normalized_dedup",
-    # r4-era fill to 50:
-    "events_rolling", "events_transitions", "pricing_summary",
-    "parts_never_ordered", "rich_inactive_customers",
-    "min_cost_supplier", "order_vs_customer_avg", "doc_curation",
-    "doc_minhash_pairs", "doc_ngram_jaccard", "doc_quality_quantiles",
-    "doc_dup_clusters", "doc_dedup_keep_best",
-    # --- 50-row budget boundary ---
-    # r4-era remainder (leads the r8 rotation; kmeans_embeddings no
-    # longer needs a priority slot — the r6 +43% bench question was
-    # cleared by the committed quiet detail, not a verdict):
-    "doc_simhash_pairs",
-    "doc_chunks", "knn_lsh", "kmeans_embeddings", "knn_ivf",
-    "emb_semantic_dedup",
+    # r4-era must-run (36):
+    "doc_simhash_pairs", "doc_chunks", "knn_lsh", "kmeans_embeddings",
+    "knn_ivf", "emb_semantic_dedup",
     "events_hourly", "events_sessionize", "events_json", "events_funnel",
     "events_segment_value", "events_rolling_sharded",
     "events_anomaly", "events_retention", "events_gapfill",
@@ -78,6 +51,28 @@ _PRIORITY: tuple[str, ...] = (
     "line_priority_mix", "small_qty_revenue", "dominant_part_suppliers",
     "vocab_top_terms", "source_mix", "doc_passage_dedup",
     "doc_train_split",
+    # New in r8 (below the must-run block, per VERDICT-r7 item #3;
+    # each displaces one r5-era fill row):
+    # (inserted as they land)
+    # r5-era fill to 50 (verdict-age order):
+    "master_denorm", "order_balance", "order_last_ship",
+    "open_order_lines", "flag_full_outer", "customer_first_order",
+    "aging_buckets", "aging_pivot", "customer_metrics",
+    "running_balance", "zscore_outliers", "dual_sort", "top_customers",
+    "doc_lang_confusion",
+    # --- 50-row budget boundary ---
+    # r5-era remainder (stages the r9 rotation, verdict-age order):
+    "emb_near_dup", "emb_label_centroids", "events_dau_wau",
+    "multimodal_features", "multimodal_resize", "multimodal_frames",
+    "sql_text", "distinct_values", "quantiles", "window_suite",
+    "rollup_summary", "set_ops", "asof_latest_order",
+    "distribution_windows", "cube_summary", "priority_late_lines",
+    "customer_order_distribution", "large_quantity_orders",
+    "volume_shipping", "market_share", "waiting_suppliers",
+    "important_stock", "top_supplier", "doc_decontaminate",
+    "doc_pii_scrub", "doc_pack_sequences", "tfidf_top_terms",
+    "doc_repetition", "doc_stratified_sample", "shard_manifest",
+    "doc_lm_quality", "bpe_merge_pairs",
 )
 
 
