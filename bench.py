@@ -180,6 +180,8 @@ HEADLINE = [
     "doc_dedup_weights",
     "events_quantile_sketch",
     "doc_normalized_dedup",
+    # Round-8: actionable span-dedup rewrite (Lee et al. keep-first).
+    "doc_strip_dup_spans",
 ]
 
 

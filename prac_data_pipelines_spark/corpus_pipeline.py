@@ -265,6 +265,12 @@ def main() -> int:
                     help="drop documents whose fraction of tokens covered "
                          "by corpus-repeated windows exceeds this "
                          "(exact-substring dedup gate)")
+    ap.add_argument("--strip-dup-spans", action="store_true",
+                    help="before curation, rewrite each document's text "
+                         "with every maximal duplicated span of >= "
+                         "DUP_SPAN_MIN tokens removed, keeping the "
+                         "corpus-wide first occurrence (Lee et al. 2022 "
+                         "span-dedup semantics)")
     ap.add_argument("--token-budget", type=float, default=None,
                     metavar="FRAC",
                     help="after all filters, keep only each source's "
@@ -309,6 +315,23 @@ def main() -> int:
         print(f"incremental dedup: {n_in} docs in, {n_kept} novel kept")
         sf_dir = kept_dir
         build_index = False
+    if args.strip_dup_spans:
+        from .queries.text import WORDS, strip_dup_spans
+
+        docs = load_table(spark, sf_dir, "documents")
+        rewritten = strip_dup_spans(docs)
+        despan_dir = f"{args.out}/despanned"
+        os.makedirs(despan_dir, exist_ok=True)
+        rewritten.write.mode("overwrite").parquet(
+            f"{despan_dir}/documents.parquet")
+        toks = f"sum(size({WORDS}))"
+        before = docs.selectExpr(toks).first()[0]
+        after = (spark.read.parquet(f"{despan_dir}/documents.parquet")
+                 .selectExpr(toks).first()[0])
+        print(f"strip-dup-spans: tokens {before} -> {after} "
+              f"({before - after} removed)")
+        sf_dir = despan_dir
+        build_index = False  # the rewritten dir carries documents only
     views = curate(spark, sf_dir, args.min_quality,
                    min_lm_prob=args.min_lm_prob,
                    min_dsir=args.min_dsir,

@@ -428,3 +428,108 @@ ORDER BY doc_id
 
 register("multimodal_phash_keep_best", q_multimodal_phash_keep_best,
          SQL_MULTIMODAL_PHASH_KEEP_BEST)
+
+
+# --------------------------------------------------------------------------
+# multimodal_decontaminate — CROSS-MODAL eval-set decontamination
+# (VERDICT-r7 item #5): the text and image dedup stacks meet. A training
+# document is contaminated if it shares a DECON_K-word n-gram with the
+# eval set (the doc_decontaminate text channel) OR its perceptual hash is
+# within PH_MAX_HAMMING of an eval image's (the phash channel) — the
+# union gate a multimodal training pipeline needs, since an eval image
+# can leak with a rewritten caption and eval text with a re-encoded
+# image. The eval set is the deterministic stand-in (doc_id % BENCH_MOD
+# == 0) BOUNDED to doc_id < MM_DECON_MAX_ID — real eval sets are
+# fixed-size, so the slice must never grow with the corpus (the
+# EMB_DECON_MAX_ID / PH_AUDIT_MAX_ID discipline).
+#
+# Scale: both eval sides are broadcast — the n-gram set as in
+# doc_decontaminate, the <= ~52 eval phashes as a broadcast nested-loop
+# SEMI join (xor+popcount per comparison, O(|corpus| x |eval|) cheap JVM
+# ops, NO shuffle of the corpus at all; at PH_MAX_HAMMING <= 3 this is
+# exactly the banding result, since 4x16-bit banding recall is
+# pigeonhole-guaranteed there, so the oracle's exact form IS the plan's
+# semantics). The only shuffles are the gram distinct and the final
+# per-source rollup.
+# --------------------------------------------------------------------------
+
+MM_DECON_MAX_ID = 5000  # fixed eval slice: ~52 eval docs from sf0.1 up
+
+
+def q_multimodal_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .corpus import BENCH_MOD, _KGRAMS
+    from .text import WORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = ((F.col("doc_id") % BENCH_MOD == 0)
+               & (F.col("doc_id") < MM_DECON_MAX_ID))
+    grams = (docs.selectExpr("doc_id", "text", f"{WORDS} AS _ws")
+             .selectExpr("doc_id", f"explode({_KGRAMS}) AS grama"))
+    bench = grams.filter(is_eval).select("grama").distinct()
+    tcont = (grams.filter(~is_eval).join(F.broadcast(bench), "grama")
+             .select("doc_id").distinct())
+    ph = _phashes(spark, sf_dir)
+    evph = ph.filter(is_eval).select(F.col("phash").alias("ephash"))
+    icont = (ph.filter(~is_eval)
+             .join(F.broadcast(evph),
+                   F.expr(f"bit_count(phash ^ ephash) <= {PH_MAX_HAMMING}"),
+                   "left_semi")
+             .select("doc_id"))
+    corpus = docs.filter(~is_eval).select("doc_id", "source")
+    flags = (corpus
+             .join(tcont.withColumn("_t", F.lit(1)), "doc_id", "left")
+             .join(icont.withColumn("_i", F.lit(1)), "doc_id", "left")
+             .select("source",
+                     F.coalesce("_t", F.lit(0)).alias("_t"),
+                     F.coalesce("_i", F.lit(0)).alias("_i")))
+    return (flags.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("docs_total"),
+                 F.sum("_t").cast("long").alias("cont_texto"),
+                 F.sum("_i").cast("long").alias("cont_imagen"),
+                 F.sum(F.greatest("_t", "_i")).cast("long")
+                 .alias("cont_total"),
+                 (F.count(F.lit(1)) - F.sum(F.greatest("_t", "_i")))
+                 .cast("long").alias("docs_conservados"))
+            .orderBy("source"))
+
+
+def _mm_decon_sql() -> str:
+    from .corpus import _SQL_KGRAMS, BENCH_MOD
+
+    ev = f"(doc_id % {BENCH_MOD} = 0 AND doc_id < {MM_DECON_MAX_ID})"
+    return f"""
+WITH {SQL_PHASH_CTE}, ws AS (
+  SELECT doc_id, text, str_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest({_SQL_KGRAMS}) AS grama FROM ws
+), bench AS (
+  SELECT DISTINCT grama FROM grams WHERE {ev}
+), tcont AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN bench b ON g.grama = b.grama
+  WHERE NOT {ev.replace("doc_id", "g.doc_id")}
+), evph AS (
+  SELECT phash FROM ph WHERE {ev}
+), icont AS (
+  SELECT DISTINCT c.doc_id FROM ph c, evph e
+  WHERE NOT {ev.replace("doc_id", "c.doc_id")}
+    AND bit_count(xor(c.phash, e.phash)) <= {PH_MAX_HAMMING}
+)
+SELECT d.source, count(*)::BIGINT AS docs_total,
+       sum(CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+         AS cont_texto,
+       sum(CASE WHEN i.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+         AS cont_imagen,
+       sum(CASE WHEN t.doc_id IS NULL AND i.doc_id IS NULL
+                THEN 0 ELSE 1 END)::BIGINT AS cont_total,
+       sum(CASE WHEN t.doc_id IS NULL AND i.doc_id IS NULL
+                THEN 1 ELSE 0 END)::BIGINT AS docs_conservados
+FROM documents d LEFT JOIN tcont t ON d.doc_id = t.doc_id
+                 LEFT JOIN icont i ON d.doc_id = i.doc_id
+WHERE NOT {ev.replace("doc_id", "d.doc_id")}
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+register("multimodal_decontaminate", q_multimodal_decontaminate,
+         _mm_decon_sql())

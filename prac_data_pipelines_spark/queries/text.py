@@ -1605,27 +1605,27 @@ register("doc_substring_dedup", q_doc_substring_dedup, SQL_DOC_SUBSTRING_DEDUP)
 DUP_SPAN_MIN = 2 * SUBSTR_K  # report spans of at least 16 tokens
 
 
-def dup_spans(docs: DataFrame) -> DataFrame:
-    """(doc_id, desde_palabra, n_palabras) — every maximal duplicated span
-    (no minimum-length filter; the registered query applies DUP_SPAN_MIN).
-    Separated so the chaining can be property-tested against a brute-force
-    Python span finder."""
+def _dup_wins(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, g) — every SUBSTR_K-token window as a 28-bit hash.
+    The shared first stage of the span-dedup family (report + strip)."""
     base = docs.selectExpr("doc_id", f"{WORDS} AS _ws")
-    wins = (base.filter(f"size(_ws) >= {SUBSTR_K}")
+    return (base.filter(f"size(_ws) >= {SUBSTR_K}")
             .selectExpr(
                 "doc_id",
                 f"explode(transform(sequence(0, size(_ws) - {SUBSTR_K}), "
                 f"i -> struct(i AS pos, "
                 f"{_h(f'concat_ws(chr(32), {_SUB_TERMS})')} AS g))) AS _w")
             .select("doc_id", "_w.pos", "_w.g"))
-    dup = (wins.groupBy("g")
-           .agg(F.count(F.lit(1)).alias("_n"))
-           .filter("_n >= 2")
-           .select("g"))
+
+
+def _chain_spans(flagged: DataFrame) -> DataFrame:
+    """Chain flagged (doc_id, pos) windows into maximal spans.
+
+    Adjacent flagged windows chain iff their [pos, pos+K) intervals touch
+    or overlap: gap <= K (gap == K is token-contiguous). Output spans per
+    doc are therefore disjoint and separated by > 0 unflagged tokens."""
     w = Window.partitionBy("doc_id").orderBy("pos")
-    # adjacent flagged windows chain iff their [pos, pos+K) intervals
-    # touch or overlap: gap <= K (gap == K is token-contiguous)
-    return (wins.join(dup, "g")
+    return (flagged
             .withColumn("_prev", F.lag("pos").over(w))
             .withColumn(
                 "_new",
@@ -1638,6 +1638,19 @@ def dup_spans(docs: DataFrame) -> DataFrame:
                  (F.max("pos") - F.min("pos") + SUBSTR_K).cast("long")
                  .alias("n_palabras"))
             .drop("_sid"))
+
+
+def dup_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, desde_palabra, n_palabras) — every maximal duplicated span
+    (no minimum-length filter; the registered query applies DUP_SPAN_MIN).
+    Separated so the chaining can be property-tested against a brute-force
+    Python span finder."""
+    wins = _dup_wins(docs)
+    dup = (wins.groupBy("g")
+           .agg(F.count(F.lit(1)).alias("_n"))
+           .filter("_n >= 2")
+           .select("g"))
+    return _chain_spans(wins.join(dup, "g"))
 
 
 def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1694,6 +1707,161 @@ ORDER BY doc_id, span_idx
 """
 
 register("doc_dup_spans", q_doc_dup_spans, SQL_DOC_DUP_SPANS)
+
+
+# --------------------------------------------------------------------------
+# doc_strip_dup_spans — the ACTIONABLE half of the span-dedup family
+# (VERDICT-r7 item #4): rewrite ``text`` with every maximal duplicated
+# span of >= DUP_SPAN_MIN tokens REMOVED, keeping the corpus-wide FIRST
+# occurrence — the removal semantics of the suffix-array pass of Lee et
+# al. 2022 ("Deduplicating Training Data Makes Language Models Better").
+# doc_dup_spans REPORTS every occurrence of a duplicated span; this stage
+# flags only NON-FIRST window occurrences (first = lexicographic min
+# (doc_id, pos) corpus-wide), so exactly one copy of each duplicated
+# region survives the rewrite. Consumed by corpus_pipeline
+# --strip-dup-spans; reference parity: the reference curates text via
+# src/etl/transformaciones.py but has no span-level rewrite — this is
+# LLM-pipeline surface beyond it.
+#
+# Plan shape: the same one 28-bit window-hash shuffle as doc_dup_spans —
+# min(struct(doc_id, pos)) is a map-side-combinable aggregate riding the
+# existing groupBy — one hash-keyed join back, the same two doc_id-keyed
+# window passes, one doc_id-keyed join to the corpus. The rewrite itself
+# is a per-row higher-order filter over the word array (JVM codegen — no
+# extra shuffle, no Python, span lists are per-doc-sized). Every
+# post-join key is doc_id-rooted: no funnel at 100 TB.
+# --------------------------------------------------------------------------
+
+# keep word i iff no removal span covers it (0-based positions)
+_STRIP_KEEP = (
+    "filter(_ws, (x, i) -> NOT exists(_spans, "
+    "s -> i >= s.desde_palabra AND i < s.desde_palabra + s.n_palabras))"
+)
+_STRIP_JOIN = "concat_ws(' ', _kept)"
+
+
+def strip_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, desde_palabra, n_palabras) — the REMOVAL list: maximal
+    spans of non-first occurrences of corpus-repeated windows, at least
+    DUP_SPAN_MIN tokens long."""
+    wins = _dup_wins(docs)
+    firsts = (wins.groupBy("g")
+              .agg(F.min(F.struct("doc_id", "pos")).alias("_f"),
+                   F.count(F.lit(1)).alias("_n"))
+              .filter("_n >= 2")
+              .select("g", "_f"))
+    flagged = (wins.join(firsts, "g")
+               .filter("NOT (doc_id = _f.doc_id AND pos = _f.pos)")
+               .select("doc_id", "pos"))
+    return (_chain_spans(flagged)
+            .filter(F.col("n_palabras") >= DUP_SPAN_MIN))
+
+
+def strip_dup_spans(docs: DataFrame) -> DataFrame:
+    """Corpus rewrite: same columns as ``docs`` with ``text`` rewritten
+    (removal spans dropped, survivors re-joined with single spaces) and
+    ``n_chars`` recomputed when present. Untouched docs pass through with
+    their original text byte-for-byte."""
+    per_doc = (strip_spans(docs).groupBy("doc_id")
+               .agg(F.collect_list(F.struct("desde_palabra", "n_palabras"))
+                    .alias("_spans")))
+    out = (docs.join(per_doc, "doc_id", "left")
+           .withColumn("_ws", F.expr(WORDS))
+           .withColumn(
+               "text",
+               F.when(F.col("_spans").isNull(), F.col("text"))
+               .otherwise(F.expr(f"concat_ws(' ', {_STRIP_KEEP})"))))
+    if "n_chars" in docs.columns:
+        out = out.withColumn("n_chars", F.length("text").cast("long"))
+    return out.drop("_ws", "_spans")
+
+
+def q_doc_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rewritten-doc audit of the strip stage: span count, token
+    counts before/after, and a 28-bit fingerprint of the REWRITTEN text
+    (the fingerprint makes the whole rewrite value-checked by the DuckDB
+    oracle, not just the counts)."""
+    docs = _docs(spark, sf_dir)
+    per_doc = (strip_spans(docs).groupBy("doc_id")
+               .agg(F.collect_list(F.struct("desde_palabra", "n_palabras"))
+                    .alias("_spans"),
+                    F.count(F.lit(1)).cast("long").alias("spans_eliminados")))
+    return (docs.join(per_doc, "doc_id")
+            .withColumn("_ws", F.expr(WORDS))
+            .withColumn("_kept", F.expr(_STRIP_KEEP))
+            .selectExpr("cast(doc_id as bigint) AS doc_id", "source",
+                        "spans_eliminados",
+                        "cast(size(_ws) as bigint) AS tokens_antes",
+                        "cast(size(_kept) as bigint) AS tokens_despues",
+                        f"{_h(_STRIP_JOIN)} AS huella_texto")
+            .orderBy("doc_id"))
+
+
+SQL_DOC_STRIP_DUP_SPANS = f"""
+WITH ws AS (
+  SELECT doc_id, source, {SQL_WORDS} AS w FROM documents
+), wins0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(w) - {SUBSTR_K - 1}),
+                i -> {{'pos': i,
+                       'g': {_sql_h(f"concat_ws(chr(32), {_SQL_SUB_TERMS})")}}}))
+           AS s
+  FROM ws WHERE len(w) >= {SUBSTR_K}
+), wins AS (
+  SELECT doc_id, s.pos AS pos, s.g AS g FROM wins0
+), firsts AS (
+  SELECT g, min({{'d': doc_id, 'p': pos}}) AS f
+  FROM wins GROUP BY g HAVING count(*) >= 2
+), fl AS (
+  SELECT doc_id, pos FROM wins JOIN firsts USING (g)
+  WHERE NOT (doc_id = f.d AND pos = f.p)
+), st AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS _prev
+  FROM fl
+), sn AS (
+  SELECT doc_id, pos,
+         CASE WHEN _prev IS NULL OR pos - _prev > {SUBSTR_K}
+              THEN 1 ELSE 0 END AS _new
+  FROM st
+), sid AS (
+  SELECT doc_id, pos,
+         sum(_new) OVER (PARTITION BY doc_id ORDER BY pos) AS _sid
+  FROM sn
+), sp AS (
+  SELECT doc_id, min(pos) AS desde,
+         (max(pos) - min(pos) + {SUBSTR_K}) AS n
+  FROM sid GROUP BY doc_id, _sid
+  HAVING max(pos) - min(pos) + {SUBSTR_K} >= {DUP_SPAN_MIN}
+), rem AS (
+  -- spans are disjoint per doc by construction; no DISTINCT needed
+  SELECT doc_id, unnest(range(desde, desde + n)) AS i FROM sp
+), tok AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(w)),
+                i -> {{'i': i, 'wd': w[i+1]}})) AS t
+  FROM ws WHERE doc_id IN (SELECT doc_id FROM sp)
+), kept AS (
+  SELECT tok.doc_id AS doc_id, t.i AS i, t.wd AS wd
+  FROM tok LEFT JOIN rem ON tok.doc_id = rem.doc_id AND t.i = rem.i
+  WHERE rem.i IS NULL
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS tokens_despues,
+         string_agg(wd, ' ' ORDER BY i) AS texto
+  FROM kept GROUP BY doc_id
+), spn AS (
+  SELECT doc_id, count(*)::BIGINT AS spans_eliminados FROM sp GROUP BY doc_id
+)
+SELECT ws.doc_id::BIGINT AS doc_id, ws.source, spn.spans_eliminados,
+       len(ws.w)::BIGINT AS tokens_antes,
+       coalesce(agg.tokens_despues, 0)::BIGINT AS tokens_despues,
+       {_sql_h("coalesce(agg.texto, '')")} AS huella_texto
+FROM spn JOIN ws USING (doc_id) LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+"""
+
+register("doc_strip_dup_spans", q_doc_strip_dup_spans,
+         SQL_DOC_STRIP_DUP_SPANS)
 
 
 # --------------------------------------------------------------------------

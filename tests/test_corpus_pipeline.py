@@ -245,6 +245,64 @@ def test_cli_dsir_filter_stage(spark, sf_dir, tmp_path, monkeypatch):
     assert not (got & curados)
 
 
+def test_cli_strip_dup_spans_stage(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    """--strip-dup-spans: the corpus is rewritten BEFORE curation — the
+    despanned parquet keeps every doc, total tokens strictly decrease,
+    the rewrite matches the strip_dup_spans operator doc-for-doc, no
+    removal span survives its own rewrite, and the CLI prints the
+    before/after token counts."""
+    import re
+    import sys
+
+    from prac_data_pipelines_spark import corpus_pipeline
+    from prac_data_pipelines_spark.queries.text import (
+        WORDS,
+        strip_dup_spans,
+        strip_spans,
+    )
+    from prac_data_pipelines_spark.sources import load_table
+
+    out = str(tmp_path / "out_strip")
+    monkeypatch.setattr(sys, "argv", [
+        "corpus_pipeline", "--sf-dir", sf_dir, "--out", out,
+        "--skip-index", "--strip-dup-spans"])
+    assert corpus_pipeline.main() == 0
+
+    docs = load_table(spark, sf_dir, "documents")
+    despan = spark.read.parquet(f"{out}/despanned/documents.parquet")
+    assert despan.count() == docs.count()
+    toks = f"cast(sum(size({WORDS})) as bigint) AS t"
+    before = docs.selectExpr(toks).first()["t"]
+    after = despan.selectExpr(toks).first()["t"]
+    assert after < before
+
+    # the stage wrote exactly what the operator computes
+    want = {r["doc_id"]: r["text"] for r in strip_dup_spans(docs).collect()}
+    got = {r["doc_id"]: r["text"] for r in despan.collect()}
+    assert got == want
+
+    # no removed span survives: every token position on the removal list
+    # is gone from its doc (span text may legitimately survive elsewhere —
+    # that is the kept first occurrence)
+    removal = strip_spans(docs).collect()
+    assert removal  # non-trivial on the synthetic corpus
+    words_before = {r["doc_id"]: re.split(r"\s+", r["text"].strip(" "))
+                    for r in docs.collect()}
+    for r in removal:
+        w = words_before[r["doc_id"]]
+        lo, n = r["desde_palabra"], r["n_palabras"]
+        txt = got[r["doc_id"]]
+        n_kept = len(txt.split(" ")) if txt else 0  # '' = fully stripped
+        # the doc shrank by at least this span
+        assert n_kept <= len(w) - n
+    printed = capsys.readouterr().out
+    assert re.search(r"strip-dup-spans: tokens \d+ -> \d+", printed)
+
+    # downstream curation ran on the REWRITTEN corpus
+    curado = spark.read.parquet(f"{out}/curado")
+    assert 0 < curado.count() <= docs.count()
+
+
 def test_cli_dup_frac_filter_stage(spark, sf_dir, tmp_path, monkeypatch):
     """--max-dup-frac: 1.0 keeps everything (strict >, coverage cannot
     exceed 1), and a mid threshold drops exactly the docs whose

@@ -432,6 +432,66 @@ def test_dup_spans_equal_brute_force_interval_merge(spark, docs):
     assert got == sorted(want)
 
 
+@given(docs=_substr_docs)
+@settings(**SETTINGS)
+def test_strip_dup_spans_equals_brute_force_keep_first(spark, docs):
+    """The distributed rewrite (first-occurrence exclusion riding the
+    window-hash groupBy, chained flags, per-row higher-order filter) must
+    equal a sequential Python reimplementation of the keep-first span
+    removal — and by that equality, no token position covered by a
+    removal span survives into any rewritten text."""
+    import hashlib
+
+    from prac_data_pipelines_spark.queries.text import (
+        DUP_SPAN_MIN,
+        SUBSTR_K,
+        strip_dup_spans,
+    )
+
+    rows = [(i, " ".join(toks) if toks else "", "s") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r["text"] for r in strip_dup_spans(df).collect()}
+
+    def h28(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+    toks_by_doc = {i: (t.strip().split() if t.strip() else [""])
+                   for i, (_, t, _) in enumerate(rows)}
+    # flag every NON-FIRST occurrence of a corpus-repeated window
+    occ: dict[int, list[tuple[int, int]]] = {}
+    for d in sorted(toks_by_doc):
+        toks = toks_by_doc[d]
+        for p in range(len(toks) - SUBSTR_K + 1):
+            g = h28(" ".join(toks[p:p + SUBSTR_K]))
+            occ.setdefault(g, []).append((d, p))
+    flagged: dict[int, set[int]] = {}
+    for lst in occ.values():
+        if len(lst) >= 2:
+            first = min(lst)
+            for d, p in lst:
+                if (d, p) != first:
+                    flagged.setdefault(d, set()).add(p)
+    # chain flags (gap <= K merges), remove spans >= DUP_SPAN_MIN
+    for d, toks in toks_by_doc.items():
+        removed: set[int] = set()
+        starts = sorted(flagged.get(d, ()))
+        runs: list[tuple[int, int]] = []
+        for p in starts:
+            if runs and p - runs[-1][1] <= SUBSTR_K:
+                runs[-1] = (runs[-1][0], p)
+            else:
+                runs.append((p, p))
+        for lo, hi in runs:
+            if hi - lo + SUBSTR_K >= DUP_SPAN_MIN:
+                removed.update(range(lo, hi + SUBSTR_K))
+        want = " ".join(w for j, w in enumerate(toks) if j not in removed)
+        if removed:
+            assert got[d] == want, d
+        else:
+            # untouched docs pass through byte-for-byte
+            assert got[d] == rows[d][1], d
+
+
 _dsir_docs = st.lists(
     st.tuples(st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=12),
               st.sampled_from(["en", "es", "fr"])),
