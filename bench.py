@@ -180,8 +180,10 @@ HEADLINE = [
     "doc_dedup_weights",
     "events_quantile_sketch",
     "doc_normalized_dedup",
-    # Round-8: actionable span-dedup rewrite (Lee et al. keep-first).
+    # Round-8: actionable span-dedup rewrite (Lee et al. keep-first),
+    # cross-modal eval-set decontamination.
     "doc_strip_dup_spans",
+    "multimodal_decontaminate",
 ]
 
 

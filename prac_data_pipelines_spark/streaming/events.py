@@ -302,3 +302,30 @@ def stream_cm_sketch(events: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
             .select(F.floor(F.col("w.start").cast("long") / 86400)
                     .cast("long").alias("dia"), "d", "b", "n"))
+
+
+def stream_quantile_sketch(events: DataFrame) -> DataFrame:
+    """Per-day fixed-bucket value histogram, incrementally — the
+    streaming twin of ``queries.events.q_events_quantile_sketch``'s
+    sketch half (VERDICT-r7 item #6), completing the sketch-family
+    batch/stream symmetry (CM = frequency, DAU/HLL = cardinality, this
+    = distribution). The per-(day, type, bucket) counts are exact
+    integer sums — mergeable by construction, which the batch
+    shard-merge property test pins (merged == one-shot) — so
+    micro-batch partials accumulate exactly like map-side combine.
+    State is bounded by the VALUE DOMAIN (buckets per open (day, type),
+    ~50 on this corpus), never by event volume; a day's histogram
+    closes with the watermark and answers any quantile afterwards by a
+    cumulative sum over its bucket rows — the persisted partial
+    aggregate at 100 TB."""
+    from ..queries.events import QS_BUCKET_CENTS
+
+    return (events.withWatermark("ts", WATERMARK)
+            .selectExpr("ts", "event_type",
+                        f"cast(floor(value * 100 + 0.5) as bigint) "
+                        f"div {QS_BUCKET_CENTS} AS b")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(F.floor(F.col("w.start").cast("long") / 86400)
+                    .cast("long").alias("dia"), "event_type",
+                    F.col("b").alias("bucket"), "n"))

@@ -432,3 +432,62 @@ def test_stream_phash_dedup_matches_batch_distinct(spark, tmp_path):
     assert {r["phash"] for r in kept} == batch_hashes
     assert len(kept) == len(batch_hashes)  # one survivor per hash
     assert len(kept) < len(rows)           # clones actually dropped
+
+
+def test_stream_quantile_sketch_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming per-day bucket histogram over a 3-micro-batch replay
+    must equal the batch histogram over the same events, key for key and
+    count for count — bucket counts are exact integer sums, so
+    cross-micro-batch accumulation is the same arithmetic as map-side
+    combine (the batch shard-merge property test's guarantee, here
+    exercised through the state store)."""
+    from pyspark.sql import functions as F
+
+    from prac_data_pipelines_spark.operators.timeops import epoch_sec
+    from prac_data_pipelines_spark.queries.events import QS_BUCKET_CENTS
+    from prac_data_pipelines_spark.sources import load_table
+    from prac_data_pipelines_spark.streaming.events import (
+        run_to_memory,
+        stream_quantile_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tmp_path / "qs_src"
+    src.mkdir()
+    # 3 deterministic slices -> 3 micro-batches; slicing by event_id
+    # spreads every (day, type, bucket) key across batches, so equality
+    # requires real cross-batch state merges
+    for b in range(3):
+        (ev.filter(F.col("event_id") % 3 == b).coalesce(1)
+         .write.parquet(str(src / f"f{b}.parquet")))
+    stream = (spark.readStream
+              .schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*.parquet"))
+    run_to_memory(stream_quantile_sketch(stream), "qs_stream_test",
+                  output_mode="complete")
+    got = {(r["dia"], r["event_type"], r["bucket"]): r["n"]
+           for r in spark.table("qs_stream_test").collect()}
+
+    batch = (ev.select(
+        F.floor(epoch_sec("ts") / 86400).cast("long").alias("dia"),
+        "event_type",
+        F.expr(f"cast(floor(value * 100 + 0.5) as bigint) "
+               f"div {QS_BUCKET_CENTS}").alias("bucket"))
+        .groupBy("dia", "event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    want = {(r["dia"], r["event_type"], r["bucket"]): r["n"]
+            for r in batch.collect()}
+    assert got == want and len(want) > 10
+    # the merge was real: at least one key's total exceeds what any
+    # single micro-batch contributed
+    one = (ev.filter(F.col("event_id") % 3 == 0).select(
+        F.floor(epoch_sec("ts") / 86400).cast("long").alias("dia"),
+        "event_type",
+        F.expr(f"cast(floor(value * 100 + 0.5) as bigint) "
+               f"div {QS_BUCKET_CENTS}").alias("bucket"))
+        .groupBy("dia", "event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    slice0 = {(r["dia"], r["event_type"], r["bucket"]): r["n"]
+              for r in one.collect()}
+    assert any(got[k] > n for k, n in slice0.items())
