@@ -8,6 +8,20 @@ slice the driver's ~50-row gate budget will cover next round.
 --partitions=N overrides spark.sql.shuffle.partitions for a determinism
 sweep: every result must be identical under any physical parallelism
 (123/123 verified at N=7 vs the default 32).
+
+sf0.1 policy for the recursive-oracle queries (PERMANENT, per
+VERDICT-r7 item #7): the five connected-component queries
+(doc_dup_clusters, doc_dedup_keep_best, doc_dedup_weights,
+multimodal_phash_clusters, multimodal_phash_keep_best) have DuckDB
+recursive-CTE oracles that are correct but too slow at sf0.1, so the
+full-registry sweep there is N-5 ("175/175 non-recursive"). They are
+NOT weaker-checked: at sf0.1 each is pinned by a driver-side union-find
+cross-check over the SAME pair graph (tests/test_accuracy.py — exact
+cluster-set equality, text and image families), and their recursive
+oracles run fully at sf0.001/sf0.01 in every sweep. Skipping them at
+sf0.1 is a DuckDB-runtime concession, not a correctness gap.
+--skip-recursive applies exactly that exclusion (the canonical sf0.1
+sweep is: check_oracle.py /root/testdata/sf0.1 --skip-recursive).
 """
 
 from __future__ import annotations
@@ -20,6 +34,14 @@ sys.path.insert(0, ".")
 from prac_data_pipelines_spark.queries import all_oracles, all_queries  # noqa: E402
 from prac_data_pipelines_spark.session import get_spark  # noqa: E402
 from prac_data_pipelines_spark.testing import compare_frames, duck_connect  # noqa: E402
+
+# The five queries whose DuckDB oracle is a recursive CTE (connected
+# components) — correct but impractically slow at sf0.1; see module
+# docstring for the permanent policy and their sf0.1 pinning.
+RECURSIVE_ORACLE_QUERIES = frozenset({
+    "doc_dup_clusters", "doc_dedup_keep_best", "doc_dedup_weights",
+    "multimodal_phash_clusters", "multimodal_phash_keep_best",
+})
 
 
 def main() -> int:
@@ -49,6 +71,12 @@ def main() -> int:
     queries, oracles = all_queries(), all_oracles()
     if head is not None:
         queries = dict(list(queries.items())[:head])
+    if "--skip-recursive" in sys.argv[1:]:
+        skipped = sorted(RECURSIVE_ORACLE_QUERIES & queries.keys())
+        queries = {n: f for n, f in queries.items()
+                   if n not in RECURSIVE_ORACLE_QUERIES}
+        print(f"skipping {len(skipped)} recursive-oracle queries "
+              f"(sf0.1 policy, union-find-pinned): {', '.join(skipped)}")
     failures = 0
     checked = 0
     for name, fn in queries.items():
