@@ -184,6 +184,7 @@ HEADLINE = [
     # cross-modal eval-set decontamination.
     "doc_strip_dup_spans",
     "multimodal_decontaminate",
+    "events_quantile_daily",
 ]
 
 

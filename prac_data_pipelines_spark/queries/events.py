@@ -1450,3 +1450,77 @@ ORDER BY e.event_type
 
 register("events_quantile_sketch", q_events_quantile_sketch,
          SQL_EVENTS_QUANTILE_SKETCH)
+
+
+# --------------------------------------------------------------------------
+# events_quantile_daily — the quantile sketch SERVED per day: the batch
+# anchor of ``streaming.events.stream_quantile_sketch`` (the streaming
+# twin persists exactly this per-(day, type, bucket) state; this query
+# is what reading that state back answers). Approximate p50/p95/p99 per
+# (day, event_type) from the fixed-bucket histogram — all integer
+# arithmetic, same upper-bucket-edge rule as events_quantile_sketch.
+#
+# Scale: one wordcount-class aggregate keyed (day, type, bucket) — key
+# space = days x types x value-domain buckets, never raw-event
+# cardinality — then cumulative windows over the aggregated frame only,
+# partitioned by (day, type): high-cardinality, grows with history, no
+# funnel. At 100 TB the histogram IS the persisted partial; this query
+# is a scan over it.
+# --------------------------------------------------------------------------
+
+
+def q_events_quantile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        ((epoch_sec("ts") / 86400).cast("long")).alias("dia"),
+        "event_type",
+        F.expr(f"cast(floor(value * 100 + 0.5) as bigint) "
+               f"div {QS_BUCKET_CENTS}").alias("_b"))
+    wt = Window.partitionBy("dia", "event_type")
+    wc = wt.orderBy("_b").rowsBetween(Window.unboundedPreceding,
+                                      Window.currentRow)
+    hist = (ev.groupBy("dia", "event_type", "_b")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .withColumn("_cum", F.sum("_n").over(wc))
+            .withColumn("_tot", F.sum("_n").over(wt)))
+
+    def approx(num: int, den: int, alias: str):
+        return (F.min(F.when(
+            F.col("_cum") >= F.expr(f"({num} * _tot + {den} - 1) div {den}"),
+            F.col("_b"))) * QS_BUCKET_CENTS + (QS_BUCKET_CENTS - 1)) \
+            .cast("long").alias(alias)
+
+    return (hist.groupBy("dia", "event_type")
+            .agg(F.max("_tot").cast("long").alias("n"),
+                 approx(1, 2, "p50_aprox"), approx(19, 20, "p95_aprox"),
+                 approx(99, 100, "p99_aprox"))
+            .orderBy("dia", "event_type"))
+
+
+SQL_EVENTS_QUANTILE_DAILY = f"""
+WITH ev AS (
+  SELECT (epoch_us(ts) // 1000000) // 86400 AS dia, event_type,
+         floor(value * 100 + 0.5)::BIGINT // {QS_BUCKET_CENTS} AS _b
+  FROM events
+), hist AS (
+  SELECT dia, event_type, _b, count(*)::BIGINT AS _n
+  FROM ev GROUP BY dia, event_type, _b
+), hcum AS (
+  SELECT dia, event_type, _b,
+         sum(_n) OVER (PARTITION BY dia, event_type ORDER BY _b
+                       ROWS UNBOUNDED PRECEDING) AS _cum,
+         sum(_n) OVER (PARTITION BY dia, event_type) AS _tot
+  FROM hist
+)
+SELECT dia::BIGINT AS dia, event_type, max(_tot)::BIGINT AS n,
+       (min(CASE WHEN _cum >= (1 * _tot + 1) // 2 THEN _b END)
+        * {QS_BUCKET_CENTS} + {QS_BUCKET_CENTS - 1})::BIGINT AS p50_aprox,
+       (min(CASE WHEN _cum >= (19 * _tot + 19) // 20 THEN _b END)
+        * {QS_BUCKET_CENTS} + {QS_BUCKET_CENTS - 1})::BIGINT AS p95_aprox,
+       (min(CASE WHEN _cum >= (99 * _tot + 99) // 100 THEN _b END)
+        * {QS_BUCKET_CENTS} + {QS_BUCKET_CENTS - 1})::BIGINT AS p99_aprox
+FROM hcum GROUP BY dia, event_type
+ORDER BY dia, event_type
+"""
+
+register("events_quantile_daily", q_events_quantile_daily,
+         SQL_EVENTS_QUANTILE_DAILY)

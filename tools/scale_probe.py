@@ -154,7 +154,8 @@ def probe_events_rolling(spark, sf_dir: str, k: int) -> None:
                "events_conversion_window", "events_asof_attribution",
                "events_gapfill", "events_uniques_sketch",
                "events_heavy_hitters", "events_watermark_audit",
-               "events_bot_detection", "events_cohort_value"]
+               "events_bot_detection", "events_cohort_value",
+               "events_quantile_sketch", "events_quantile_daily"]
     t0 = time.time()
     q_events_rolling(spark, scratch).write.format("noop").mode("overwrite").save()
     print(f"events_rolling(single-key) at {k}x: {time.time()-t0:.2f}s")
