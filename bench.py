@@ -185,6 +185,7 @@ HEADLINE = [
     "doc_strip_dup_spans",
     "multimodal_decontaminate",
     "events_quantile_daily",
+    "multimodal_phash_weights",
 ]
 
 

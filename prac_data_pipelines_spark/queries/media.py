@@ -533,3 +533,74 @@ GROUP BY d.source ORDER BY d.source
 
 register("multimodal_decontaminate", q_multimodal_decontaminate,
          _mm_decon_sql())
+
+
+# --------------------------------------------------------------------------
+# multimodal_phash_weights — SOFT image dedup: sampling weight
+# 1/|cluster| per payload (singletons 1.0), the image-side twin of
+# doc_dedup_weights — completing the text<->image dedup symmetry
+# (pairs / recall / clusters / keep_best / weights on both stacks). A
+# multimodal training sampler sees each piece of visual CONTENT with
+# equal total probability while every copy stays available with its
+# caption/metadata. Reports, per source, the effective corpus the
+# weights induce over payload BYTES (the image-side budget unit).
+#
+# Determinism: the doc_dedup_weights discipline — weights materialized
+# as exact integers floor(1e6/|cluster|), summed as BIGINTs, one
+# division at the edge (float 1/3-type sums are partition-order
+# dependent). Scale: CC over the banded pair graph dominates (the
+# shared operators/graph.py core); the weighting itself is one
+# labels⟕corpus join + a |sources|-row rollup.
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_phash_weights(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    clusters = (q_multimodal_phash_clusters(spark, sf_dir)
+                .select("doc_id", "tam_cluster"))
+    docs = (load_table(spark, sf_dir, "documents")
+            .selectExpr("doc_id", "source",
+                        "cast(octet_length(encode(text, 'UTF-8')) "
+                        "as bigint) AS _bytes"))
+    weighted = (docs.join(clusters, "doc_id", "left")
+                .withColumn("_tam", F.coalesce("tam_cluster", F.lit(1)))
+                .withColumn("_w6", F.expr("1000000 div _tam")))
+    return (weighted.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("_bytes").cast("long").alias("bytes_total"),
+                 F.sum("_w6").cast("long").alias("_sw6"),
+                 F.sum(F.col("_bytes") * F.col("_w6")).cast("long")
+                 .alias("_sbw6"))
+            .select("source", "n_docs", "bytes_total",
+                    r6(F.col("_sw6") / F.lit(1000000.0))
+                    .alias("docs_efectivos"),
+                    F.expr("_sbw6 div 1000000").cast("long")
+                    .alias("bytes_efectivos"),
+                    r6(F.col("_sbw6")
+                       / (F.lit(1000000.0) * F.col("bytes_total")))
+                    .alias("frac_efectiva"))
+            .orderBy("source"))
+
+
+SQL_MULTIMODAL_PHASH_WEIGHTS = f"""
+{SQL_PHASH_CLUSTERS_CTE},
+tam AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY cluster_id) AS tam_cluster
+  FROM labeled
+), weighted AS (
+  SELECT d.source, octet_length(encode(d.text))::BIGINT AS _bytes,
+         1000000 // coalesce(t.tam_cluster, 1) AS _w6
+  FROM documents d LEFT JOIN tam t ON d.doc_id = t.doc_id
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(_bytes)::BIGINT AS bytes_total,
+       floor(sum(_w6)::DOUBLE / 1000000.0 * 1000000 + 0.5) / 1000000
+         AS docs_efectivos,
+       (sum(_bytes * _w6) // 1000000)::BIGINT AS bytes_efectivos,
+       floor(sum(_bytes * _w6)::DOUBLE / (1000000.0 * sum(_bytes))
+             * 1000000 + 0.5) / 1000000 AS frac_efectiva
+FROM weighted GROUP BY source ORDER BY source
+"""
+
+register("multimodal_phash_weights", q_multimodal_phash_weights,
+         SQL_MULTIMODAL_PHASH_WEIGHTS)

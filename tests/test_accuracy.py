@@ -348,3 +348,72 @@ def test_phash_clusters_match_union_find_at_sf01(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in q_multimodal_phash_clusters(spark, big).collect()}
     assert got == want and len(got) > 0
+
+
+def test_phash_weights_match_union_find_rollup_at_sf01(spark):
+    """Image soft-dedup weights at the 5k-doc scale the sf0.1 oracle run
+    skips: recompute the per-source rollup driver-side from a union-find
+    over the same banded Hamming pairs with the SAME exact-integer
+    weight arithmetic (floor(1e6/|cluster|), BIGINT sums, one division
+    at the edge) — every column must match."""
+    import os
+    from collections import Counter, defaultdict
+
+    import pytest
+
+    big = "/root/testdata/sf0.1"
+    if not os.path.isdir(big):
+        pytest.skip("sf0.1 testdata not present")
+    from prac_data_pipelines_spark.queries.media import (
+        q_multimodal_phash_pairs,
+        q_multimodal_phash_weights,
+    )
+    from prac_data_pipelines_spark.sources import load_table
+
+    pairs = q_multimodal_phash_pairs(spark, big).select("d1", "d2").collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r["d1"]), find(r["d2"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    tam = Counter(find(x) for x in parent)
+    size_of = {x: tam[find(x)] for x in parent}
+
+    docs = (load_table(spark, big, "documents")
+            .selectExpr("doc_id", "source",
+                        "cast(octet_length(encode(text, 'UTF-8')) "
+                        "as bigint) AS b").collect())
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n, bytes, sw6, sbw6
+    for r in docs:
+        w6 = 1000000 // size_of.get(r["doc_id"], 1)
+        a = agg[r["source"]]
+        a[0] += 1
+        a[1] += r["b"]
+        a[2] += w6
+        a[3] += r["b"] * w6
+    import math
+
+    def rnd6(x: float) -> float:
+        return math.floor(x * 1000000 + 0.5) / 1000000
+
+    want = {
+        s: (n, by, rnd6(sw6 / 1000000.0), sbw6 // 1000000,
+            rnd6(sbw6 / (1000000.0 * by)))
+        for s, (n, by, sw6, sbw6) in agg.items()
+    }
+    got = {
+        r["source"]: (r["n_docs"], r["bytes_total"], r["docs_efectivos"],
+                      r["bytes_efectivos"], r["frac_efectiva"])
+        for r in q_multimodal_phash_weights(spark, big).collect()
+    }
+    assert got == want
+    # soft dedup is non-trivial at this scale: some source's effective
+    # doc count is strictly below its raw count
+    assert any(g[2] < g[0] for g in got.values())

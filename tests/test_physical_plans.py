@@ -874,3 +874,54 @@ def test_no_per_element_resplit_in_any_query(spark, sf_dir):
             continue
         plan = _plan(fn(spark, sf_dir))
         assert "element_at(split(" not in plan, name
+
+
+def test_doc_strip_dup_spans_windows_on_doc_id_and_jvm_rewrite(spark, sf_dir):
+    """The strip stage must keep the dup_spans plan discipline — every
+    windowspec doc_id-partitioned, flagging a hashed-key join, no
+    all-pairs, no single-partition stage — and the text rewrite must be
+    a JVM higher-order filter: no Python evaluation node anywhere."""
+    import re
+
+    from prac_data_pipelines_spark.queries.text import q_doc_strip_dup_spans
+
+    plan = _plan(q_doc_strip_dup_spans(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(s == "doc_id" for s in specs), plan[:2000]
+
+
+def test_multimodal_decontaminate_broadcasts_both_eval_sides(spark, sf_dir):
+    """Cross-modal decontamination must broadcast BOTH fixed eval sides:
+    the n-gram set as a broadcast hash join and the eval phashes as a
+    broadcast nested-loop SEMI join — the corpus itself is never
+    self-joined (no CartesianProduct) and never hits a single-partition
+    stage on the flagging path."""
+    from prac_data_pipelines_spark.queries.media import (
+        q_multimodal_decontaminate,
+    )
+
+    plan = _plan(q_multimodal_decontaminate(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan and "LeftSemi" in plan
+
+
+def test_events_quantile_daily_windows_on_day_type(spark, sf_dir):
+    """The daily quantile read path must window over the aggregated
+    histogram partitioned by (dia, event_type) — a key space growing
+    with history — never a single-partition or per-event window."""
+    import re
+
+    from prac_data_pipelines_spark.queries.events import (
+        q_events_quantile_daily,
+    )
+
+    plan = _plan(q_events_quantile_daily(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    specs = re.findall(r"windowspecdefinition\((\w+)#\d+L?, (\w+)#", plan)
+    assert specs and all(s == ("dia", "event_type") for s in specs), \
+        plan[:2000]

@@ -10,11 +10,10 @@ sweep: every result must be identical under any physical parallelism
 (123/123 verified at N=7 vs the default 32).
 
 sf0.1 policy for the recursive-oracle queries (PERMANENT, per
-VERDICT-r7 item #7): the five connected-component queries
-(doc_dup_clusters, doc_dedup_keep_best, doc_dedup_weights,
-multimodal_phash_clusters, multimodal_phash_keep_best) have DuckDB
-recursive-CTE oracles that are correct but too slow at sf0.1, so the
-full-registry sweep there is N-5 ("175/175 non-recursive"). They are
+VERDICT-r7 item #7): the connected-component queries listed in
+RECURSIVE_ORACLE_QUERIES below have DuckDB recursive-CTE oracles that
+are correct but too slow at sf0.1, so the full-registry sweep there
+excludes them ("non-recursive" counts in round notes). They are
 NOT weaker-checked: at sf0.1 each is pinned by a driver-side union-find
 cross-check over the SAME pair graph (tests/test_accuracy.py — exact
 cluster-set equality, text and image families), and their recursive
@@ -35,12 +34,16 @@ from prac_data_pipelines_spark.queries import all_oracles, all_queries  # noqa: 
 from prac_data_pipelines_spark.session import get_spark  # noqa: E402
 from prac_data_pipelines_spark.testing import compare_frames, duck_connect  # noqa: E402
 
-# The five queries whose DuckDB oracle is a recursive CTE (connected
+# The queries whose DuckDB oracle is a recursive CTE (connected
 # components) — correct but impractically slow at sf0.1; see module
 # docstring for the permanent policy and their sf0.1 pinning.
 RECURSIVE_ORACLE_QUERIES = frozenset({
     "doc_dup_clusters", "doc_dedup_keep_best", "doc_dedup_weights",
     "multimodal_phash_clusters", "multimodal_phash_keep_best",
+    # r8: image-side soft dedup; sf0.1-pinned by the union-find ROLLUP
+    # cross-check (tests/test_accuracy.py::
+    # test_phash_weights_match_union_find_rollup_at_sf01)
+    "multimodal_phash_weights",
 })
 
 

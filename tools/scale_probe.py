@@ -110,7 +110,8 @@ def probe_llm(spark, sf_dir: str, k: int) -> None:
                  "multimodal_phash_keep_best", "doc_minhash_containment",
                  "doc_dedup_weights", "doc_normalized_dedup",
                  # round-8 additions
-                 "doc_strip_dup_spans", "multimodal_decontaminate"):
+                 "doc_strip_dup_spans", "multimodal_decontaminate",
+                 "multimodal_phash_weights"):
         t0 = time.time()
         queries[name](spark, scratch).write.format("noop").mode("overwrite").save()
         print(f"{name} at {k}x: {time.time()-t0:.2f}s")
