@@ -186,6 +186,9 @@ HEADLINE = [
     "multimodal_decontaminate",
     "events_quantile_daily",
     "multimodal_phash_weights",
+    # Round-8 (session 2): the Q16 catalog rollup (count-distinct
+    # suppliers at part-attribute grain over the pair-grain distinct).
+    "part_supplier_counts",
 ]
 
 

@@ -999,3 +999,67 @@ ORDER BY n_partes_dominadas DESC, s_suppkey ASC
 
 register("dominant_part_suppliers", q_dominant_part_suppliers,
          SQL_DOMINANT_PART_SUPPLIERS)
+
+
+# --------------------------------------------------------------------------
+# part_supplier_counts — Q16 shape (the last uncovered TPC-H idiom):
+# count of DISTINCT suppliers per part-attribute group, with a NOT LIKE
+# attribute filter, an IN size list, and a NOT IN supplier exclusion
+# (the "customer complaints" analog = suppliers with a negative account
+# balance). The testdata has no partsupp, so the part-supplier
+# relationship is the distinct (l_partkey, l_suppkey) grain of lineitem
+# (reference: sql/consultas_tpch.sql-style catalog rollups).
+#
+# Plan shape: the part filter is pushed to the parquet scan and
+# broadcast into the fact; the complainer list is a <10-row broadcast
+# anti-join (never a shuffle); the fact reduces FIRST to the distinct
+# (partkey, suppkey) grain (one keyed shuffle, map-side combined), and
+# only that reduced grain carries the part attributes into the final
+# count-distinct aggregate. At 100 TB the only fact-sized exchange is
+# the pair-grain distinct.
+# --------------------------------------------------------------------------
+
+_Q16_SIZES = (3, 9, 14, 19, 23, 36, 45, 49)
+
+
+def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (_t(spark, sf_dir, "part")
+            .filter((F.col("p_brand") != "Brand#1")
+                    & ~F.col("p_type").like("PROMO%")
+                    & F.col("p_size").isin(*_Q16_SIZES))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    complainers = (_t(spark, sf_dir, "supplier")
+                   .filter(F.col("s_acctbal") < 0)
+                   .select("s_suppkey"))
+    pairs = (_t(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey")
+             .join(complainers.hint("broadcast"),
+                   F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+             .distinct())
+    return (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .select("p_brand", "p_type",
+                F.col("p_size").cast("long").alias("p_size"), "supplier_cnt")
+        .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand").asc(),
+                 F.col("p_type").asc(), F.col("p_size").asc())
+    )
+
+
+SQL_PART_SUPPLIER_COUNTS = f"""
+SELECT p_brand, p_type, p_size::BIGINT AS p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) pares
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN {_Q16_SIZES}
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+register("part_supplier_counts", q_part_supplier_counts,
+         SQL_PART_SUPPLIER_COUNTS)

@@ -925,3 +925,23 @@ def test_events_quantile_daily_windows_on_day_type(spark, sf_dir):
     specs = re.findall(r"windowspecdefinition\((\w+)#\d+L?, (\w+)#", plan)
     assert specs and all(s == ("dia", "event_type") for s in specs), \
         plan[:2000]
+
+
+def test_part_supplier_counts_broadcasts_dims_and_anti(spark, sf_dir):
+    """Q16 shape: the filtered part dimension and the tiny complainer
+    exclusion must both broadcast (hash join + anti), the part filters
+    must reach the parquet scan, and the only fact-sized exchange is the
+    (partkey, suppkey) pair-grain distinct — no CartesianProduct, no
+    single-partition stage."""
+    from prac_data_pipelines_spark.queries.tpch import (
+        q_part_supplier_counts,
+    )
+
+    df = q_part_supplier_counts(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    explained = df._jdf.queryExecution().toString()
+    assert "PushedFilters" in explained and "Brand#1" in explained
