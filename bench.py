@@ -187,8 +187,13 @@ HEADLINE = [
     "events_quantile_daily",
     "multimodal_phash_weights",
     # Round-8 (session 2): the Q16 catalog rollup (count-distinct
-    # suppliers at part-attribute grain over the pair-grain distinct).
+    # suppliers at part-attribute grain over the pair-grain distinct),
+    # the per-dimension embedding health audit, the nearer-other-centroid
+    # mislabel queue, and the LSH hot-bucket/pair-cost audit.
     "part_supplier_counts",
+    "emb_dim_stats",
+    "emb_label_outliers",
+    "lsh_bucket_skew",
 ]
 
 

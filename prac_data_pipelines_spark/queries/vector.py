@@ -1819,3 +1819,235 @@ ORDER BY qid, rango
 """
 
 register("ann_hard_negatives", q_ann_hard_negatives, SQL_ANN_HARD_NEGATIVES)
+
+
+# --------------------------------------------------------------------------
+# emb_dim_stats — per-dimension embedding health audit: mean, population
+# variance, min/max, and a dead-dimension flag (variance below EPS). The
+# standard pre-training check on an embedding column: dead or collapsed
+# dimensions flag an exporter bug or a truncated projection; a dimension
+# whose scale dwarfs the rest breaks cosine-vs-dot assumptions downstream
+# (reference: the profiling surface of src/analisis/perfil.py:18-40,
+# applied to the vector column).
+#
+# Scale: one posexplode keyed by dimension index — the aggregate key
+# space is EMB_DIM (64), fixed by the model, never corpus cardinality,
+# and the partial aggregation is map-side combined, so the exchange
+# carries |partitions| x 64 rows regardless of corpus size. Variance is
+# the one-pass sum/sum-of-squares form; outputs are floor-rounded to
+# millionths on both engines so partition-order float accumulation can't
+# flip the hash.
+# --------------------------------------------------------------------------
+
+DIM_DEAD_EPS = 1e-4
+
+
+def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dims = _emb(spark, sf_dir).select(
+        F.posexplode(F.expr("transform(embedding, v -> cast(v as double))"))
+        .alias("d", "v"))
+    return (dims.groupBy("d")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 r6(F.avg("v")).alias("media"),
+                 r6(F.avg(F.col("v") * F.col("v"))
+                    - F.avg("v") * F.avg("v")).alias("varianza"),
+                 r6(F.min("v")).alias("vmin"),
+                 r6(F.max("v")).alias("vmax"))
+            .withColumn("muerta",
+                        (F.col("varianza") < DIM_DEAD_EPS).cast("boolean"))
+            .select(F.col("d").cast("long").alias("d"), "n", "media",
+                    "varianza", "vmin", "vmax", "muerta")
+            .orderBy("d"))
+
+
+SQL_EMB_DIM_STATS = f"""
+WITH dims AS (
+  SELECT d, embedding[d + 1]::DOUBLE AS v
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS d)
+), stats AS (
+  SELECT d, count(*)::BIGINT AS n,
+         floor(avg(v) * 1000000 + 0.5) / 1000000 AS media,
+         floor((avg(v * v) - avg(v) * avg(v)) * 1000000 + 0.5) / 1000000
+           AS varianza,
+         floor(min(v) * 1000000 + 0.5) / 1000000 AS vmin,
+         floor(max(v) * 1000000 + 0.5) / 1000000 AS vmax
+  FROM dims GROUP BY d
+)
+SELECT d::BIGINT AS d, n, media, varianza, vmin, vmax,
+       varianza < {DIM_DEAD_EPS} AS muerta
+FROM stats ORDER BY d
+"""
+
+register("emb_dim_stats", q_emb_dim_stats, SQL_EMB_DIM_STATS)
+
+
+# --------------------------------------------------------------------------
+# emb_label_outliers — label-noise review queue: the vectors most
+# confusable with ANOTHER label's centroid. For each vector compute the
+# cosine to its OWN label centroid and the best cosine to any OTHER
+# centroid (argmax, lowest label on ties); rank by the margin
+# (cos_otro - cos_propio) and emit the top OUTLIER_TOP_K candidates —
+# the standard mislabel-mining pass before training a classifier on the
+# labels (reference: the audit framing of src/analisis/perfil.py).
+#
+# Scale: the centroid table is |labels| x EMB_DIM (bounded by the label
+# vocabulary, never corpus size); it folds into ONE broadcast array row,
+# so the per-vector argmax over other centroids is a JVM higher-order
+# fold with zero fan-out and zero extra shuffle — the corpus is scanned
+# once for the centroid aggregate (posexplode keyed (label, dim),
+# map-side combined) and once for the scoring pass; the final top-k is a
+# TakeOrdered, never a global sort. No per-label window anywhere (labels
+# are low-cardinality — the recurring window-key scale-killer).
+# --------------------------------------------------------------------------
+
+OUTLIER_TOP_K = 50
+_R6_COS = ("floor((" + cosine_expr("embedding", "s.ce")
+           + ") * 1000000 + 0.5) / 1000000")
+_BEST_OTHER = (
+    "array_max(transform(filter(_cents, s -> s.label != label), "
+    f"s -> named_struct('c', {_R6_COS}, 'nl', -s.label)))")
+
+
+def q_emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).selectExpr(
+        "vec_id", "label",
+        "transform(embedding, v -> cast(v as double)) AS embedding")
+    dims = emb.select("label", F.posexplode("embedding").alias("d", "v"))
+    cents = (dims.groupBy("label", "d")
+             .agg(F.expr("floor(avg(v) * 1000000 + 0.5) / 1000000")
+                  .alias("m"))
+             .groupBy("label")
+             .agg(F.expr("transform(array_sort(collect_list(struct(d, m))), "
+                         "s -> s.m)").alias("ce")))
+    cent_arr = cents.agg(
+        F.expr("collect_list(named_struct('label', label, 'ce', ce))")
+        .alias("_cents"))
+    scored = (emb.join(broadcast(cents), "label")
+              .crossJoin(broadcast(cent_arr))
+              .selectExpr(
+                  "vec_id", "label",
+                  "floor((" + cosine_expr("embedding", "ce")
+                  + ") * 1000000 + 0.5) / 1000000 AS cos_propio",
+                  f"{_BEST_OTHER} AS _best")
+              .selectExpr("vec_id", "label", "cos_propio",
+                          "-_best.nl AS otro", "_best.c AS cos_otro"))
+    return (scored
+            .withColumn("margen", F.expr(
+                "floor((cos_otro - cos_propio) * 1000000 + 0.5) / 1000000"))
+            .select(F.col("vec_id").cast("long").alias("vec_id"),
+                    F.col("label").cast("long").alias("label"),
+                    F.col("otro").cast("long").alias("otro"),
+                    "cos_propio", "cos_otro", "margen")
+            .orderBy(F.desc("margen"), F.asc("vec_id"))
+            .limit(OUTLIER_TOP_K))
+
+
+SQL_EMB_LABEL_OUTLIERS = f"""
+WITH emb AS (
+  SELECT vec_id, label,
+         list_transform(embedding, v -> v::DOUBLE) AS embedding
+  FROM embeddings
+), cents AS (
+  SELECT label, list(m ORDER BY d) AS ce FROM (
+    SELECT label, d,
+           floor(avg(embedding[d + 1]::DOUBLE) * 1000000 + 0.5) / 1000000 AS m
+    FROM emb CROSS JOIN (SELECT unnest(range(0, 64)) AS d)
+    GROUP BY label, d
+  ) GROUP BY label
+), propio AS (
+  SELECT e.vec_id, e.label,
+         floor({sql_cosine_expr('e.embedding', 'c.ce')} * 1000000 + 0.5)
+           / 1000000 AS cos_propio
+  FROM emb e JOIN cents c USING (label)
+), otro AS (
+  SELECT e.vec_id,
+         max(struct_pack(
+           c := floor({sql_cosine_expr('e.embedding', 'c2.ce')}
+                      * 1000000 + 0.5) / 1000000,
+           nl := -c2.label)) AS _best
+  FROM emb e JOIN cents c2 ON c2.label != e.label
+  GROUP BY e.vec_id
+)
+SELECT p.vec_id::BIGINT AS vec_id, p.label::BIGINT AS label,
+       (-o._best.nl)::BIGINT AS otro, p.cos_propio,
+       o._best.c AS cos_otro,
+       floor((o._best.c - p.cos_propio) * 1000000 + 0.5) / 1000000 AS margen
+FROM propio p JOIN otro o USING (vec_id)
+ORDER BY margen DESC, vec_id ASC
+LIMIT {OUTLIER_TOP_K}
+"""
+
+register("emb_label_outliers", q_emb_label_outliers, SQL_EMB_LABEL_OUTLIERS)
+
+
+# --------------------------------------------------------------------------
+# lsh_bucket_skew — the hot-bucket audit behind every LSH guard in this
+# repo, turned into a measured query: per LSH table, the bucket-size
+# distribution (bucket count, max bucket, mean size) and the EXACT
+# within-bucket pair count (sum of C(size, 2) — the candidate-join cost
+# that table contributes) plus its fraction of all C(n, 2) pairs. This
+# is the number that says whether MAX_BUCKET_VECS is about to fire and
+# how far from all-pairs the banded join actually is — "measure, don't
+# guess" applied to the index itself.
+#
+# Scale: one exploded pass over the corpus keyed (table, bucket) — the
+# aggregate key space is LSH_TABLES x 2^LSH_BITS (768), fixed by index
+# parameters; pair counts are exact integer adds (mergeable partials),
+# so the hash can't drift with partition order. No join anywhere.
+# --------------------------------------------------------------------------
+
+def q_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    bucketed = (
+        emb.selectExpr("vec_id", f"{_BITS_EXPR} AS _bits")
+        .selectExpr("vec_id", f"explode({_KEYS_EXPR}) AS cubo")
+        .selectExpr("vec_id", "cast(split(cubo, ':')[0] AS bigint) AS t",
+                    "cubo"))
+    sizes = (bucketed.groupBy("t", "cubo")
+             .agg(F.count(F.lit(1)).cast("long").alias("_sz")))
+    return (sizes.groupBy("t")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_cubos"),
+                 F.sum("_sz").cast("long").alias("n_vecs"),
+                 F.max("_sz").cast("long").alias("max_cubo"),
+                 F.sum(F.expr("_sz * (_sz - 1) div 2"))
+                 .cast("long").alias("pares"))
+            .withColumn("media", F.expr(
+                "floor(n_vecs / cast(n_cubos as double) * 1000000 + 0.5) "
+                "/ 1000000"))
+            .withColumn("frac_pares", F.expr(
+                "floor(pares / (n_vecs * (n_vecs - 1) / 2.0) "
+                "* 1000000 + 0.5) / 1000000"))
+            .select("t", "n_cubos", "n_vecs", "max_cubo", "pares",
+                    "media", "frac_pares")
+            .orderBy("t"))
+
+
+SQL_LSH_BUCKET_SKEW = f"""
+WITH bits AS (
+  SELECT vec_id,
+         list_transform({_PLANES_SQL}, h ->
+           list_sum(list_transform(list_zip(embedding, h),
+                    x -> (x[1]::DOUBLE) * x[2])) >= 0) AS _bits
+  FROM embeddings
+), bucketed AS (
+  SELECT vec_id, t,
+         concat(t, ':', list_reduce(list_prepend(0,
+           list_transform(list_slice(_bits, t * {LSH_BITS} + 1,
+                                     t * {LSH_BITS} + {LSH_BITS}),
+                          b -> CASE WHEN b THEN 1 ELSE 0 END)),
+           (acc, x) -> acc * 2 + x)) AS cubo
+  FROM bits CROSS JOIN (SELECT unnest(range(0, {LSH_TABLES})) AS t)
+), sizes AS (
+  SELECT t, cubo, count(*)::BIGINT AS _sz FROM bucketed GROUP BY t, cubo
+)
+SELECT t::BIGINT AS t, count(*)::BIGINT AS n_cubos,
+       sum(_sz)::BIGINT AS n_vecs, max(_sz)::BIGINT AS max_cubo,
+       sum(_sz * (_sz - 1) // 2)::BIGINT AS pares,
+       floor(sum(_sz) / count(*)::DOUBLE * 1000000 + 0.5) / 1000000 AS media,
+       floor(sum(_sz * (_sz - 1) // 2)
+             / (sum(_sz) * (sum(_sz) - 1) / 2.0) * 1000000 + 0.5) / 1000000
+         AS frac_pares
+FROM sizes GROUP BY t ORDER BY t
+"""
+
+register("lsh_bucket_skew", q_lsh_bucket_skew, SQL_LSH_BUCKET_SKEW)

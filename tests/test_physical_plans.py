@@ -945,3 +945,45 @@ def test_part_supplier_counts_broadcasts_dims_and_anti(spark, sf_dir):
     assert "LeftAnti" in plan
     explained = df._jdf.queryExecution().toString()
     assert "PushedFilters" in explained and "Brand#1" in explained
+
+
+def test_emb_dim_stats_key_space_is_dim_bounded(spark, sf_dir):
+    """The per-dimension audit is one posexplode + a 64-key aggregate:
+    partial aggregation must be map-side combined (HashAggregate pair),
+    with no join and no window anywhere."""
+    from prac_data_pipelines_spark.queries.vector import q_emb_dim_stats
+
+    plan = _plan(q_emb_dim_stats(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_emb_label_outliers_broadcasts_centroids_no_window(spark, sf_dir):
+    """The mislabel queue must fold the centroid set into broadcast
+    sides (hash join on label + 1-row nested-loop for the array) and
+    rank via TakeOrdered — never a per-label window (labels are
+    low-cardinality) and never a corpus self-join."""
+    from prac_data_pipelines_spark.queries.vector import (
+        q_emb_label_outliers,
+    )
+
+    plan = _plan(q_emb_label_outliers(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lsh_bucket_skew_is_joinless_bounded_aggregate(spark, sf_dir):
+    """The bucket audit is pure aggregation over the exploded bucket
+    frame — (table, bucket) then table grain, both bounded by index
+    parameters: no join of any kind, map-side combined partials."""
+    from prac_data_pipelines_spark.queries.vector import q_lsh_bucket_skew
+
+    plan = _plan(q_lsh_bucket_skew(spark, sf_dir))
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
+    assert plan.count("HashAggregate") >= 2
