@@ -194,6 +194,10 @@ HEADLINE = [
     "emb_dim_stats",
     "emb_label_outliers",
     "lsh_bucket_skew",
+    # Round-8 (session 2, continued): the inter-arrival traffic-shape
+    # histogram and frame-level video dedup (hashed Arrow fan-out).
+    "events_interarrival",
+    "multimodal_frame_dedup",
 ]
 
 

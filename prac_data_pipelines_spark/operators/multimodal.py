@@ -199,3 +199,59 @@ def dhash_images(docs_with_payload: DataFrame) -> DataFrame:
 
     return (docs_with_payload.select("doc_id", "payload")
             .mapInPandas(batches, schema=PHASH_SCHEMA))
+
+
+HASHED_FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("frame_bytes", LongType()),
+    StructField("frame_hash", LongType()),
+])
+
+
+def frame_hash_stub(frame: bytes) -> int:
+    """28-bit content fingerprint of one frame: md5 of the frame's
+    UPPERCASE hex string (not the raw bytes) so the DuckDB oracle can
+    reproduce it bit-for-bit from ``substr(hex(encode(text)), ...)`` —
+    the byte-level-parity trick that keeps mapInPandas stages fully
+    value-checked. A real deployment hashes the decoded frame tensor."""
+    import hashlib
+
+    return int(hashlib.md5(frame.hex().upper().encode("ascii"))
+               .hexdigest()[:7], 16)
+
+
+def sample_frames_hashed(docs_with_payload: DataFrame,
+                         max_frames: int = 8) -> DataFrame:
+    """``sample_frames`` + per-frame content fingerprint in the same
+    Arrow pass (one payload scan; the dedup downstream never touches the
+    binary column again)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            sizes: list[int] = []
+            hashes: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                n_frames = n % 30 + 1
+                stride = (n_frames + max_frames - 1) // max_frames
+                flen = n // n_frames
+                for idx in range(0, n_frames, stride):
+                    start = idx * flen
+                    end = n if idx == n_frames - 1 else (idx + 1) * flen
+                    frame = payload[start:end]
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    sizes.append(len(frame))
+                    hashes.append(frame_hash_stub(frame))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "frame_bytes": pd.Series(sizes, dtype="int64"),
+                "frame_hash": pd.Series(hashes, dtype="int64"),
+            })
+
+    return (docs_with_payload.select("doc_id", "payload")
+            .mapInPandas(batches, schema=HASHED_FRAME_SCHEMA))

@@ -56,13 +56,14 @@ _PRIORITY: tuple[str, ...] = (
     "doc_strip_dup_spans", "multimodal_decontaminate",
     "events_quantile_daily", "multimodal_phash_weights",
     "part_supplier_counts", "emb_dim_stats", "emb_label_outliers",
-    "lsh_bucket_skew",
+    "lsh_bucket_skew", "events_interarrival", "multimodal_frame_dedup",
     # r5-era fill to 50 (verdict-age order):
     "master_denorm", "order_balance", "order_last_ship",
-    "open_order_lines", "flag_full_outer", "customer_first_order",
+    "open_order_lines",
     # --- 50-row budget boundary ---
     # r5-era remainder (stages the r9 rotation, verdict-age order;
     # head-fill rows displaced by r8 ops rejoin here first):
+    "flag_full_outer", "customer_first_order",
     "aging_buckets", "aging_pivot", "customer_metrics",
     "running_balance",
     "zscore_outliers", "dual_sort", "top_customers", "doc_lang_confusion",

@@ -1524,3 +1524,74 @@ ORDER BY dia, event_type
 
 register("events_quantile_daily", q_events_quantile_daily,
          SQL_EVENTS_QUANTILE_DAILY)
+
+
+# --------------------------------------------------------------------------
+# events_interarrival — traffic-shape audit: the distribution of
+# per-user inter-arrival gaps, log2-bucketed, per event type of the
+# later event. The operational companion to events_bot_detection: bot
+# bursts pile into the low buckets, dying traffic into the high ones,
+# and the bucket boundaries are powers of two so the histogram is exact
+# integer arithmetic end-to-end (no pow/log — both engines derive the
+# bucket from the binary-string length of gap+1, which is portable where
+# log() is not).
+#
+# Scale: the lag runs under a user_id-keyed window (high-cardinality —
+# grows with the user base, never a single partition); the histogram is
+# a wordcount-class aggregate whose key space is |types| x ~32 buckets,
+# fixed by the 2^63 domain, with map-side combined partials; the
+# per-type total joins back as a broadcast (never a low-cardinality
+# window over the raw frame).
+# --------------------------------------------------------------------------
+
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        epoch_sec("ts").alias("_sec"))
+    w = Window.partitionBy("user_id").orderBy("_sec", "event_id")
+    gaps = (ev.withColumn("_prev", F.lag("_sec").over(w))
+            .filter(F.col("_prev").isNotNull())
+            .selectExpr("event_type",
+                        "length(bin(_sec - _prev + 1)) - 1 AS cubo"))
+    hist = (gaps.groupBy("event_type", "cubo")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = (hist.groupBy("event_type")
+           .agg(F.sum("n").cast("long").alias("_tot")))
+    return (hist.join(F.broadcast(tot), "event_type")
+            .selectExpr(
+                "event_type", "cast(cubo AS bigint) AS cubo",
+                "shiftleft(1L, cubo) - 1 AS desde_s",
+                "shiftleft(2L, cubo) - 2 AS hasta_s",
+                "n",
+                "floor(n / cast(_tot AS double) * 1000000 + 0.5) "
+                "/ 1000000 AS frac")
+            .orderBy("event_type", "cubo"))
+
+
+SQL_EVENTS_INTERARRIVAL = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id,
+         epoch_us(ts) // 1000000 AS _sec
+  FROM events
+), gaps AS (
+  SELECT event_type,
+         length(bin(_sec - lag(_sec) OVER
+                    (PARTITION BY user_id ORDER BY _sec, event_id) + 1)) - 1
+           AS cubo
+  FROM ev
+), hist AS (
+  SELECT event_type, cubo, count(*)::BIGINT AS n
+  FROM gaps WHERE cubo IS NOT NULL GROUP BY event_type, cubo
+), tot AS (
+  SELECT event_type, sum(n)::BIGINT AS _tot FROM hist GROUP BY event_type
+)
+SELECT h.event_type, h.cubo::BIGINT AS cubo,
+       ((1::BIGINT << h.cubo) - 1)::BIGINT AS desde_s,
+       ((2::BIGINT << h.cubo) - 2)::BIGINT AS hasta_s, h.n,
+       floor(h.n / t._tot::DOUBLE * 1000000 + 0.5) / 1000000 AS frac
+FROM hist h JOIN tot t USING (event_type)
+ORDER BY event_type, cubo
+"""
+
+register("events_interarrival", q_events_interarrival,
+         SQL_EVENTS_INTERARRIVAL)

@@ -604,3 +604,80 @@ FROM weighted GROUP BY source ORDER BY source
 
 register("multimodal_phash_weights", q_multimodal_phash_weights,
          SQL_MULTIMODAL_PHASH_WEIGHTS)
+
+
+# --------------------------------------------------------------------------
+# multimodal_frame_dedup — frame-level dedup across the video corpus:
+# every sampled frame is content-fingerprinted IN the sampling Arrow
+# pass (operators/multimodal.py::sample_frames_hashed — one payload
+# scan, the binary column never travels again), duplicated frames are
+# the non-first occurrences of a fingerprint corpus-wide (first = lowest
+# (doc_id, frame_idx)), and the verdict rolls up per video: sampled
+# frames, duplicated frames, duplicated fraction. The video member of
+# the dedup family: intros/outros/stock footage shared across uploads
+# are exactly repeated frame runs.
+#
+# Scale: fan-out Arrow stage (embarrassingly parallel), then ONE shuffle
+# keyed by the 28-bit fingerprint (corpus-cardinality key space, the
+# first-occurrence window never funnels), then the doc_id-keyed rollup.
+# The fingerprint is md5-of-hex so the DuckDB oracle reproduces every
+# frame hash bit-for-bit from substr(hex(encode(text))) — a fully
+# value-checked mapInPandas fan-out (the phash-family parity trick).
+# 28-bit fingerprints collide at ~n^2/2^29, mirrored identically on both
+# engines; a deployment widens to 63 bits like PHASH_BITS.
+# --------------------------------------------------------------------------
+
+def q_multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.multimodal import sample_frames_hashed
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames_hashed(attach_payload(docs), max_frames=8)
+    w = Window.partitionBy("frame_hash").orderBy("doc_id", "frame_idx")
+    ranked = frames.withColumn("_rn", F.row_number().over(w))
+    return (ranked.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_frames"),
+                 F.sum(F.expr("CASE WHEN _rn > 1 THEN 1 ELSE 0 END"))
+                 .cast("long").alias("n_dup"))
+            .withColumn("frac_dup", F.expr(
+                "floor(n_dup / cast(n_frames AS double) * 1000000 + 0.5) "
+                "/ 1000000"))
+            .orderBy("doc_id"))
+
+
+SQL_MULTIMODAL_FRAME_DEDUP = """
+WITH base AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n_bytes,
+         octet_length(encode(text)) % 30 + 1 AS n_frames
+  FROM documents
+), params AS (
+  SELECT *, (n_frames + 7) // 8 AS stride, n_bytes // n_frames AS flen
+  FROM base
+), frames AS (
+  SELECT doc_id, unnest(range(0, n_frames, stride)) AS frame_idx,
+         hx, n_bytes, n_frames, flen
+  FROM params
+), hashed AS (
+  SELECT doc_id, frame_idx,
+         ('0x' || substr(md5(substr(hx, frame_idx * flen * 2 + 1,
+            2 * (CASE WHEN frame_idx = n_frames - 1
+                      THEN n_bytes - frame_idx * flen
+                      ELSE flen END))), 1, 7))::BIGINT AS frame_hash
+  FROM frames
+), ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY frame_hash
+                            ORDER BY doc_id, frame_idx) AS _rn
+  FROM hashed
+)
+SELECT doc_id, count(*)::BIGINT AS n_frames,
+       sum(CASE WHEN _rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+       floor(sum(CASE WHEN _rn > 1 THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE * 1000000 + 0.5) / 1000000 AS frac_dup
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+register("multimodal_frame_dedup", q_multimodal_frame_dedup,
+         SQL_MULTIMODAL_FRAME_DEDUP)

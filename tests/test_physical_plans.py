@@ -987,3 +987,40 @@ def test_lsh_bucket_skew_is_joinless_bounded_aggregate(spark, sf_dir):
     assert "Join" not in plan
     assert "windowspecdefinition" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_events_interarrival_windows_on_user_totals_broadcast(spark, sf_dir):
+    """The gap lag must window on user_id only (high-cardinality), the
+    histogram key space is (type, bucket), and the per-type total joins
+    back as a broadcast — never a low-cardinality window over raw
+    events."""
+    import re
+
+    from prac_data_pipelines_spark.queries.events import (
+        q_events_interarrival,
+    )
+
+    plan = _plan(q_events_interarrival(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(s == "user_id" for s in specs), plan[:2000]
+
+
+def test_multimodal_frame_dedup_windows_on_frame_hash(spark, sf_dir):
+    """Frame dedup must rank first-occurrence under a frame_hash-keyed
+    window (corpus-cardinality key) and roll up by doc_id — one Arrow
+    fan-out stage, no join, no single-partition stage."""
+    import re
+
+    from prac_data_pipelines_spark.queries.media import (
+        q_multimodal_frame_dedup,
+    )
+
+    plan = _plan(q_multimodal_frame_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("ArrowEvalPython") <= 0  # mapInPandas, not UDF eval
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(s == "frame_hash" for s in specs), plan[:2000]
