@@ -1930,7 +1930,10 @@ def q_emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                   + ") * 1000000 + 0.5) / 1000000 AS cos_propio",
                   f"{_BEST_OTHER} AS _best")
               .selectExpr("vec_id", "label", "cos_propio",
-                          "-_best.nl AS otro", "_best.c AS cos_otro"))
+                          "-_best.nl AS otro", "_best.c AS cos_otro")
+              # a label that is the corpus' ONLY label has no "other"
+              # centroid: drop it (the oracle's inner join does the same)
+              .filter(F.col("otro").isNotNull()))
     return (scored
             .withColumn("margen", F.expr(
                 "floor((cos_otro - cos_propio) * 1000000 + 0.5) / 1000000"))
@@ -2015,7 +2018,7 @@ def q_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "floor(n_vecs / cast(n_cubos as double) * 1000000 + 0.5) "
                 "/ 1000000"))
             .withColumn("frac_pares", F.expr(
-                "floor(pares / (n_vecs * (n_vecs - 1) / 2.0) "
+                "floor(pares / (n_vecs * (n_vecs - 1) / cast(2 as double)) "
                 "* 1000000 + 0.5) / 1000000"))
             .select("t", "n_cubos", "n_vecs", "max_cubo", "pares",
                     "media", "frac_pares")

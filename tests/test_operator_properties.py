@@ -2314,3 +2314,236 @@ def test_events_cohort_value_equals_python_reference(spark, events):
                          math.floor(cents / 100.0 * 100 + 0.5) / 100,
                          math.floor(acum / 100.0 * 100 + 0.5) / 100))
     assert got == want
+
+
+# --- multimodal_frame_dedup: hashed fan-out == pure Python --------------
+
+_fd_texts = st.lists(
+    st.text(alphabet="abcxyz ", min_size=0, max_size=40),
+    min_size=1, max_size=25)
+
+
+@given(texts=_fd_texts)
+@settings(**SETTINGS)
+def test_multimodal_frame_dedup_equals_python_reference(spark, texts):
+    """The hashed Arrow fan-out + first-occurrence window must match a
+    sequential replay of the frame-slicing stub: same slices, same
+    md5-of-hex fingerprint, first occurrence = lowest (doc_id,
+    frame_idx), per-doc counts and millionths fraction identical —
+    empty payloads, zero-length frames, and single-frame docs included."""
+    import math
+    import os
+    import tempfile
+    from collections import defaultdict
+
+    from prac_data_pipelines_spark.operators.multimodal import (
+        frame_hash_stub,
+    )
+    from prac_data_pipelines_spark.queries.media import (
+        q_multimodal_frame_dedup,
+    )
+
+    d = tempfile.mkdtemp(prefix="framededup_prop_")
+    rows = [(i, t, "s") for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: (r["n_frames"], r["n_dup"], r["frac_dup"])
+           for r in q_multimodal_frame_dedup(spark, d).collect()}
+
+    frames = []  # (doc_id, frame_idx, hash) in (doc_id, idx) order
+    for i, t in enumerate(texts):
+        payload = t.encode("utf-8")
+        n = len(payload)
+        n_frames = n % 30 + 1
+        stride = (n_frames + 7) // 8
+        flen = n // n_frames
+        for idx in range(0, n_frames, stride):
+            start = idx * flen
+            end = n if idx == n_frames - 1 else (idx + 1) * flen
+            frames.append((i, idx, frame_hash_stub(payload[start:end])))
+    seen: set[int] = set()
+    per_doc = defaultdict(lambda: [0, 0])
+    for i, idx, h in frames:  # already in (doc_id, frame_idx) order
+        per_doc[i][0] += 1
+        if h in seen:
+            per_doc[i][1] += 1
+        seen.add(h)
+    want = {i: (nf, nd, math.floor(nd / nf * 1e6 + 0.5) / 1e6)
+            for i, (nf, nd) in per_doc.items()}
+    assert got == want
+
+
+# --- events_interarrival: log2 gap histogram == pure Python -------------
+
+_ia_events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 1000),
+              st.sampled_from(["a", "b"])),
+    min_size=1, max_size=60)
+
+
+@given(events=_ia_events)
+@settings(**SETTINGS)
+def test_events_interarrival_equals_python_reference(spark, events):
+    """The lag-under-user-window histogram must match a sequential
+    per-user sweep: gaps ordered by (sec, event_id), attributed to the
+    LATER event's type, bucket = bit_length(gap+1) - 1 (the portable
+    integer log2), power-of-two bounds, millionths fraction — zero gaps
+    (ties) and single-event users included."""
+    import math
+    import os
+    import tempfile
+    from collections import defaultdict
+
+    from prac_data_pipelines_spark.queries.events import (
+        q_events_interarrival,
+    )
+
+    d = tempfile.mkdtemp(prefix="interarrival_prop_")
+    df = spark.createDataFrame(
+        [(i, u, t, 0.0, "{}", s) for i, (u, s, t) in enumerate(events)],
+        "event_id long, user_id long, event_type string, value double, "
+        "props string, sec long")
+    (df.withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+     .write.mode("overwrite").parquet(os.path.join(d, "events.parquet")))
+    got = {(r["event_type"], r["cubo"]):
+           (r["desde_s"], r["hasta_s"], r["n"], r["frac"])
+           for r in q_events_interarrival(spark, d).collect()}
+
+    by_user = defaultdict(list)
+    for i, (u, s, t) in enumerate(events):
+        by_user[u].append((s, i, t))
+    hist = defaultdict(int)
+    for u, evs in by_user.items():
+        evs.sort()
+        for (ps, _, _), (s, _, t) in zip(evs, evs[1:]):
+            hist[(t, (s - ps + 1).bit_length() - 1)] += 1
+    tot = defaultdict(int)
+    for (t, b), n in hist.items():
+        tot[t] += n
+    want = {(t, b): ((1 << b) - 1, (2 << b) - 2, n,
+                     math.floor(n / tot[t] * 1e6 + 0.5) / 1e6)
+            for (t, b), n in hist.items()}
+    assert got == want
+
+
+# --- emb_label_outliers: centroid-margin queue == pure Python -----------
+
+_lo_rows = st.lists(
+    st.tuples(st.lists(st.integers(-4, 4), min_size=6, max_size=6)
+              .filter(lambda v: any(v)),
+              st.integers(0, 2)),
+    min_size=2, max_size=20)
+
+
+@given(rows=_lo_rows)
+@settings(**SETTINGS)
+def test_emb_label_outliers_equals_python_reference(spark, rows):
+    """The broadcast-array argmax must match a sequential replay: same
+    millionths-rounded centroids (per-dim mean), same sequential-fold
+    cosine, best OTHER centroid with lowest-label tiebreak, margin
+    ranking (desc, vec_id asc) — single-label corpora (no 'other' rows)
+    included."""
+    import math
+    import os
+    import tempfile
+    from collections import defaultdict
+
+    from prac_data_pipelines_spark.queries.vector import (
+        OUTLIER_TOP_K,
+        q_emb_label_outliers,
+    )
+
+    d = tempfile.mkdtemp(prefix="labelout_prop_")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, (v, l) in enumerate(rows)],
+        "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    got = [(r["vec_id"], r["label"], r["otro"], r["cos_propio"],
+            r["cos_otro"], r["margen"])
+           for r in q_emb_label_outliers(spark, d).collect()]
+
+    def rnd(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for y in b:
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    by_label = defaultdict(list)
+    for v, l in rows:
+        by_label[l].append(v)
+    cents = {l: [rnd(sum(col) / len(vs)) for col in zip(*vs)]
+             for l, vs in by_label.items()}
+    out = []
+    for i, (v, l) in enumerate(rows):
+        others = [(rnd(cos(v, ce)), -l2) for l2, ce in cents.items()
+                  if l2 != l]
+        if not others:
+            continue
+        c, nl = max(others)
+        cp = rnd(cos(v, cents[l]))
+        out.append((i, l, -nl, cp, c, rnd(c - cp)))
+    out.sort(key=lambda r: (-r[5], r[0]))
+    assert got == out[:OUTLIER_TOP_K]
+
+
+# --- lsh_bucket_skew: bucket audit == pure Python replay ----------------
+
+_bs_rows = st.lists(
+    st.lists(st.integers(-3, 3), min_size=64, max_size=64),
+    min_size=2, max_size=16)
+
+
+@given(vecs=_bs_rows)
+@settings(**SETTINGS)
+def test_lsh_bucket_skew_equals_python_reference(spark, vecs):
+    """The per-table bucket audit must match a sequential replay of the
+    SAME hyperplane signs and bit packing (LSH_PLANES): bucket counts,
+    max bucket, exact C(size,2) pair sums, and the millionths mean /
+    pair-fraction — all-identical and all-distinct corpora included."""
+    import math
+    import os
+    import tempfile
+    from collections import Counter
+
+    from prac_data_pipelines_spark.queries.vector import (
+        LSH_BITS,
+        LSH_PLANES,
+        LSH_TABLES,
+        q_lsh_bucket_skew,
+    )
+
+    d = tempfile.mkdtemp(prefix="bucketskew_prop_")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    got = {r["t"]: (r["n_cubos"], r["n_vecs"], r["max_cubo"], r["pares"],
+                    r["media"], r["frac_pares"])
+           for r in q_lsh_bucket_skew(spark, d).collect()}
+
+    bits_per_vec = [[sum(x * s for x, s in zip(v, plane)) >= 0
+                     for plane in LSH_PLANES] for v in vecs]
+    n = len(vecs)
+    want = {}
+    for t in range(LSH_TABLES):
+        keys = Counter()
+        for bits in bits_per_vec:
+            key = 0
+            for b in bits[t * LSH_BITS:(t + 1) * LSH_BITS]:
+                key = key * 2 + (1 if b else 0)
+            keys[key] += 1
+        pares = sum(sz * (sz - 1) // 2 for sz in keys.values())
+        want[t] = (len(keys), n, max(keys.values()), pares,
+                   math.floor(n / len(keys) * 1e6 + 0.5) / 1e6,
+                   math.floor(pares / (n * (n - 1) / 2.0) * 1e6 + 0.5) / 1e6)
+    assert got == want

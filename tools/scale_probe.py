@@ -111,7 +111,10 @@ def probe_llm(spark, sf_dir: str, k: int) -> None:
                  "doc_dedup_weights", "doc_normalized_dedup",
                  # round-8 additions
                  "doc_strip_dup_spans", "multimodal_decontaminate",
-                 "multimodal_phash_weights"):
+                 "multimodal_phash_weights",
+                 # round-8 session-2 additions
+                 "emb_dim_stats", "emb_label_outliers", "lsh_bucket_skew",
+                 "multimodal_frame_dedup"):
         t0 = time.time()
         queries[name](spark, scratch).write.format("noop").mode("overwrite").save()
         print(f"{name} at {k}x: {time.time()-t0:.2f}s")
@@ -156,7 +159,8 @@ def probe_events_rolling(spark, sf_dir: str, k: int) -> None:
                "events_gapfill", "events_uniques_sketch",
                "events_heavy_hitters", "events_watermark_audit",
                "events_bot_detection", "events_cohort_value",
-               "events_quantile_sketch", "events_quantile_daily"]
+               "events_quantile_sketch", "events_quantile_daily",
+               "events_interarrival"]
     t0 = time.time()
     q_events_rolling(spark, scratch).write.format("noop").mode("overwrite").save()
     print(f"events_rolling(single-key) at {k}x: {time.time()-t0:.2f}s")
@@ -233,7 +237,8 @@ def probe_tpch(spark, sf_dir: str, k: int) -> None:
              "promo_revenue_share", "top_supplier", "parts_never_ordered",
              "small_qty_revenue", "large_quantity_orders",
              "discounted_bulk_revenue", "dominant_part_suppliers",
-             "waiting_suppliers", "rich_inactive_customers")
+             "waiting_suppliers", "rich_inactive_customers",
+             "part_supplier_counts")
     total = 0.0
     for name in sweep:
         t0 = time.time()
