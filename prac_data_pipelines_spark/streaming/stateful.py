@@ -24,6 +24,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -161,6 +162,78 @@ def stream_bot_detection(events: DataFrame) -> DataFrame:
             _bot_update,
             outputStructType=BOT_OUTPUT_SCHEMA,
             stateStructType=BOT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_interarrival — streaming twin of queries/events.py's
+# events_interarrival: the per-user inter-arrival log2-bucket histogram
+# maintained across micro-batches. State per user is just the LAST
+# (sec, event_id) seen — O(1) per key regardless of history — so the
+# first event of a new micro-batch forms its gap against the previous
+# batch's tail (the real cross-batch merge the replay test pins). Each
+# batch emits that user's (event_type, cubo) partial counts; summing
+# emitted partials equals the batch histogram under event-time-ordered
+# delivery (the file-replay contract the other twins document).
+# --------------------------------------------------------------------------
+
+IA_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("cubo", LongType()),
+    StructField("n", LongType()),
+])
+
+IA_STATE_SCHEMA = StructType([
+    StructField("last_sec", LongType()),
+    StructField("last_id", LongType()),
+])
+
+
+def _ia_update(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+    from collections import Counter
+
+    prev = state.get if state.exists else None
+    rows: list[tuple[int, int, str]] = []
+    for pdf in pdfs:
+        rows.extend(zip((int(s) for s in pdf["sec"]),
+                        (int(i) for i in pdf["event_id"]),
+                        pdf["event_type"]))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    hist: Counter = Counter()
+    for sec, eid, etype in rows:
+        if prev is not None:
+            hist[(etype, (sec - prev[0] + 1).bit_length() - 1)] += 1
+        prev = (sec, eid)
+    if prev is not None:
+        state.update((prev[0], prev[1]))
+    if hist:
+        yield pd.DataFrame({
+            "user_id": [key[0]] * len(hist),
+            "event_type": [t for t, _ in hist],
+            "cubo": [b for _, b in hist],
+            "n": list(hist.values()),
+        })
+
+
+def stream_interarrival(events: DataFrame) -> DataFrame:
+    """Per-user inter-arrival bucket partials over a streaming events
+    frame (sum the emitted ``n`` per (event_type, cubo) to reproduce the
+    batch histogram)."""
+    from ..operators.timeops import epoch_sec
+
+    return (
+        events.select("user_id", "event_id", "event_type",
+                      epoch_sec("ts").alias("sec"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ia_update,
+            outputStructType=IA_OUTPUT_SCHEMA,
+            stateStructType=IA_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

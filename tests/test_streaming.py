@@ -491,3 +491,54 @@ def test_stream_quantile_sketch_matches_batch(spark, sf_dir, tmp_path):
     slice0 = {(r["dia"], r["event_type"], r["bucket"]): r["n"]
               for r in one.collect()}
     assert any(got[k] > n for k, n in slice0.items())
+
+
+def test_stream_interarrival_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming per-user gap histogram over a 3-micro-batch time-ordered
+    replay must equal the batch lag histogram key for key: the first
+    event of each later batch forms its gap against state from the
+    previous batch, so the total gap count (n_events - n_users) can only
+    be reached with real cross-batch state (batch-local lag would lose
+    one gap per user per batch boundary)."""
+    from collections import defaultdict
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from prac_data_pipelines_spark.queries.events import (
+        q_events_interarrival,
+    )
+    from prac_data_pipelines_spark.sources import load_table
+    from prac_data_pipelines_spark.streaming.events import run_to_memory
+    from prac_data_pipelines_spark.streaming.stateful import (
+        stream_interarrival,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tmp_path / "ia_src"
+    src.mkdir()
+    # contiguous time-thirds (global (ts, event_id) rank) -> per-user
+    # event-time order is preserved across micro-batches
+    ranked = ev.withColumn(
+        "_rn", F.row_number().over(
+            Window.orderBy("ts", "event_id")) - 1)
+    n = ranked.count()
+    for b in range(3):
+        (ranked.filter(F.floor(F.col("_rn") * 3 / n) == b)
+         .drop("_rn").coalesce(1)
+         .write.parquet(str(src / f"f{b}.parquet")))
+    stream = (spark.readStream
+              .schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*.parquet"))
+    run_to_memory(stream_interarrival(stream), "ia_stream_test",
+                  output_mode="update")
+    got = defaultdict(int)
+    for r in spark.table("ia_stream_test").collect():
+        got[(r["event_type"], r["cubo"])] += r["n"]
+
+    want = {(r["event_type"], r["cubo"]): r["n"]
+            for r in q_events_interarrival(spark, sf_dir).collect()}
+    assert dict(got) == want and len(want) > 3
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(want.values()) == n - n_users  # every boundary gap formed
