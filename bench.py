@@ -198,6 +198,10 @@ HEADLINE = [
     # histogram and frame-level video dedup (hashed Arrow fan-out).
     "events_interarrival",
     "multimodal_frame_dedup",
+    # Round-8 (session 2, final batch): the mutual-kNN graph and the
+    # curation retention funnel.
+    "knn_mutual_pairs",
+    "corpus_dedup_funnel",
 ]
 
 

@@ -2536,3 +2536,144 @@ FROM hist ORDER BY hamming
 
 register("simhash_recall_audit", q_simhash_recall_audit,
          SQL_SIMHASH_RECALL_AUDIT)
+
+
+# --------------------------------------------------------------------------
+# corpus_dedup_funnel — the curation pipeline's retention funnel: doc and
+# token counts surviving each dedup/quality stage IN SEQUENCE (base →
+# exact content dedup → normalization-equivalence dedup → MinHash
+# near-dup removal → quality gate). The report every corpus run ships
+# with: where the tokens went. Stages reuse the registered operators'
+# exact semantics (first occurrence = min doc_id; near-dup losers = d2
+# of banded pairs with r4 Jaccard-estimate >= CURATION_JACCARD over the
+# CURRENT survivors; quality = the shared composite >= 0.55). Clones are
+# synthesized (re-keyed exact copies of doc_id < 40, uppercased copies
+# of 40 <= doc_id < 70) so every stage demonstrably drops rows on the
+# synthetic corpus — the established doc_exact_dedup pattern.
+#
+# Scale: each dedup stage is one hash-keyed window (digest or band key,
+# corpus-cardinality, map-side-combinable); the near-dup stage is the
+# guarded band self-join (never all-pairs); the five stage rollups are
+# bounded single-row aggregates (the legitimate SinglePartition class).
+# --------------------------------------------------------------------------
+
+def q_corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    clones_exact = (base.filter(F.col("doc_id") < 40)
+                    .withColumn("doc_id", F.col("doc_id") + 1000000))
+    clones_norm = (base.filter((F.col("doc_id") >= 40)
+                               & (F.col("doc_id") < 70))
+                   .withColumn("doc_id", F.col("doc_id") + 2000000)
+                   .withColumn("text", F.upper("text")))
+    s1 = (base.unionByName(clones_exact).unionByName(clones_norm)
+          .selectExpr("doc_id", "text",
+                      f"cast(size({WORDS}) as bigint) AS _toks"))
+    w_exact = Window.partitionBy(F.md5("text"))
+    s2 = (s1.withColumn("_m", F.min("doc_id").over(w_exact))
+          .filter("doc_id = _m").drop("_m"))
+    w_norm = Window.partitionBy(F.md5(F.expr(_NORM)))
+    s3 = (s2.withColumn("_m", F.min("doc_id").over(w_norm))
+          .filter("doc_id = _m").drop("_m").cache())
+    sigs = _with_sigs(s3).cache()
+    bands = _band_guard(sigs.selectExpr(
+        "doc_id", "sigs",
+        f"explode(transform(sequence(0, {N_BANDS - 1}), b -> "
+        f"concat(b, ':', element_at(sigs, 2*b+1), ':', "
+        f"element_at(sigs, 2*b+2)))) AS banda"))
+    left = bands.select(F.col("doc_id").alias("d1"),
+                        F.col("sigs").alias("s1"), "banda")
+    right = bands.select(F.col("doc_id").alias("d2"),
+                         F.col("sigs").alias("s2"), "banda")
+    est = F.expr(f"size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v))"
+                 f" / cast({MINHASH_K} as double)")
+    losers = (left.join(right, "banda")
+              .filter(F.col("d1") < F.col("d2"))
+              .select("d2", r4(est).alias("_est"))
+              .filter(F.col("_est") >= CURATION_JACCARD)
+              .select(F.col("d2").alias("doc_id")).distinct())
+    s4 = s3.join(losers, "doc_id", "left_anti").cache()
+    score = _quality_score()
+    s5 = (s4.selectExpr("doc_id", "_toks", *_QUALITY_COLS)
+          .filter(r4(score) >= CURATION_MIN_QUALITY))
+
+    def rollup(df: DataFrame, etapa: str) -> DataFrame:
+        return df.agg(
+            F.lit(etapa).alias("etapa"),
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.coalesce(F.sum("_toks"), F.lit(0)).cast("long")
+            .alias("tokens"))
+
+    return (rollup(s1, "1_base")
+            .unionByName(rollup(s2, "2_exacto"))
+            .unionByName(rollup(s3, "3_normalizado"))
+            .unionByName(rollup(s4, "4_near_dup"))
+            .unionByName(rollup(s5, "5_calidad"))
+            .select("etapa", "docs", "tokens")
+            .orderBy("etapa"))
+
+
+SQL_CORPUS_DEDUP_FUNNEL = f"""
+WITH s1 AS (
+  SELECT doc_id, text, len({SQL_WORDS})::BIGINT AS _toks FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, len({SQL_WORDS})::BIGINT FROM documents
+  WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id + 2000000, upper(text), len({SQL_WORDS})::BIGINT
+  FROM documents WHERE doc_id >= 40 AND doc_id < 70
+), s2 AS (
+  SELECT doc_id, text, _toks FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS _m FROM s1)
+  WHERE doc_id = _m
+), s3 AS (
+  SELECT doc_id, text, _toks FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY md5({_SQL_NORM})) AS _m
+    FROM s2)
+  WHERE doc_id = _m
+), hs AS (
+  SELECT doc_id, list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}) AS hs
+  FROM s3
+), sigs AS (
+  SELECT doc_id, {SQL_SIGS} AS sigs FROM hs
+), {SQL_BANDS_CTE}, losers AS (
+  SELECT DISTINCT d2 AS doc_id FROM (
+    SELECT l.doc_id AS d1, r.doc_id AS d2, l.sigs AS sl, r.sigs AS sr
+    FROM bands l JOIN bands r ON l.banda = r.banda AND l.doc_id < r.doc_id)
+  WHERE floor(list_sum(list_transform(range(0, {MINHASH_K}),
+                       i -> CASE WHEN sl[i+1] = sr[i+1] THEN 1 ELSE 0 END))
+              / {MINHASH_K}.0 * 10000 + 0.5) / 10000 >= {CURATION_JACCARD}
+), s4 AS (
+  SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+), s5 AS (
+  SELECT doc_id, _toks FROM (
+    SELECT doc_id, _toks,
+           floor((least(strlen(text)::DOUBLE / 400, 1.0) * 0.4
+                  + (len(list_distinct({SQL_WORDS}))::DOUBLE
+                     / len({SQL_WORDS})::DOUBLE) * 0.4
+                  + (1 - abs(len(list_filter({SQL_WORDS},
+                             w -> w IN ({_STOPWORDS})))::DOUBLE
+                             / len({SQL_WORDS})::DOUBLE - 0.2)) * 0.2)
+                 * 10000 + 0.5) / 10000 AS calidad
+    FROM s4
+  ) WHERE calidad >= {CURATION_MIN_QUALITY}
+)
+SELECT etapa, docs, tokens FROM (
+  SELECT '1_base' AS etapa, count(*)::BIGINT AS docs,
+         coalesce(sum(_toks), 0)::BIGINT AS tokens FROM s1
+  UNION ALL
+  SELECT '2_exacto', count(*)::BIGINT, coalesce(sum(_toks), 0)::BIGINT
+  FROM s2
+  UNION ALL
+  SELECT '3_normalizado', count(*)::BIGINT, coalesce(sum(_toks), 0)::BIGINT
+  FROM s3
+  UNION ALL
+  SELECT '4_near_dup', count(*)::BIGINT, coalesce(sum(_toks), 0)::BIGINT
+  FROM s4
+  UNION ALL
+  SELECT '5_calidad', count(*)::BIGINT, coalesce(sum(_toks), 0)::BIGINT
+  FROM s5
+) ORDER BY etapa
+"""
+
+register("corpus_dedup_funnel", q_corpus_dedup_funnel,
+         SQL_CORPUS_DEDUP_FUNNEL)

@@ -2054,3 +2054,96 @@ FROM sizes GROUP BY t ORDER BY t
 """
 
 register("lsh_bucket_skew", q_lsh_bucket_skew, SQL_LSH_BUCKET_SKEW)
+
+
+# --------------------------------------------------------------------------
+# knn_mutual_pairs — mutual-kNN graph construction: the edge (a, b)
+# survives iff b is in a's LSH-candidate top-MUTUAL_K AND a is in b's.
+# Mutual edges are the standard symmetrization for semantic-graph
+# curation (cluster seeds, label propagation, diversity sampling) —
+# one-directional neighbors are dominated by hubs; mutual pairs are the
+# high-precision backbone. Candidates come from the same 12-table
+# sign-LSH as knn_lsh, so the graph is the one the serving index can
+# actually answer, and the oracle mirrors the index bit-for-bit.
+#
+# Scale: bucketed self-join only (never all-pairs), hot buckets dropped
+# by the MAX_BUCKET_VECS guard BEFORE the join on both engines; the
+# per-vector top-k windows key on vec_id (corpus-cardinality); the
+# mutual check is a self-join of the k·|corpus|-row edge list on the
+# undirected pair key.
+# --------------------------------------------------------------------------
+
+MUTUAL_K = 3
+
+
+def q_knn_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    w_cubo = Window.partitionBy("cubo")
+    bucketed = (
+        emb.selectExpr("vec_id", "embedding", f"{_BITS_EXPR} AS _bits")
+        .selectExpr("vec_id", "embedding", f"explode({_KEYS_EXPR}) AS cubo")
+        .withColumn("_n", F.count(F.lit(1)).over(w_cubo))
+        .filter(F.col("_n") <= MAX_BUCKET_VECS).drop("_n")
+        .cache())
+    left = bucketed.selectExpr("vec_id AS src", "embedding AS e1", "cubo")
+    right = bucketed.selectExpr("vec_id AS dst", "embedding AS e2", "cubo")
+    scored = (
+        left.join(right, "cubo")
+        .filter(F.col("src") != F.col("dst"))
+        .selectExpr("src", "dst", f"{cosine_expr('e1', 'e2')} AS _cos")
+        .select("src", "dst", r6(F.col("_cos")).alias("cos"))
+        .dropDuplicates(["src", "dst"]))
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    edges = (scored.withColumn("rango", F.row_number().over(w).cast("long"))
+             .filter(F.col("rango") <= MUTUAL_K))
+    fwd = edges.filter("src < dst").selectExpr(
+        "src AS a", "dst AS b", "cos", "rango AS rango_ab")
+    rev = edges.filter("src > dst").selectExpr(
+        "dst AS a", "src AS b", "rango AS rango_ba")
+    return (fwd.join(rev, ["a", "b"])
+            .select(F.col("a").cast("long").alias("a"),
+                    F.col("b").cast("long").alias("b"),
+                    "cos", "rango_ab", "rango_ba")
+            .orderBy("a", "b"))
+
+
+SQL_KNN_MUTUAL_PAIRS = f"""
+WITH bits AS (
+  SELECT vec_id, embedding,
+         list_transform({_PLANES_SQL}, h ->
+           list_sum(list_transform(list_zip(embedding, h),
+                    x -> (x[1]::DOUBLE) * x[2])) >= 0) AS _bits
+  FROM embeddings
+), bucketed0 AS (
+  SELECT vec_id, embedding,
+         concat(t, ':', list_reduce(list_prepend(0,
+           list_transform(list_slice(_bits, t * {LSH_BITS} + 1,
+                                     t * {LSH_BITS} + {LSH_BITS}),
+                          b -> CASE WHEN b THEN 1 ELSE 0 END)),
+           (acc, x) -> acc * 2 + x)) AS cubo
+  FROM bits CROSS JOIN (SELECT unnest(range(0, {LSH_TABLES})) AS t)
+), bucketed AS (
+  SELECT vec_id, embedding, cubo FROM (
+    SELECT *, count(*) OVER (PARTITION BY cubo) AS _n FROM bucketed0)
+  WHERE _n <= {MAX_BUCKET_VECS}
+), scored AS (
+  SELECT DISTINCT l.vec_id AS src, r.vec_id AS dst,
+         floor({sql_cosine_expr('l.embedding', 'r.embedding')}
+               * 1000000 + 0.5) / 1000000 AS cos
+  FROM bucketed l JOIN bucketed r
+    ON l.cubo = r.cubo AND l.vec_id != r.vec_id
+), edges AS (
+  SELECT src, dst, cos,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY cos DESC, dst ASC)::BIGINT AS rango
+  FROM scored QUALIFY rango <= {MUTUAL_K}
+)
+SELECT f.a::BIGINT AS a, f.b::BIGINT AS b, f.cos, f.rango_ab, r.rango_ba
+FROM (SELECT src AS a, dst AS b, cos, rango AS rango_ab
+      FROM edges WHERE src < dst) f
+JOIN (SELECT dst AS a, src AS b, rango AS rango_ba
+      FROM edges WHERE src > dst) r USING (a, b)
+ORDER BY a, b
+"""
+
+register("knn_mutual_pairs", q_knn_mutual_pairs, SQL_KNN_MUTUAL_PAIRS)

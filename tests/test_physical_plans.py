@@ -1024,3 +1024,40 @@ def test_multimodal_frame_dedup_windows_on_frame_hash(spark, sf_dir):
     assert plan.count("ArrowEvalPython") <= 0  # mapInPandas, not UDF eval
     specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
     assert specs and all(s == "frame_hash" for s in specs), plan[:2000]
+
+
+def test_knn_mutual_pairs_bucketed_never_all_pairs(spark, sf_dir):
+    """The mutual graph must form candidates through the guarded LSH
+    bucket join (SortMergeJoin/ShuffledHashJoin on the band key, no
+    CartesianProduct); windows key on cubo (guard) and src (top-k) —
+    both corpus-cardinality."""
+    import re
+
+    from prac_data_pipelines_spark.queries.vector import (
+        q_knn_mutual_pairs,
+    )
+
+    plan = _plan(q_knn_mutual_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs <= {"cubo", "src"}, specs
+
+
+def test_corpus_dedup_funnel_windows_on_digest_keys(spark, sf_dir):
+    """Every funnel window must key on a corpus-cardinality digest/band
+    key (exact/normalized md5 partitions, the band guard) — never a
+    low-cardinality key; the near-dup stage joins on the band key, no
+    CartesianProduct. The five stage rollups are the legitimate bounded
+    single-row aggregates."""
+    import re
+
+    from prac_data_pipelines_spark.queries.text import (
+        q_corpus_dedup_funnel,
+    )
+
+    plan = _plan(q_corpus_dedup_funnel(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs <= {"_w0", "banda", "md5"}, specs
