@@ -2547,3 +2547,75 @@ def test_lsh_bucket_skew_equals_python_reference(spark, vecs):
                    math.floor(n / len(keys) * 1e6 + 0.5) / 1e6,
                    math.floor(pares / (n * (n - 1) / 2.0) * 1e6 + 0.5) / 1e6)
     assert got == want
+
+
+# --- knn_mutual_pairs: graph invariants ----------------------------------
+
+def test_knn_mutual_pairs_invariants(spark, sf_dir):
+    """Every emitted edge must be genuinely mutual under the SAME
+    candidate index: both rank columns within MUTUAL_K, undirected key
+    canonical (a < b), no duplicates, and the pair's cosine must equal
+    the r6 cosine recomputed from the raw vectors."""
+    import math
+
+    from prac_data_pipelines_spark.queries.vector import (
+        MUTUAL_K,
+        q_knn_mutual_pairs,
+    )
+    from prac_data_pipelines_spark.sources import load_table
+
+    rows = q_knn_mutual_pairs(spark, sf_dir).collect()
+    assert rows, "synthetic corpus should yield mutual pairs"
+    keys = [(r["a"], r["b"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert all(r["a"] < r["b"] for r in rows)
+    assert all(1 <= r["rango_ab"] <= MUTUAL_K
+               and 1 <= r["rango_ba"] <= MUTUAL_K for r in rows)
+    emb = {r["vec_id"]: r["embedding"]
+           for r in load_table(spark, sf_dir, "embeddings").collect()}
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return math.floor(dot / (na * nb) * 1e6 + 0.5) / 1e6
+
+    for r in rows[:50]:
+        assert abs(r["cos"] - cos(emb[r["a"]], emb[r["b"]])) <= 2e-6
+
+
+# --- corpus_dedup_funnel: monotone containment + stage semantics --------
+
+def test_corpus_dedup_funnel_monotone_and_stage_counts(spark, sf_dir):
+    """The funnel must be monotone non-increasing in docs AND tokens,
+    stage 2 must drop exactly the synthesized exact clones, and stage 3
+    exactly the synthesized uppercased clones (the sf0.001 corpus has no
+    natural exact or normalization dups — verified in-test)."""
+    from pyspark.sql import functions as F
+
+    from prac_data_pipelines_spark.queries.text import (
+        _NORM,
+        q_corpus_dedup_funnel,
+    )
+    from prac_data_pipelines_spark.sources import load_table
+
+    got = {r["etapa"]: (r["docs"], r["tokens"])
+           for r in q_corpus_dedup_funnel(spark, sf_dir).collect()}
+    stages = sorted(got)
+    assert stages == ["1_base", "2_exacto", "3_normalizado",
+                      "4_near_dup", "5_calidad"]
+    for s1, s2 in zip(stages, stages[1:]):
+        assert got[s1][0] >= got[s2][0]
+        assert got[s1][1] >= got[s2][1]
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    nat_exact = n - docs.select(F.md5("text")).distinct().count()
+    nat_norm = n - docs.select(F.md5(F.expr(_NORM))).distinct().count()
+    assert nat_exact == 0 and nat_norm == 0  # test premise
+    n_clone_exact = docs.filter("doc_id < 40").count()
+    n_clone_norm = docs.filter("doc_id >= 40 and doc_id < 70").count()
+    assert got["1_base"][0] == n + n_clone_exact + n_clone_norm
+    assert got["2_exacto"][0] == n + n_clone_norm
+    assert got["3_normalizado"][0] == n
