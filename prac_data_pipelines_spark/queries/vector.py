@@ -2062,15 +2062,20 @@ register("lsh_bucket_skew", q_lsh_bucket_skew, SQL_LSH_BUCKET_SKEW)
 # Mutual edges are the standard symmetrization for semantic-graph
 # curation (cluster seeds, label propagation, diversity sampling) —
 # one-directional neighbors are dominated by hubs; mutual pairs are the
-# high-precision backbone. Candidates come from the same 12-table
-# sign-LSH as knn_lsh, so the graph is the one the serving index can
-# actually answer, and the oracle mirrors the index bit-for-bit.
+# high-precision backbone. Candidates use the NEAR-DUP index shape
+# (ND_TABLES x ND_BITS — 4096 buckets per table), NOT knn_lsh's 6-bit
+# buckets: a corpus<->corpus join needs fine buckets (in-bucket pair
+# cost is sum n_b^2; 64 coarse buckets per table go quadratic the
+# moment the corpus grows — knn_lsh gets away with them only because
+# its probe side is a 50-row broadcast). The oracle mirrors the index
+# bit-for-bit, so the graph checked is the graph served.
 #
 # Scale: bucketed self-join only (never all-pairs), hot buckets dropped
 # by the MAX_BUCKET_VECS guard BEFORE the join on both engines; the
 # per-vector top-k windows key on vec_id (corpus-cardinality); the
 # mutual check is a self-join of the k·|corpus|-row edge list on the
-# undirected pair key.
+# undirected pair key. At larger corpora ND_BITS rises with log n —
+# bucket count tracks corpus size, keeping mean bucket size O(1).
 # --------------------------------------------------------------------------
 
 MUTUAL_K = 3
@@ -2081,7 +2086,7 @@ def q_knn_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cubo = Window.partitionBy("cubo")
     bucketed = (
         emb.selectExpr("vec_id", "embedding", f"{_BITS_EXPR} AS _bits")
-        .selectExpr("vec_id", "embedding", f"explode({_KEYS_EXPR}) AS cubo")
+        .selectExpr("vec_id", "embedding", f"explode({_ND_KEYS_EXPR}) AS cubo")
         .withColumn("_n", F.count(F.lit(1)).over(w_cubo))
         .filter(F.col("_n") <= MAX_BUCKET_VECS).drop("_n")
         .cache())
@@ -2117,11 +2122,11 @@ WITH bits AS (
 ), bucketed0 AS (
   SELECT vec_id, embedding,
          concat(t, ':', list_reduce(list_prepend(0,
-           list_transform(list_slice(_bits, t * {LSH_BITS} + 1,
-                                     t * {LSH_BITS} + {LSH_BITS}),
+           list_transform(list_slice(_bits, t * {ND_BITS} + 1,
+                                     t * {ND_BITS} + {ND_BITS}),
                           b -> CASE WHEN b THEN 1 ELSE 0 END)),
            (acc, x) -> acc * 2 + x)) AS cubo
-  FROM bits CROSS JOIN (SELECT unnest(range(0, {LSH_TABLES})) AS t)
+  FROM bits CROSS JOIN (SELECT unnest(range(0, {ND_TABLES})) AS t)
 ), bucketed AS (
   SELECT vec_id, embedding, cubo FROM (
     SELECT *, count(*) OVER (PARTITION BY cubo) AS _n FROM bucketed0)
