@@ -202,6 +202,7 @@ HEADLINE = [
     # curation retention funnel.
     "knn_mutual_pairs",
     "corpus_dedup_funnel",
+    "doc_clf_calibration",
 ]
 
 

@@ -57,13 +57,13 @@ _PRIORITY: tuple[str, ...] = (
     "events_quantile_daily", "multimodal_phash_weights",
     "part_supplier_counts", "emb_dim_stats", "emb_label_outliers",
     "lsh_bucket_skew", "events_interarrival", "multimodal_frame_dedup",
-    "knn_mutual_pairs", "corpus_dedup_funnel",
+    "knn_mutual_pairs", "corpus_dedup_funnel", "doc_clf_calibration",
     # r5-era fill to 50 (verdict-age order):
-    "master_denorm", "order_balance",
+    "master_denorm",
     # --- 50-row budget boundary ---
     # r5-era remainder (stages the r9 rotation, verdict-age order;
     # head-fill rows displaced by r8 ops rejoin here first):
-    "order_last_ship", "open_order_lines",
+    "order_balance", "order_last_ship", "open_order_lines",
     "flag_full_outer", "customer_first_order",
     "aging_buckets", "aging_pivot", "customer_metrics",
     "running_balance",

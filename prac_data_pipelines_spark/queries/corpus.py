@@ -2882,3 +2882,111 @@ FROM joined ORDER BY cuartil
 """
 
 register("vocab_growth_curve", q_vocab_growth_curve, SQL_VOCAB_GROWTH_CURVE)
+
+
+# --------------------------------------------------------------------------
+# doc_clf_calibration — classifier evaluation: precision / recall / F1
+# of the hashed-bigram quality classifier against the composite quality
+# rule (calidad >= CURATION_MIN_QUALITY, the doc_curation gate), swept
+# over a threshold grid. The missing step between training a cheap
+# filter and trusting it to gate a corpus: pick the operating point from
+# a measured curve, not a default. Prediction at threshold tau is the
+# EXACT integer comparison _si > tau_mili * _gi (equivalent to
+# normalized score > tau_mili/1000 for gi > 0, and the classifier's own
+# strict keep-rule at tau = 0) — no float compare sits on a decision
+# boundary, so both engines agree bit-for-bit.
+#
+# Scale: ONE scan of the corpus computes both the classifier fold and
+# the quality signals per row (no join — both are per-row expressions);
+# the grid fan-out is a 9-way explode into a 9-key aggregate with
+# map-side combine, so the exchange carries |partitions| x 9 rows.
+# Ratios derive from exact integer counts (r6 at the edge).
+# --------------------------------------------------------------------------
+
+CLF_TAU_GRID_MILI = (-80, -60, -40, -20, 0, 20, 40, 60, 80)
+
+
+def q_doc_clf_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import _QUALITY_COLS, _quality_score, CURATION_MIN_QUALITY
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_clf_score(docs).selectExpr(
+        "doc_id", "_gi", "_si", *_QUALITY_COLS)
+    per_doc = scored.select(
+        "_gi", "_si",
+        (r4(_quality_score()) >= CURATION_MIN_QUALITY).alias("_pos"))
+    grid = ", ".join(f"{t}L" for t in CLF_TAU_GRID_MILI)
+    fan = per_doc.select(
+        F.expr(f"explode(array({grid}))").alias("tau_mili"),
+        "_gi", "_si", "_pos")
+    pred = F.col("_si") > F.col("tau_mili") * F.col("_gi")
+    agg = (fan.groupBy("tau_mili")
+           .agg(F.sum(F.when(pred & F.col("_pos"), 1).otherwise(0))
+                .cast("long").alias("tp"),
+                F.sum(F.when(pred & ~F.col("_pos"), 1).otherwise(0))
+                .cast("long").alias("fp"),
+                F.sum(F.when(~pred & F.col("_pos"), 1).otherwise(0))
+                .cast("long").alias("fn"),
+                F.sum(F.when(~pred & ~F.col("_pos"), 1).otherwise(0))
+                .cast("long").alias("tn")))
+    return (agg.selectExpr(
+        "tau_mili", "tp", "fp", "fn", "tn",
+        "floor(CASE WHEN tp + fp = 0 THEN cast(0 as double) "
+        "ELSE tp / cast(tp + fp as double) END * 1000000 + 0.5) "
+        "/ 1000000 AS precision",
+        "floor(CASE WHEN tp + fn = 0 THEN cast(0 as double) "
+        "ELSE tp / cast(tp + fn as double) END * 1000000 + 0.5) "
+        "/ 1000000 AS recall",
+        "floor(CASE WHEN 2 * tp + fp + fn = 0 THEN cast(0 as double) "
+        "ELSE 2 * tp / cast(2 * tp + fp + fn as double) END "
+        "* 1000000 + 0.5) / 1000000 AS f1")
+        .orderBy("tau_mili"))
+
+
+# (the F1 identity 2PR/(P+R) = 2tp/(2tp+fp+fn) over exact integers keeps
+# the rounded value independent of intermediate float rounding)
+
+from .text import _STOPWORDS as _CLF_STOPWORDS  # noqa: E402
+from .text import CURATION_MIN_QUALITY as _CLF_MIN_Q  # noqa: E402
+
+SQL_DOC_CLF_CALIBRATION = f"""
+WITH per_doc AS (
+  SELECT greatest(0, len(_ws) - 1) AS _gi,
+         coalesce(list_sum(list_transform(range(1, len(_ws)),
+                                          i -> {_SQL_GRAM_W})), 0)::BIGINT
+           AS _si,
+         floor((least(strlen(text)::DOUBLE / 400, 1.0) * 0.4
+                + (len(list_distinct(_ws))::DOUBLE / len(_ws)::DOUBLE) * 0.4
+                + (1 - abs(len(list_filter(_ws,
+                           w -> w IN ({_CLF_STOPWORDS})))::DOUBLE
+                           / len(_ws)::DOUBLE - 0.2)) * 0.2)
+               * 10000 + 0.5) / 10000 >= {_CLF_MIN_Q} AS _pos
+  FROM (SELECT text, {SQL_WORDS} AS _ws FROM documents)
+), fan AS (
+  SELECT t.tau_mili, _gi, _si, _pos,
+         (_si > t.tau_mili * _gi) AS _pred
+  FROM per_doc CROSS JOIN (SELECT unnest([{', '.join(str(t) for t in CLF_TAU_GRID_MILI)}]) AS tau_mili) t
+), agg AS (
+  SELECT tau_mili,
+         sum(CASE WHEN _pred AND _pos THEN 1 ELSE 0 END)::BIGINT AS tp,
+         sum(CASE WHEN _pred AND NOT _pos THEN 1 ELSE 0 END)::BIGINT AS fp,
+         sum(CASE WHEN NOT _pred AND _pos THEN 1 ELSE 0 END)::BIGINT AS fn,
+         sum(CASE WHEN NOT _pred AND NOT _pos THEN 1 ELSE 0 END)::BIGINT
+           AS tn
+  FROM fan GROUP BY tau_mili
+)
+SELECT tau_mili::BIGINT AS tau_mili, tp, fp, fn, tn,
+       floor(CASE WHEN tp + fp = 0 THEN 0.0
+                  ELSE tp / (tp + fp)::DOUBLE END * 1000000 + 0.5)
+         / 1000000 AS precision,
+       floor(CASE WHEN tp + fn = 0 THEN 0.0
+                  ELSE tp / (tp + fn)::DOUBLE END * 1000000 + 0.5)
+         / 1000000 AS recall,
+       floor(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                  ELSE 2 * tp / (2 * tp + fp + fn)::DOUBLE END
+             * 1000000 + 0.5) / 1000000 AS f1
+FROM agg ORDER BY tau_mili
+"""
+
+register("doc_clf_calibration", q_doc_clf_calibration,
+         SQL_DOC_CLF_CALIBRATION)

@@ -2619,3 +2619,27 @@ def test_corpus_dedup_funnel_monotone_and_stage_counts(spark, sf_dir):
     assert got["1_base"][0] == n + n_clone_exact + n_clone_norm
     assert got["2_exacto"][0] == n + n_clone_norm
     assert got["3_normalizado"][0] == n
+
+
+# --- doc_clf_calibration: confusion-matrix invariants --------------------
+
+def test_doc_clf_calibration_invariants(spark, sf_dir):
+    """Across the threshold sweep the confusion matrix must re-partition
+    the SAME corpus (tp+fp+fn+tn constant = n_docs), predicted-positive
+    counts must be non-increasing in tau (strict integer rule), recall
+    non-increasing, and tp+fn (the reference positives) constant."""
+    from prac_data_pipelines_spark.queries.corpus import (
+        q_doc_clf_calibration,
+    )
+    from prac_data_pipelines_spark.sources import load_table
+
+    rows = sorted(q_doc_clf_calibration(spark, sf_dir).collect(),
+                  key=lambda r: r["tau_mili"])
+    n = load_table(spark, sf_dir, "documents").count()
+    assert all(r["tp"] + r["fp"] + r["fn"] + r["tn"] == n for r in rows)
+    pos_ref = {r["tp"] + r["fn"] for r in rows}
+    assert len(pos_ref) == 1
+    preds = [r["tp"] + r["fp"] for r in rows]
+    assert preds == sorted(preds, reverse=True)
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls, reverse=True)

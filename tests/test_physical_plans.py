@@ -1061,3 +1061,18 @@ def test_corpus_dedup_funnel_windows_on_digest_keys(spark, sf_dir):
     assert "CartesianProduct" not in plan
     specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
     assert specs <= {"_w0", "banda", "md5"}, specs
+
+
+def test_doc_clf_calibration_single_scan_bounded_keys(spark, sf_dir):
+    """The calibration curve must compute classifier AND quality signals
+    in ONE corpus scan (no join, no window), fan out only into the
+    9-key threshold aggregate (map-side combined HashAggregate pair)."""
+    from prac_data_pipelines_spark.queries.corpus import (
+        q_doc_clf_calibration,
+    )
+
+    plan = _plan(q_doc_clf_calibration(spark, sf_dir))
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") >= 2
