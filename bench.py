@@ -203,6 +203,7 @@ HEADLINE = [
     "knn_mutual_pairs",
     "corpus_dedup_funnel",
     "doc_clf_calibration",
+    "doc_eval_contamination",
 ]
 
 

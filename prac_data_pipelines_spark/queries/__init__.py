@@ -58,11 +58,13 @@ _PRIORITY: tuple[str, ...] = (
     "part_supplier_counts", "emb_dim_stats", "emb_label_outliers",
     "lsh_bucket_skew", "events_interarrival", "multimodal_frame_dedup",
     "knn_mutual_pairs", "corpus_dedup_funnel", "doc_clf_calibration",
-    # r5-era fill to 50 (verdict-age order):
-    "master_denorm",
+    "doc_eval_contamination",
+    # (the 14-op budget is now exactly spent: head-50 = 36 must-run +
+    # 14 new, zero r5-era fill rows left)
     # --- 50-row budget boundary ---
     # r5-era remainder (stages the r9 rotation, verdict-age order;
     # head-fill rows displaced by r8 ops rejoin here first):
+    "master_denorm",
     "order_balance", "order_last_ship", "open_order_lines",
     "flag_full_outer", "customer_first_order",
     "aging_buckets", "aging_pivot", "customer_metrics",

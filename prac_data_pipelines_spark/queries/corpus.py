@@ -115,6 +115,99 @@ register("doc_decontaminate", q_doc_decontaminate, SQL_DOC_DECONTAMINATE)
 
 
 # --------------------------------------------------------------------------
+# doc_eval_contamination — the EVAL-side contamination audit, the dual of
+# doc_decontaminate's train-side gate: for each held-out eval document,
+# what fraction of its DISTINCT DECON_K-grams also appears anywhere in the
+# train corpus? This is the "dirty eval" analysis LLM reports publish
+# (per-example overlap percentiles, clean/dirty split) — it answers
+# "which of MY benchmark examples are compromised, and how badly", where
+# doc_decontaminate only answers "how many train docs must go".
+#
+# Eval slice: doc_id % EVAL_MOD == 0 AND doc_id < EVAL_MAX_ID — the fixed
+# bounded-slice discipline (EMB_DECON/MM_DECON/PH_AUDIT): at most
+# EVAL_MAX_ID/EVAL_MOD (~182) eval docs at ANY corpus scale, so the eval
+# gram set is broadcastable forever.
+#
+# Scale shape: the only corpus-sized work is the irreducible gram-explode
+# scan of the train side; it is filtered MAP-SIDE by a left-semi
+# broadcast of the eval vocabulary, so the sole post-scan exchange
+# carries only grams that occur in the eval set (bounded by |eval
+# grams|, corpus-independent), then a bounded distinct and a
+# bounded-x-bounded join back to the per-doc gram list. No corpus-sized
+# shuffle anywhere.
+#
+# Determinism: fractions are exact BIGINT millionths ((1e6*matched) div
+# total — the doc_dedup_weights idiom) and the dirtiness bucket is exact
+# integer arithmetic ((10*matched) div total), so no float aggregate or
+# decision boundary exists on either engine; media_frac_ppm is the floor
+# integer mean (exact BIGINT sum div count). Fractions are over DISTINCT
+# grams per doc, the standard contamination-analysis convention.
+# --------------------------------------------------------------------------
+
+EVAL_MOD = 11
+EVAL_MAX_ID = 2000
+
+
+def q_doc_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    is_eval = (F.col("doc_id") % EVAL_MOD == 0) & (F.col("doc_id") < EVAL_MAX_ID)
+    grams = (
+        docs.selectExpr("doc_id", "text", f"{WORDS} AS _ws")
+        .selectExpr("doc_id", f"explode({_KGRAMS}) AS grama"))
+    eval_grams = grams.filter(is_eval).distinct()  # bounded (doc_id, grama)
+    eval_vocab = eval_grams.select("grama").distinct()
+    train_hits = (grams.filter(~is_eval)
+                  .join(broadcast(eval_vocab), "grama", "left_semi")
+                  .select("grama").distinct())  # bounded by |eval vocab|
+    per_doc = (
+        eval_grams.join(train_hits.withColumn("_m", F.lit(1)), "grama", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("total"),
+             F.sum(F.coalesce("_m", F.lit(0))).cast("long").alias("matched")))
+    return (
+        per_doc
+        .withColumn("bucket", F.expr("(10 * matched) div total"))
+        .withColumn("frac_ppm", F.expr("(1000000 * matched) div total"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.expr("sum(frac_ppm) div count(1)").cast("long")
+             .alias("media_frac_ppm"),
+             F.max("frac_ppm").cast("long").alias("max_frac_ppm"))
+        .orderBy("bucket")
+    )
+
+
+SQL_DOC_EVAL_CONTAMINATION = f"""
+WITH ws AS (
+  SELECT doc_id, str_split_regex(trim(text), '\\s+') AS w, text
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest({_SQL_KGRAMS}) AS grama FROM ws
+), eval_g AS (
+  SELECT DISTINCT doc_id, grama FROM grams
+  WHERE doc_id % {EVAL_MOD} = 0 AND doc_id < {EVAL_MAX_ID}
+), train_g AS (
+  SELECT DISTINCT grama FROM grams
+  WHERE NOT (doc_id % {EVAL_MOD} = 0 AND doc_id < {EVAL_MAX_ID})
+), per_doc AS (
+  SELECT e.doc_id, count(*) AS total,
+         sum(CASE WHEN t.grama IS NULL THEN 0 ELSE 1 END) AS matched
+  FROM eval_g e LEFT JOIN train_g t USING (grama)
+  GROUP BY e.doc_id
+)
+SELECT ((10 * matched) // total)::BIGINT AS bucket,
+       count(*)::BIGINT AS n_docs,
+       (sum((1000000 * matched) // total) // count(*))::BIGINT
+         AS media_frac_ppm,
+       max((1000000 * matched) // total)::BIGINT AS max_frac_ppm
+FROM per_doc GROUP BY bucket ORDER BY bucket
+"""
+
+register("doc_eval_contamination", q_doc_eval_contamination,
+         SQL_DOC_EVAL_CONTAMINATION)
+
+
+# --------------------------------------------------------------------------
 # doc_pii_scrub — PII detection + redaction statistics. The synthetic
 # corpus carries no PII, so it is injected deterministically first (every
 # 7th doc an email, every 11th a phone number) — the same

@@ -2643,3 +2643,61 @@ def test_doc_clf_calibration_invariants(spark, sf_dir):
     assert preds == sorted(preds, reverse=True)
     recalls = [r["recall"] for r in rows]
     assert recalls == sorted(recalls, reverse=True)
+
+
+_contam_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b"]), min_size=0, max_size=30),
+    min_size=2, max_size=12)
+
+
+@given(docs=_contam_docs)
+@settings(**SETTINGS)
+def test_doc_eval_contamination_matches_python_reference(spark, docs):
+    """The distributed audit (broadcast-semi filtered train grams,
+    exact-integer ppm fractions and dirtiness buckets) must equal a
+    sequential Python reimplementation over the same eval-slice rule —
+    including gram-less short docs (the whole-text fallback gram),
+    fully-contaminated docs (bucket 10), and fully-clean docs."""
+    import re as _re
+
+    from prac_data_pipelines_spark.queries.corpus import (
+        DECON_K,
+        EVAL_MAX_ID,
+        EVAL_MOD,
+        q_doc_eval_contamination,
+    )
+
+    # alternate ids on/off the eval slice so both classes always exist
+    rows = [(11 * i if i % 2 == 0 else 11 * i + 1,
+             " ".join(toks), "s", len(" ".join(toks)))
+            for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = sorted(tuple(r) for r in
+                     q_doc_eval_contamination(spark, d).collect())
+
+    def grams(text: str) -> set[str]:
+        ws = _re.split(r"\s+", text.strip())
+        if len(ws) >= DECON_K:
+            return {" ".join(ws[i:i + DECON_K])
+                    for i in range(len(ws) - DECON_K + 1)}
+        return {text.strip()}
+
+    is_eval = lambda i: i % EVAL_MOD == 0 and i < EVAL_MAX_ID  # noqa: E731
+    train = set().union(*(grams(t) for i, t, _, _ in rows if not is_eval(i)),
+                        set())
+    per_bucket: dict[int, list[int]] = {}
+    for i, t, _, _ in rows:
+        if not is_eval(i):
+            continue
+        gs = grams(t)
+        total, matched = len(gs), len(gs & train)
+        per_bucket.setdefault((10 * matched) // total, []).append(
+            (1_000_000 * matched) // total)
+    want = sorted((b, len(fs), sum(fs) // len(fs), max(fs))
+                  for b, fs in per_bucket.items())
+    assert got == want

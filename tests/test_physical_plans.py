@@ -1076,3 +1076,23 @@ def test_doc_clf_calibration_single_scan_bounded_keys(spark, sf_dir):
     assert "windowspecdefinition" not in plan
     assert plan.count("Scan parquet") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_doc_eval_contamination_broadcast_semi_filters_train(spark, sf_dir):
+    """The eval-side contamination audit must keep every corpus-sized
+    stage map-side: the train gram stream is filtered by a broadcast
+    LeftSemi against the (bounded) eval vocabulary BEFORE any exchange,
+    the matched-gram set is broadcast back for the per-doc join, the
+    eval scans carry the doc_id pushdown of the fixed slice, and no
+    sort-merge join, cartesian product, or window appears anywhere."""
+    from prac_data_pipelines_spark.queries.corpus import (
+        q_doc_eval_contamination,
+    )
+
+    plan = _plan(q_doc_eval_contamination(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "LeftSemi" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LessThan(doc_id,2000)" in plan  # fixed-slice pushdown

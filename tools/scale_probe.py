@@ -115,7 +115,8 @@ def probe_llm(spark, sf_dir: str, k: int) -> None:
                  # round-8 session-2 additions
                  "emb_dim_stats", "emb_label_outliers", "lsh_bucket_skew",
                  "multimodal_frame_dedup", "knn_mutual_pairs",
-                 "corpus_dedup_funnel", "doc_clf_calibration"):
+                 "corpus_dedup_funnel", "doc_clf_calibration",
+                 "doc_eval_contamination"):
         t0 = time.time()
         queries[name](spark, scratch).write.format("noop").mode("overwrite").save()
         print(f"{name} at {k}x: {time.time()-t0:.2f}s")
