@@ -148,24 +148,49 @@ EVAL_MOD = 11
 EVAL_MAX_ID = 2000
 
 
-def q_doc_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    is_eval = (F.col("doc_id") % EVAL_MOD == 0) & (F.col("doc_id") < EVAL_MAX_ID)
-    grams = (
-        docs.selectExpr("doc_id", "text", f"{WORDS} AS _ws")
-        .selectExpr("doc_id", f"explode({_KGRAMS}) AS grama"))
-    eval_grams = grams.filter(is_eval).distinct()  # bounded (doc_id, grama)
+def _is_eval_doc():
+    return (F.col("doc_id") % EVAL_MOD == 0) & (F.col("doc_id") < EVAL_MAX_ID)
+
+
+def eval_slice_grams(docs: DataFrame) -> DataFrame:
+    """Distinct ``(eval_doc, grama)`` pairs of the fixed eval slice —
+    the bounded static side shared by the batch audit and its streaming
+    twin (``streaming/corpus.py stream_eval_contamination``)."""
+    return (docs.filter(_is_eval_doc())
+            .selectExpr("doc_id", "text", f"{WORDS} AS _ws")
+            .selectExpr("doc_id AS eval_doc", f"explode({_KGRAMS}) AS grama")
+            .distinct())
+
+
+def train_grams(docs: DataFrame) -> DataFrame:
+    """Exploded (non-distinct) grams of every NON-eval document. Works
+    on a batch or streaming frame alike — dedup is the caller's stage
+    (broadcast-semi + distinct in the batch plan; per-eval-doc
+    matched-set state in the streaming twin)."""
+    return (docs.filter(~_is_eval_doc())
+            .selectExpr("text", f"{WORDS} AS _ws")
+            .selectExpr(f"explode({_KGRAMS}) AS grama"))
+
+
+def eval_contamination_per_doc(docs: DataFrame) -> DataFrame:
+    """``(eval_doc, total, matched)`` per eval document — the audit's
+    numerator/denominator layer, shared with the streaming-twin
+    equality test."""
+    eval_grams = eval_slice_grams(docs)
     eval_vocab = eval_grams.select("grama").distinct()
-    train_hits = (grams.filter(~is_eval)
+    train_hits = (train_grams(docs)
                   .join(broadcast(eval_vocab), "grama", "left_semi")
                   .select("grama").distinct())  # bounded by |eval vocab|
-    per_doc = (
+    return (
         eval_grams.join(train_hits.withColumn("_m", F.lit(1)), "grama", "left")
-        .groupBy("doc_id")
+        .groupBy("eval_doc")
         .agg(F.count(F.lit(1)).cast("long").alias("total"),
              F.sum(F.coalesce("_m", F.lit(0))).cast("long").alias("matched")))
+
+
+def q_doc_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        per_doc
+        eval_contamination_per_doc(_docs(spark, sf_dir))
         .withColumn("bucket", F.expr("(10 * matched) div total"))
         .withColumn("frac_ppm", F.expr("(1000000 * matched) div total"))
         .groupBy("bucket")

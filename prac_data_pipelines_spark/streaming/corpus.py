@@ -156,3 +156,65 @@ def stream_ingest_dedup(docs_stream: DataFrame, state_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def stream_eval_contamination(docs: DataFrame,
+                              eval_grams: DataFrame) -> DataFrame:
+    """Streaming twin of the batch eval-contamination audit
+    (``queries/corpus.py q_doc_eval_contamination``): train documents
+    arrive as a stream, the fixed eval slice is a STATIC frame
+    (``eval_slice_grams`` of the reference corpus), and per-eval-doc
+    state holds the set of its grams seen so far in the train stream —
+    continuous contamination monitoring during corpus ingestion.
+
+    State is bounded by each eval doc's own distinct-gram count (the
+    eval slice is fixed at any corpus scale — the same reason the batch
+    broadcast is sound); the stream-static inner join discards every
+    train gram outside the eval vocabulary before it reaches the state
+    store. Emits ``(eval_doc, matched)`` after each micro-batch that
+    touches the doc — monotone non-decreasing, the latest row per doc
+    is the current contamination numerator, ready to divide by the
+    static per-doc totals (``eval_contamination_per_doc``)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..queries.corpus import train_grams
+
+    out_schema = StructType([
+        StructField("eval_doc", LongType()),
+        StructField("matched", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("seen", ArrayType(StringType())),
+    ])
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            seen.update(pdf["grama"])
+        state.update((sorted(seen),))
+        yield pd.DataFrame({"eval_doc": [key[0]],
+                            "matched": [len(seen)]})
+
+    hits = train_grams(docs).join(eval_grams, "grama")  # stream-static
+    return (hits.groupBy("eval_doc")
+            .applyInPandasWithState(
+                update,
+                outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

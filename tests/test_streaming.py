@@ -542,3 +542,68 @@ def test_stream_interarrival_matches_batch(spark, sf_dir, tmp_path):
     assert dict(got) == want and len(want) > 3
     n_users = ev.select("user_id").distinct().count()
     assert sum(want.values()) == n - n_users  # every boundary gap formed
+
+
+def test_stream_eval_contamination_matches_batch(spark, sf_dir, tmp_path):
+    """3-micro-batch replay of the train corpus must accumulate, per
+    eval doc, exactly the batch audit's matched-gram count: a gram
+    reaching an eval doc from train docs in DIFFERENT micro-batches may
+    only count once, so equality is reachable only through the
+    cross-batch matched-set state (batch-local distinct would
+    over-count; batch-local forgetting would under-count)."""
+    from pyspark.sql import functions as F
+
+    from prac_data_pipelines_spark.queries.corpus import (
+        eval_contamination_per_doc,
+        eval_slice_grams,
+        train_grams,
+    )
+    from prac_data_pipelines_spark.sources import load_table
+    from prac_data_pipelines_spark.streaming.corpus import (
+        stream_eval_contamination,
+    )
+    from prac_data_pipelines_spark.streaming.events import run_to_memory
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_static = eval_slice_grams(docs).cache()
+
+    src = tmp_path / "ec_src"
+    src.mkdir()
+    for b in range(3):
+        (docs.filter(F.col("doc_id") % 3 == b).coalesce(1)
+         .write.parquet(str(src / f"f{b}.parquet")))
+    stream = (spark.readStream
+              .schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*.parquet"))
+    run_to_memory(stream_eval_contamination(stream, eval_static),
+                  "ec_stream_test", output_mode="update")
+    # update mode emits one row per touched doc per batch; matched is
+    # monotone, so the doc's final state is its max
+    got = {r["eval_doc"]: r["matched"]
+           for r in (spark.table("ec_stream_test")
+                     .groupBy("eval_doc")
+                     .agg(F.max("matched").alias("matched"))
+                     .collect())}
+
+    want = {r["eval_doc"]: r["matched"]
+            for r in eval_contamination_per_doc(docs).collect()
+            if r["matched"] > 0}  # untouched docs never reach the state
+    assert got == want and len(want) >= 3
+
+    # the cross-batch dedup was real: summing each batch's OWN distinct
+    # matched-gram count over-counts at least one doc
+    per_batch = []
+    for b in range(3):
+        part = docs.filter(F.col("doc_id") % 3 == b)
+        hits = (train_grams(part).distinct()
+                .join(eval_static, "grama")
+                .groupBy("eval_doc").agg(F.count(F.lit(1)).alias("m")))
+        per_batch.append({r["eval_doc"]: r["m"] for r in hits.collect()})
+    summed = {}
+    for d in per_batch:
+        for k, v in d.items():
+            summed[k] = summed.get(k, 0) + v
+    assert any(summed[k] > want[k] for k in want)
+    # and accumulation was real: some doc needed more than any one batch
+    assert any(want[k] > max(d.get(k, 0) for d in per_batch) for k in want)
