@@ -29,58 +29,91 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # not yet received a driver-green row first so every operator accumulates a
 # driver verdict across rounds; the remainder keeps registration order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-8 rotation (VERDICT-r7 item #1).  Head-50 layout, enforced by
+    # Round-9 rotation (VERDICT-r8 item #1).  Head-50 layout, enforced by
     # tests/test_freshness.py + tools/freshness.py:
-    #   1. the 36 r4-era must-runs (verdict >3 rounds old at r8),
-    #   2. new/modified r8 ops (never-verified => must-run),
-    #   3. r5-era fill to exactly 50 (verdict-age order).
-    # New r8 ops may only displace fill rows, never the must-run block
-    # (VERDICT-r7 item #3 caps new ops at 14 = 50 - 36).
+    #   1. the 46 r5-era must-runs (verdict >3 rounds old at r9),
+    #   2. r6-era fill to exactly 50 (verdict-age order).
+    # REGISTRY-CAPACITY CEILING (VERDICT-r8 item #3): at 196 registered
+    # queries the 50-row driver budget gives a 4-round refresh cycle —
+    # exactly the SLO's MAX_AGE_ROUNDS=3 allowance (4 x 50 = 200 >= N).
+    # Hard cap: the registry must stay <= 200.  From r10 the must-run
+    # block is a full 50 (the r6-era cohort), so the steady-state new-op
+    # budget is ~0: a new query may only be registered by retiring or
+    # merging an existing one, and r9's 4 spare slots are RESERVE, not
+    # budget.  New ops always sit below the must-run block.
     #
-    # r4-era must-run (36):
+    # r5-era must-run (46):
+    "master_denorm", "order_balance", "order_last_ship", "open_order_lines",
+    "flag_full_outer", "customer_first_order", "aging_buckets", "aging_pivot",
+    "customer_metrics", "running_balance", "zscore_outliers", "dual_sort",
+    "top_customers", "doc_lang_confusion", "emb_near_dup",
+    "emb_label_centroids", "events_dau_wau", "multimodal_features",
+    "multimodal_resize", "multimodal_frames", "sql_text", "distinct_values",
+    "quantiles", "window_suite", "rollup_summary", "set_ops",
+    "asof_latest_order", "distribution_windows", "cube_summary",
+    "priority_late_lines", "customer_order_distribution",
+    "large_quantity_orders", "volume_shipping", "market_share",
+    "waiting_suppliers", "important_stock", "top_supplier",
+    "doc_decontaminate", "doc_pii_scrub", "doc_pack_sequences",
+    "tfidf_top_terms", "doc_repetition", "doc_stratified_sample",
+    "shard_manifest", "doc_lm_quality", "bpe_merge_pairs",
+    # r6-era fill to 50 (verdict-age order; displaced by any new r9 op):
+    "pareto_abc", "cxc_master_summary", "cxc_saldo_factura",
+    "cxc_antiguedad",
+    # --- 50-row budget boundary ---
+    # Remainder in verdict-age order (stages the r10 rotation: the next
+    # 46 rows are the rest of the r6-era cohort = r10's must-run block):
+    "cxc_antiguedad_cliente", "cxc_concentracion",
+    "doc_dup_ngrams", "source_cross_dup", "doc_token_budget",
+    "doc_substring_dedup", "doc_winnowing", "doc_minhash_est_error",
+    "doc_gopher_quality", "doc_signal_corr", "doc_ngram_novelty",
+    "simhash_recall_audit", "emb_quantize", "ann_recall_audit",
+    "ivf_recall_audit", "emb_anisotropy_audit", "emb_pq_audit",
+    "emb_drift_audit", "emb_dedup_curve", "emb_decontaminate",
+    "ann_hard_negatives", "events_heavy_hitters", "events_uniques_sketch",
+    "events_watermark_audit", "events_bot_detection", "events_cohort_value",
+    "shard_verify", "doc_pack_fold", "doc_dsir_weights", "bpe_encode_curve",
+    "doc_ccnet_buckets", "bpe_train_steps", "doc_bloom_decontaminate",
+    "bpe_fertility", "doc_length_buckets", "corpus_snapshot_diff",
+    "doc_mixture_sample", "doc_c4_filters", "doc_readability",
+    "doc_hash_classifier", "corpus_compaction_audit", "doc_bm25_topk",
+    "training_mix_epochs", "doc_langmix_detect", "vocab_growth_curve",
+    "sketch_profile",
+    # r7-era cohort (r11's must-run block, verdict-age order):
+    "pricing_summary", "band_groups", "scalar_suite",
+    "cancelled_filter", "union_views", "column_profile", "distinct_counts",
+    "cxc_cartera", "cxc_resumen_concepto", "cxc_cancelados", "cxc_ajustes",
+    "cxc_auditoria_nulos", "cxc_kpis", "cxc_limite_credito",
+    "cxc_morosidad_cliente", "cxc_saldo_cliente", "cxc_movimientos_abiertos",
+    "doc_exact_dedup", "doc_normalized_dedup", "doc_token_stats",
+    "doc_bpe_tokens", "doc_quality", "doc_quality_quantiles", "doc_lang_id",
+    "doc_fingerprint", "doc_minhash_pairs", "doc_ngram_jaccard",
+    "doc_simhash", "doc_curation", "doc_minhash_containment",
+    "doc_dup_clusters", "doc_dedup_keep_best", "doc_dedup_weights",
+    "doc_sample", "doc_dup_spans", "knn_brute", "embedding_norms",
+    "events_rolling", "events_transitions", "events_quantile_sketch",
+    "multimodal_phash_pairs", "multimodal_phash_recall",
+    "multimodal_phash_clusters", "multimodal_phash_keep_best",
+    "order_vs_customer_avg", "fuzzy_name_blocks", "fuzzy_block_stats",
+    "parts_never_ordered", "rich_inactive_customers", "min_cost_supplier",
+    # r8-era cohort (r12's must-run block, verdict-age order):
     "doc_simhash_pairs", "doc_chunks", "knn_lsh", "kmeans_embeddings",
-    "knn_ivf", "emb_semantic_dedup",
-    "events_hourly", "events_sessionize", "events_json", "events_funnel",
-    "events_segment_value", "events_rolling_sharded",
-    "events_anomaly", "events_retention", "events_gapfill",
-    "events_asof_attribution", "events_conversion_pairs",
+    "knn_ivf", "emb_semantic_dedup", "events_hourly", "events_sessionize",
+    "events_json", "events_funnel", "events_segment_value",
+    "events_rolling_sharded", "events_anomaly", "events_retention",
+    "events_gapfill", "events_asof_attribution", "events_conversion_pairs",
     "events_conversion_window", "events_hopping", "events_ohlc",
     "sql_lateral_topk", "grouping_sets_summary", "shipping_priority",
     "local_supplier_volume", "returned_items", "promo_revenue_share",
     "discounted_bulk_revenue", "revenue_change", "product_profit",
     "line_priority_mix", "small_qty_revenue", "dominant_part_suppliers",
-    "vocab_top_terms", "source_mix", "doc_passage_dedup",
-    "doc_train_split",
-    # New in r8 (below the must-run block, per VERDICT-r7 item #3;
-    # each displaces one r5-era fill row):
+    "vocab_top_terms", "source_mix", "doc_passage_dedup", "doc_train_split",
     "doc_strip_dup_spans", "multimodal_decontaminate",
     "events_quantile_daily", "multimodal_phash_weights",
     "part_supplier_counts", "emb_dim_stats", "emb_label_outliers",
     "lsh_bucket_skew", "events_interarrival", "multimodal_frame_dedup",
     "knn_mutual_pairs", "corpus_dedup_funnel", "doc_clf_calibration",
     "doc_eval_contamination",
-    # (the 14-op budget is now exactly spent: head-50 = 36 must-run +
-    # 14 new, zero r5-era fill rows left)
-    # --- 50-row budget boundary ---
-    # r5-era remainder (stages the r9 rotation, verdict-age order;
-    # head-fill rows displaced by r8 ops rejoin here first):
-    "master_denorm",
-    "order_balance", "order_last_ship", "open_order_lines",
-    "flag_full_outer", "customer_first_order",
-    "aging_buckets", "aging_pivot", "customer_metrics",
-    "running_balance",
-    "zscore_outliers", "dual_sort", "top_customers", "doc_lang_confusion",
-    "emb_near_dup", "emb_label_centroids", "events_dau_wau",
-    "multimodal_features", "multimodal_resize", "multimodal_frames",
-    "sql_text", "distinct_values", "quantiles", "window_suite",
-    "rollup_summary", "set_ops", "asof_latest_order",
-    "distribution_windows", "cube_summary", "priority_late_lines",
-    "customer_order_distribution", "large_quantity_orders",
-    "volume_shipping", "market_share", "waiting_suppliers",
-    "important_stock", "top_supplier", "doc_decontaminate",
-    "doc_pii_scrub", "doc_pack_sequences", "tfidf_top_terms",
-    "doc_repetition", "doc_stratified_sample", "shard_manifest",
-    "doc_lm_quality", "bpe_merge_pairs",
 )
 
 

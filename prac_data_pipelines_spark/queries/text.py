@@ -1719,9 +1719,9 @@ register("doc_dup_spans", q_doc_dup_spans, SQL_DOC_DUP_SPANS)
 # flags only NON-FIRST window occurrences (first = lexicographic min
 # (doc_id, pos) corpus-wide), so exactly one copy of each duplicated
 # region survives the rewrite. Consumed by corpus_pipeline
-# --strip-dup-spans; reference parity: the reference curates text via
-# src/etl/transformaciones.py but has no span-level rewrite — this is
-# LLM-pipeline surface beyond it.
+# --strip-dup-spans; reference parity: the reference's transform surface
+# (src/data_transformer.py:135-158, _calculate_columns) is row-wise and
+# has no span-level rewrite — this is LLM-pipeline surface beyond it.
 #
 # Plan shape: the same one 28-bit window-hash shuffle as doc_dup_spans —
 # min(struct(doc_id, pos)) is a map-side-combinable aggregate riding the

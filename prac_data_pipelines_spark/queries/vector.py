@@ -1827,8 +1827,8 @@ register("ann_hard_negatives", q_ann_hard_negatives, SQL_ANN_HARD_NEGATIVES)
 # standard pre-training check on an embedding column: dead or collapsed
 # dimensions flag an exporter bug or a truncated projection; a dimension
 # whose scale dwarfs the rest breaks cosine-vs-dot assumptions downstream
-# (reference: the profiling surface of src/analisis/perfil.py:18-40,
-# applied to the vector column).
+# (reference: the per-column quality profiling of src/auditor.py:349-376,
+# _evaluar_calidad_datos, applied to the vector column).
 #
 # Scale: one posexplode keyed by dimension index — the aggregate key
 # space is EMB_DIM (64), fixed by the model, never corpus cardinality,
@@ -1888,7 +1888,8 @@ register("emb_dim_stats", q_emb_dim_stats, SQL_EMB_DIM_STATS)
 # centroid (argmax, lowest label on ties); rank by the margin
 # (cos_otro - cos_propio) and emit the top OUTLIER_TOP_K candidates —
 # the standard mislabel-mining pass before training a classifier on the
-# labels (reference: the audit framing of src/analisis/perfil.py).
+# labels (reference: the outlier-audit framing of src/auditor.py:173-211,
+# _detectar_importes_atipicos).
 #
 # Scale: the centroid table is |labels| x EMB_DIM (bounded by the label
 # vocabulary, never corpus size); it folds into ONE broadcast array row,

@@ -19,6 +19,16 @@ the next-stalest fill to exactly 50) for updating ``_PRIORITY``.
 
 Exit status 1 when the SLO is violated, so it can gate a commit.
 ``tests/test_freshness.py`` asserts the same invariant in the suite.
+
+REGISTRY-CAPACITY CEILING (policy, VERDICT-r8 item #3).  The budget
+arithmetic caps the registry: a 50-row head re-verified per round with a
+max verdict age of 3 rounds means at most ``HEAD_BUDGET * (MAX_AGE_ROUNDS
++ 1) = 200`` queries can stay fresh.  At 196 registered queries the
+steady-state new-op budget from r10 onward is ~0 — every round's must-run
+block is a full 50-query cohort.  Growing past 200 is a hard SLO break:
+new queries may only be added by retiring or merging existing ones (or if
+the driver raises its budget).  ``main`` prints the headroom and fails if
+the registry exceeds the ceiling.
 """
 
 from __future__ import annotations
@@ -89,7 +99,14 @@ def main() -> int:
     names, latest, must = audit(repo)
     next_run = max_round(repo) + 1
     hist = Counter(latest.get(n, 0) for n in names)
-    print(f"registered queries : {len(names)}")
+    ceiling = HEAD_BUDGET * (MAX_AGE_ROUNDS + 1)
+    print(f"registered queries : {len(names)} "
+          f"(capacity ceiling {ceiling}, headroom {ceiling - len(names)})")
+    if len(names) > ceiling:
+        print(f"CAPACITY VIOLATED — {len(names)} > {ceiling}: the {HEAD_BUDGET}"
+              f"-row budget cannot keep every verdict <= {MAX_AGE_ROUNDS} "
+              "rounds old; retire or merge queries")
+        return 1
     print(f"next driver round  : r{next_run}")
     print("verdict histogram  :",
           {f"r{k}" if k else "never": v for k, v in sorted(hist.items())})
