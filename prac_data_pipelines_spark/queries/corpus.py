@@ -182,7 +182,12 @@ def eval_contamination_per_doc(docs: DataFrame) -> DataFrame:
                   .join(broadcast(eval_vocab), "grama", "left_semi")
                   .select("grama").distinct())  # bounded by |eval vocab|
     return (
-        eval_grams.join(train_hits.withColumn("_m", F.lit(1)), "grama", "left")
+        # broadcast() pinned explicitly: train_hits is bounded by the eval
+        # vocabulary, but without the hint the broadcast depends on size
+        # estimation/AQE and flips to a shuffle join under
+        # autoBroadcastJoinThreshold=-1 sweeps (ADVICE-r8)
+        eval_grams.join(
+            broadcast(train_hits.withColumn("_m", F.lit(1))), "grama", "left")
         .groupBy("eval_doc")
         .agg(F.count(F.lit(1)).cast("long").alias("total"),
              F.sum(F.coalesce("_m", F.lit(0))).cast("long").alias("matched")))

@@ -203,11 +203,17 @@ def stream_eval_contamination(docs: DataFrame,
     def update(key: tuple, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
         seen = set(state.get[0]) if state.exists else set()
+        before = len(seen)
         for pdf in pdfs:
             seen.update(pdf["grama"])
-        state.update((sorted(seen),))
-        yield pd.DataFrame({"eval_doc": [key[0]],
-                            "matched": [len(seen)]})
+        # write state + emit only when this batch actually added grams:
+        # skips the O(n log n) re-sort, the redundant state write, and a
+        # no-news output row (ADVICE-r8); the sink still sees a monotone
+        # latest-matched per doc
+        if len(seen) > before or not state.exists:
+            state.update((sorted(seen),))
+            yield pd.DataFrame({"eval_doc": [key[0]],
+                                "matched": [len(seen)]})
 
     hits = train_grams(docs).join(eval_grams, "grama")  # stream-static
     return (hits.groupBy("eval_doc")

@@ -556,7 +556,6 @@ def test_stream_eval_contamination_matches_batch(spark, sf_dir, tmp_path):
     from prac_data_pipelines_spark.queries.corpus import (
         eval_contamination_per_doc,
         eval_slice_grams,
-        train_grams,
     )
     from prac_data_pipelines_spark.sources import load_table
     from prac_data_pipelines_spark.streaming.corpus import (
@@ -590,20 +589,54 @@ def test_stream_eval_contamination_matches_batch(spark, sf_dir, tmp_path):
             for r in eval_contamination_per_doc(docs).collect()
             if r["matched"] > 0}  # untouched docs never reach the state
     assert got == want and len(want) >= 3
+    # (whether THIS corpus exhibits cross-batch duplicate grams is a
+    # property of the generator; the guaranteed cross-batch case lives in
+    # test_stream_eval_contamination_cross_batch_state below — ADVICE-r8)
 
-    # the cross-batch dedup was real: summing each batch's OWN distinct
-    # matched-gram count over-counts at least one doc
-    per_batch = []
+
+def test_stream_eval_contamination_cross_batch_state(spark, tmp_path):
+    """Synthetic corpus that GUARANTEES the cross-batch cases (ADVICE-r8:
+    the sf corpus only probably exhibits them): the same eval gram arrives
+    from train docs in two different micro-batches (must count once), and
+    the eval doc's full matched count is reachable only by accumulating
+    across batches. Also pins the no-news optimization: the duplicate-only
+    batch must NOT re-emit."""
+    from pyspark.sql import functions as F
+
+    from prac_data_pipelines_spark.queries.corpus import eval_slice_grams
+    from prac_data_pipelines_spark.streaming.corpus import (
+        stream_eval_contamination,
+    )
+    from prac_data_pipelines_spark.streaming.events import run_to_memory
+
+    # doc 0: eval (0 % 11 == 0, < 2000) with grams {g1, g2};
+    # train docs (never % 11 == 0): 3 -> batch 0 carries g2,
+    # 1 -> batch 1 carries g1, 2 -> batch 2 carries g1 AGAIN (duplicate).
+    docs = spark.createDataFrame(
+        [(0, "w1 w2 w3 w4 w5"),     # eval: g1="w1 w2 w3 w4", g2="w2 w3 w4 w5"
+         (3, "w2 w3 w4 w5"),        # batch 0: g2
+         (1, "w1 w2 w3 w4"),        # batch 1: g1
+         (2, "w1 w2 w3 w4 x")],     # batch 2: g1 (dup) + one non-eval gram
+        "doc_id long, text string")
+    eval_static = eval_slice_grams(docs).cache()
+    assert eval_static.count() == 2
+
+    src = tmp_path / "ec_synth_src"
+    src.mkdir()
     for b in range(3):
-        part = docs.filter(F.col("doc_id") % 3 == b)
-        hits = (train_grams(part).distinct()
-                .join(eval_static, "grama")
-                .groupBy("eval_doc").agg(F.count(F.lit(1)).alias("m")))
-        per_batch.append({r["eval_doc"]: r["m"] for r in hits.collect()})
-    summed = {}
-    for d in per_batch:
-        for k, v in d.items():
-            summed[k] = summed.get(k, 0) + v
-    assert any(summed[k] > want[k] for k in want)
-    # and accumulation was real: some doc needed more than any one batch
-    assert any(want[k] > max(d.get(k, 0) for d in per_batch) for k in want)
+        (docs.filter(F.col("doc_id") % 3 == b).coalesce(1)
+         .write.parquet(str(src / f"f{b}.parquet")))
+    stream = (spark.readStream
+              .schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*.parquet"))
+    run_to_memory(stream_eval_contamination(stream, eval_static),
+                  "ec_synth_test", output_mode="update")
+
+    rows = spark.table("ec_synth_test").collect()
+    assert all(r["eval_doc"] == 0 for r in rows)
+    emitted = sorted(r["matched"] for r in rows)
+    # batch 0 -> matched 1 (g2); batch 1 -> matched 2 (g1 accumulates:
+    # needs more than any single batch); batch 2 -> g1 is a cross-batch
+    # DUPLICATE: counted once (not 3) and the no-news batch is suppressed
+    assert emitted == [1, 2]

@@ -21,6 +21,16 @@ oracles run fully at sf0.001/sf0.01 in every sweep. Skipping them at
 sf0.1 is a DuckDB-runtime concession, not a correctness gap.
 --skip-recursive applies exactly that exclusion (the canonical sf0.1
 sweep is: check_oracle.py /root/testdata/sf0.1 --skip-recursive).
+
+sf0.1 policy for the SLOW (non-recursive) oracles (VERDICT-r8 item #5):
+SLOW_ORACLE_QUERIES below have DuckDB oracles that are polynomial-heavy
+but terminating at sf0.1 — currently only doc_strip_dup_spans, whose
+window-hash self-join oracle takes ~380 s there (the Spark side takes
+~4 s; the asymmetry is the point of the engine). POLICY: these STAY in
+the canonical sf0.1 sweep — ~380 s is accepted once per round for a
+full value check; they are never excluded from any sweep that gates a
+round. --skip-slow exists ONLY for interactive iteration (it prints
+what it skipped so a skipped sweep can't be mistaken for canonical).
 """
 
 from __future__ import annotations
@@ -44,6 +54,13 @@ RECURSIVE_ORACLE_QUERIES = frozenset({
     # cross-check (tests/test_accuracy.py::
     # test_phash_weights_match_union_find_rollup_at_sf01)
     "multimodal_phash_weights",
+})
+
+# Non-recursive oracles that are slow (minutes, not hours) at sf0.1.
+# These remain IN the canonical sf0.1 sweep — see module docstring for
+# the accepted-cost policy; --skip-slow is for iteration only.
+SLOW_ORACLE_QUERIES = frozenset({
+    "doc_strip_dup_spans",  # ~380 s DuckDB / ~4 s Spark at sf0.1
 })
 
 
@@ -80,6 +97,12 @@ def main() -> int:
                    if n not in RECURSIVE_ORACLE_QUERIES}
         print(f"skipping {len(skipped)} recursive-oracle queries "
               f"(sf0.1 policy, union-find-pinned): {', '.join(skipped)}")
+    if "--skip-slow" in sys.argv[1:]:
+        skipped = sorted(SLOW_ORACLE_QUERIES & queries.keys())
+        queries = {n: f for n, f in queries.items()
+                   if n not in SLOW_ORACLE_QUERIES}
+        print(f"skipping {len(skipped)} slow-oracle queries (ITERATION "
+              f"ONLY — not a canonical sweep): {', '.join(skipped)}")
     failures = 0
     checked = 0
     for name, fn in queries.items():
