@@ -211,22 +211,34 @@ def run_queries(spark, queries, names, sf_dir: str, reps: int
                 ) -> tuple[dict[str, float], dict[str, str]]:
     """Time each query min-of-``reps`` with per-query fault isolation: one
     broken query is ONE ``errors`` entry, never an aborted run (round 3
-    lost its whole bench to a single analysis error)."""
+    lost its whole bench to a single analysis error).
+
+    Reps are INTERLEAVED (full passes over the query list, ``reps``
+    times) rather than back-to-back: the host's sporadic multi-second
+    stalls span several consecutive seconds, so three consecutive reps
+    of a short query can ALL land inside one stall and min-of-N keeps
+    the inflated number. With passes minutes apart, a stall can poison
+    at most one rep of any query (r9: two quiet windows showed an
+    across-the-board ~1.17x on untouched sub-second queries — exactly
+    this failure mode)."""
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in names:
-        best = float("inf")
-        for _ in range(reps):
+    for _ in range(reps):
+        for name in names:
+            if name in errors:
+                continue
             t0 = time.time()
             try:
                 queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception as exc:  # noqa: BLE001 - record and keep going
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                break
-            best = min(best, time.time() - t0)
-        if name not in errors:
-            timings[name] = round(best, 3)
-    return timings, errors
+                timings.pop(name, None)
+                continue
+            dt = time.time() - t0
+            if dt < timings.get(name, float("inf")):
+                timings[name] = dt
+    return ({n: round(t, 3) for n, t in timings.items()
+             if n not in errors}, errors)
 
 
 def main() -> None:
