@@ -1545,7 +1545,7 @@ def q_doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DOC_SUBSTRING_DEDUP = f"""
-WITH ws AS (
+WITH ws AS MATERIALIZED (
   SELECT doc_id, source, {SQL_WORDS} AS w FROM documents
 ), wins0 AS (
   SELECT doc_id,
@@ -1554,7 +1554,7 @@ WITH ws AS (
                        'g': {_sql_h(f"concat_ws(chr(32), {_SQL_SUB_TERMS})")}}}))
            AS s
   FROM ws WHERE len(w) >= {SUBSTR_K}
-), wins AS (
+), wins AS MATERIALIZED (
   SELECT doc_id, s.pos AS pos, s.g AS g FROM wins0
 ), dup AS (
   SELECT g FROM wins GROUP BY g HAVING count(*) >= 2
@@ -1666,7 +1666,7 @@ def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DOC_DUP_SPANS = f"""
-WITH ws AS (
+WITH ws AS MATERIALIZED (
   SELECT doc_id, source, {SQL_WORDS} AS w FROM documents
 ), wins0 AS (
   SELECT doc_id,
@@ -1675,7 +1675,7 @@ WITH ws AS (
                        'g': {_sql_h(f"concat_ws(chr(32), {_SQL_SUB_TERMS})")}}}))
            AS s
   FROM ws WHERE len(w) >= {SUBSTR_K}
-), wins AS (
+), wins AS MATERIALIZED (
   SELECT doc_id, s.pos AS pos, s.g AS g FROM wins0
 ), dup AS (
   SELECT g FROM wins GROUP BY g HAVING count(*) >= 2
@@ -1798,7 +1798,7 @@ def q_doc_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DOC_STRIP_DUP_SPANS = f"""
-WITH ws AS (
+WITH ws AS MATERIALIZED (
   SELECT doc_id, source, {SQL_WORDS} AS w FROM documents
 ), wins0 AS (
   SELECT doc_id,
@@ -1807,7 +1807,7 @@ WITH ws AS (
                        'g': {_sql_h(f"concat_ws(chr(32), {_SQL_SUB_TERMS})")}}}))
            AS s
   FROM ws WHERE len(w) >= {SUBSTR_K}
-), wins AS (
+), wins AS MATERIALIZED (
   SELECT doc_id, s.pos AS pos, s.g AS g FROM wins0
 ), firsts AS (
   SELECT g, min({{'d': doc_id, 'p': pos}}) AS f

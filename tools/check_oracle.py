@@ -25,12 +25,15 @@ sweep is: check_oracle.py /root/testdata/sf0.1 --skip-recursive).
 sf0.1 policy for the SLOW (non-recursive) oracles (VERDICT-r8 item #5):
 SLOW_ORACLE_QUERIES below have DuckDB oracles that are polynomial-heavy
 but terminating at sf0.1 — currently only doc_strip_dup_spans, whose
-window-hash self-join oracle takes ~380 s there (the Spark side takes
-~4 s; the asymmetry is the point of the engine). POLICY: these STAY in
-the canonical sf0.1 sweep — ~380 s is accepted once per round for a
-full value check; they are never excluded from any sweep that gates a
-round. --skip-slow exists ONLY for interactive iteration (it prints
-what it skipped so a skipped sweep can't be mistaken for canonical).
+window-hash oracle takes ~90-150 s there (the Spark side takes ~4 s;
+the asymmetry is the point of the engine). It was ~380 s until r9
+added AS MATERIALIZED to the twice-referenced ws/wins CTEs of the
+span-oracle family — DuckDB inlined them, recomputing the ~23M-window
+hash explosion per reference. POLICY: these STAY in the canonical
+sf0.1 sweep — the cost is accepted once per round for a full value
+check; they are never excluded from any sweep that gates a round.
+--skip-slow exists ONLY for interactive iteration (it prints what it
+skipped so a skipped sweep can't be mistaken for canonical).
 """
 
 from __future__ import annotations
@@ -60,7 +63,7 @@ RECURSIVE_ORACLE_QUERIES = frozenset({
 # These remain IN the canonical sf0.1 sweep — see module docstring for
 # the accepted-cost policy; --skip-slow is for iteration only.
 SLOW_ORACLE_QUERIES = frozenset({
-    "doc_strip_dup_spans",  # ~380 s DuckDB / ~4 s Spark at sf0.1
+    "doc_strip_dup_spans",  # ~90-150 s DuckDB / ~4 s Spark at sf0.1
 })
 
 
