@@ -630,9 +630,9 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DOC_NGRAM_JACCARD = f"""
-WITH sh AS (
+WITH sh AS MATERIALIZED (
   SELECT doc_id, list_distinct({SQL_SHINGLES}) AS sh FROM documents
-), hs AS (
+), hs AS MATERIALIZED (
   SELECT doc_id, list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}) AS hs
   FROM documents
 ), sigs AS (
@@ -712,11 +712,11 @@ WITH ds AS (
          list_distinct(list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}))
            AS gs
   FROM documents
-), p AS (
+), p AS MATERIALIZED (
   SELECT doc_id, source, unnest(gs) AS g FROM ds
-), gc AS (
+), gc AS MATERIALIZED (
   SELECT g, count(*) AS n FROM p GROUP BY g
-), d AS (
+), d AS MATERIALIZED (
   SELECT p.doc_id, p.source, count(*) AS total,
          sum(CASE WHEN gc.n >= 2 THEN 1 ELSE 0 END) AS dup
   FROM p JOIN gc USING (g) GROUP BY p.doc_id, p.source
@@ -1065,9 +1065,9 @@ def q_doc_minhash_containment(spark: SparkSession,
 
 
 SQL_DOC_MINHASH_CONTAINMENT = f"""
-WITH sh AS (
+WITH sh AS MATERIALIZED (
   SELECT doc_id, list_distinct({SQL_SHINGLES}) AS sh FROM documents
-), hs AS (
+), hs AS MATERIALIZED (
   SELECT doc_id, list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}) AS hs
   FROM documents
 ), sigs AS (
@@ -1075,7 +1075,7 @@ WITH sh AS (
 ), {SQL_BANDS_CTE}, cand AS (
   SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
   FROM bands l JOIN bands r ON l.banda = r.banda AND l.doc_id < r.doc_id
-), met AS (
+), met AS MATERIALIZED (
   SELECT d1, d2,
          floor(len(list_intersect(l.sh, r.sh))::DOUBLE / len(l.sh)
                * 10000 + 0.5) / 10000 AS contencion_1_en_2,
@@ -1961,29 +1961,29 @@ WITH hs AS (
   SELECT doc_id, source,
          list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}) AS g
   FROM documents
-), fp0 AS (
+), fp0 AS MATERIALIZED (
   SELECT doc_id, source, len(g) AS m, greatest(len(g) - {FP_W - 1}, 1) AS nw,
          list_transform(range(0, len(g)),
                         j -> g[j + 1] * {_FP_PACK} + ({_FP_PACK - 1} - j))
            AS pk
   FROM hs
-), pd AS (
+), pd AS MATERIALIZED (
   SELECT doc_id, source, nw,
          list_distinct(list_transform(range(0, nw),
            w -> list_min(list_slice(pk, w + 1, least(w + {FP_W}, m))))) AS fps
   FROM fp0
-), pdn AS (
+), pdn AS MATERIALIZED (
   SELECT doc_id, source, nw, len(fps)::BIGINT AS nfp, fps FROM pd
-), ex0 AS (
+), ex0 AS MATERIALIZED (
   SELECT doc_id, unnest(fps) AS p FROM pdn
-), ex AS (
+), ex AS MATERIALIZED (
   SELECT doc_id, p // {_FP_PACK} AS fh FROM ex0
-), shared AS (
+), shared AS MATERIALIZED (
   SELECT fh FROM ex GROUP BY fh HAVING count(DISTINCT doc_id) >= 2
-), ds AS (
+), ds AS MATERIALIZED (
   SELECT doc_id, count(*)::BIGINT AS comp
   FROM ex JOIN shared USING (fh) GROUP BY doc_id
-), doc AS (
+), doc AS MATERIALIZED (
   SELECT pdn.doc_id, pdn.source, nfp, nw,
          coalesce(comp, 0)::BIGINT AS comp
   FROM pdn LEFT JOIN ds ON pdn.doc_id = ds.doc_id
@@ -2064,14 +2064,14 @@ SQL_DOC_MINHASH_EST_ERROR = f"""
 WITH hs0 AS (
   SELECT doc_id, list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}) AS hs
   FROM documents
-), base AS (
+), base AS MATERIALIZED (
   SELECT doc_id, list_distinct(hs) AS ghs, hs FROM hs0
-), sigs AS (
+), sigs AS MATERIALIZED (
   SELECT doc_id, {SQL_SIGS} AS sigs FROM base
 ), {SQL_BANDS_CTE}, cand AS (
   SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
   FROM bands l JOIN bands r ON l.banda = r.banda AND l.doc_id < r.doc_id
-), scored0 AS (
+), scored0 AS MATERIALIZED (
   SELECT len(list_intersect(b1.ghs, b2.ghs))::DOUBLE AS inter,
          (len(b1.ghs) + len(b2.ghs))::DOUBLE
            - len(list_intersect(b1.ghs, b2.ghs))::DOUBLE AS un,
@@ -2083,7 +2083,7 @@ WITH hs0 AS (
   JOIN base b2 ON b2.doc_id = cand.d2
   JOIN sigs s1 ON s1.doc_id = cand.d1
   JOIN sigs s2 ON s2.doc_id = cand.d2
-), scored AS (
+), scored AS MATERIALIZED (
   SELECT least(floor((inter / un) * 10), 9)::BIGINT AS decil,
          inter / un AS jac, est, abs(est - inter / un) AS err
   FROM scored0
@@ -2490,9 +2490,9 @@ def q_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SIMHASH_RECALL_AUDIT = f"""
-WITH sh AS (
+WITH sh AS MATERIALIZED (
   SELECT doc_id, list_distinct({SQL_SHINGLES}) AS sh FROM documents
-), hs AS (
+), hs AS MATERIALIZED (
   SELECT doc_id, list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}) AS hs
   FROM documents
 ), sigs AS (
@@ -2500,7 +2500,7 @@ WITH sh AS (
 ), {SQL_BANDS_CTE}, cand AS (
   SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
   FROM bands l JOIN bands r ON l.banda = r.banda AND l.doc_id < r.doc_id
-), ground AS (
+), ground AS MATERIALIZED (
   SELECT d1, d2
   FROM cand JOIN sh l ON l.doc_id = cand.d1
             JOIN sh r ON r.doc_id = cand.d2
@@ -2508,21 +2508,21 @@ WITH sh AS (
               / (len(l.sh) + len(r.sh)
                  - len(list_intersect(l.sh, r.sh)))::DOUBLE
               * 10000 + 0.5) / 10000 >= {CURATION_JACCARD}
-), whs AS (
+), whs AS MATERIALIZED (
   SELECT doc_id, list_transform({SQL_WORDS}, w -> {_sql_h('w')}) AS whs
   FROM documents
-), sim AS (
+), sim AS MATERIALIZED (
   SELECT doc_id,
          list_sum(list_transform(range(0, {SIMHASH_BITS}), b ->
            CASE WHEN list_sum(list_transform(whs, h ->
                   CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
                 THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
   FROM whs
-), hams AS (
+), hams AS MATERIALIZED (
   SELECT bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
   FROM ground JOIN sim a ON a.doc_id = ground.d1
               JOIN sim b ON b.doc_id = ground.d2
-), hist AS (
+), hist AS MATERIALIZED (
   SELECT hamming, count(*)::BIGINT AS pares FROM hams GROUP BY hamming
 )
 SELECT hamming, pares,
