@@ -172,9 +172,10 @@ def stream_eval_contamination(docs: DataFrame,
     broadcast is sound); the stream-static inner join discards every
     train gram outside the eval vocabulary before it reaches the state
     store. Emits ``(eval_doc, matched)`` after each micro-batch that
-    touches the doc — monotone non-decreasing, the latest row per doc
-    is the current contamination numerator, ready to divide by the
-    static per-doc totals (``eval_contamination_per_doc``)."""
+    ADDS grams to the doc's matched set (duplicate-only batches update
+    nothing and emit nothing) — monotone non-decreasing, the latest row
+    per doc is the current contamination numerator, ready to divide by
+    the static per-doc totals (``eval_contamination_per_doc``)."""
     from collections.abc import Iterator
 
     import pandas as pd

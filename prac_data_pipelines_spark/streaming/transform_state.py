@@ -84,20 +84,12 @@ class TopPurchasesProcessor(StatefulProcessor):
             top = list(top)
         else:
             top, n = [], 0
-        for pdf in rows:
-            vals = pdf["value"].astype(float)
-            n += len(vals)
-            # merge batch-local top-K, then clip — never holds more than
-            # 2K floats regardless of batch size
-            top = sorted(top + sorted(vals, reverse=True)[:TOP_K],
-                         reverse=True)[:TOP_K]
+        # the fold and output frame are SHARED with the
+        # applyInPandasWithState twin — the two implementations cannot
+        # diverge except in the state API itself
+        top, n = _fold_topk(top, n, rows)
         self._state.update((top, n))
-        yield pd.DataFrame({
-            "user_id": pd.Series([key[0]] * len(top), dtype="int64"),
-            "rango": pd.Series(range(1, len(top) + 1), dtype="int64"),
-            "valor": pd.Series(top, dtype="float64"),
-            "n_total": pd.Series([n] * len(top), dtype="int64"),
-        })
+        yield _topk_frame(key[0], top, n)
 
     def close(self) -> None:
         pass
@@ -128,7 +120,9 @@ def topk_purchases_stream(events: DataFrame) -> DataFrame:
 
 def _fold_topk(top: list[float], n: int,
                pdfs: Iterator[pd.DataFrame]) -> tuple[list[float], int]:
-    """Shared fold: merge each batch's values into the bounded top-K."""
+    """Shared fold: merge each batch's values into the bounded top-K.
+
+    Never holds more than 2*TOP_K floats regardless of batch size."""
     for pdf in pdfs:
         vals = pdf["value"].astype(float)
         n += len(vals)
@@ -137,17 +131,22 @@ def _fold_topk(top: list[float], n: int,
     return top, n
 
 
+def _topk_frame(user_id, top: list[float], n: int) -> pd.DataFrame:
+    """Shared output frame: one row per rank, identical in both twins."""
+    return pd.DataFrame({
+        "user_id": pd.Series([user_id] * len(top), dtype="int64"),
+        "rango": pd.Series(range(1, len(top) + 1), dtype="int64"),
+        "valor": pd.Series(top, dtype="float64"),
+        "n_total": pd.Series([n] * len(top), dtype="int64"),
+    })
+
+
 def _topk_update(key, pdfs: Iterator[pd.DataFrame],
                  state) -> Iterator[pd.DataFrame]:
     top, n = (list(state.get[0]), state.get[1]) if state.exists else ([], 0)
     top, n = _fold_topk(top, n, pdfs)
     state.update((top, n))
-    yield pd.DataFrame({
-        "user_id": pd.Series([key[0]] * len(top), dtype="int64"),
-        "rango": pd.Series(range(1, len(top) + 1), dtype="int64"),
-        "valor": pd.Series(top, dtype="float64"),
-        "n_total": pd.Series([n] * len(top), dtype="int64"),
-    })
+    yield _topk_frame(key[0], top, n)
 
 
 def topk_purchases_stream_fallback(events: DataFrame) -> DataFrame:

@@ -7,14 +7,15 @@ No skips (VERDICT-r8 item #6): the operator has two implementations —
 wire protocol) and an ``applyInPandasWithState`` twin with identical
 semantics and no extra dependency.  The twin is tested unconditionally;
 the transformWithState leg runs wherever its dependency exists; and the
-capability probe itself is asserted against the real environment, so a
-mis-reporting probe (claiming available when the worker would fail to
-start) is a test failure, not a silent skip.
+capability probe is cross-checked against a real import attempt (a
+different mechanism than the probe's find_spec), so a probe that claims
+availability for an unimportable module is a test failure, not a silent
+skip — and a probe that wrongly claims availability for an importable-
+but-broken worker crashes the auto-routed stream test below.
 """
 
 from __future__ import annotations
 
-import importlib.util
 import shutil
 import tempfile
 
@@ -30,10 +31,15 @@ from prac_data_pipelines_spark.streaming.transform_state import (
 
 
 def test_capability_probe_matches_environment():
-    """The probe must report exactly whether google.protobuf is importable."""
+    """The probe must agree with an ACTUAL import attempt — a different
+    mechanism than the probe's own find_spec, so a probe that claims
+    available while the module cannot in fact be imported fails here
+    (and a probe wrong in the other direction fails the auto test
+    below, which would route to transformWithState and crash)."""
     try:
-        importable = importlib.util.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:
+        import google.protobuf  # noqa: F401
+        importable = True
+    except ImportError:
         importable = False
     assert transform_state_available() == importable
 

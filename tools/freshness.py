@@ -100,13 +100,15 @@ def main() -> int:
     next_run = max_round(repo) + 1
     hist = Counter(latest.get(n, 0) for n in names)
     ceiling = HEAD_BUDGET * (MAX_AGE_ROUNDS + 1)
+    over_capacity = len(names) > ceiling
     print(f"registered queries : {len(names)} "
           f"(capacity ceiling {ceiling}, headroom {ceiling - len(names)})")
-    if len(names) > ceiling:
+    if over_capacity:
+        # keep printing the full audit (incl. --suggest) — the operator
+        # needs the staleness report to plan the retirement; fail at exit
         print(f"CAPACITY VIOLATED — {len(names)} > {ceiling}: the {HEAD_BUDGET}"
               f"-row budget cannot keep every verdict <= {MAX_AGE_ROUNDS} "
               "rounds old; retire or merge queries")
-        return 1
     print(f"next driver round  : r{next_run}")
     print("verdict histogram  :",
           {f"r{k}" if k else "never": v for k, v in sorted(hist.items())})
@@ -126,7 +128,7 @@ def main() -> int:
         print(f"SLO VIOLATED — outside the {HEAD_BUDGET}-row head: {missing}")
         return 1
     print(f"SLO ok — all must-run queries sit inside the {HEAD_BUDGET}-row head")
-    return 0
+    return 1 if over_capacity else 0
 
 
 if __name__ == "__main__":
