@@ -29,40 +29,19 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # not yet received a driver-green row first so every operator accumulates a
 # driver verdict across rounds; the remainder keeps registration order.
 _PRIORITY: tuple[str, ...] = (
-    # Round-9 rotation (VERDICT-r8 item #1).  Head-50 layout, enforced by
+    # Round-10 rotation (VERDICT-r9 item #1).  Head-50 layout, enforced by
     # tests/test_freshness.py + tools/freshness.py:
-    #   1. the 46 r5-era must-runs (verdict >3 rounds old at r9),
-    #   2. r6-era fill to exactly 50 (verdict-age order).
+    #   1. the 46 r6-era must-runs (verdict >3 rounds old at r10),
+    #   2. r7-era fill to exactly 50 (verdict-age order).
     # REGISTRY-CAPACITY CEILING (VERDICT-r8 item #3): at 196 registered
     # queries the 50-row driver budget gives a 4-round refresh cycle —
     # exactly the SLO's MAX_AGE_ROUNDS=3 allowance (4 x 50 = 200 >= N).
-    # Hard cap: the registry must stay <= 200.  From r10 the must-run
-    # block is a full 50 (the r6-era cohort), so the steady-state new-op
+    # Hard cap: the registry must stay <= 200.  The steady-state new-op
     # budget is ~0: a new query may only be registered by retiring or
-    # merging an existing one, and r9's 4 spare slots are RESERVE, not
+    # merging an existing one, and the 4 spare slots are RESERVE, not
     # budget.  New ops always sit below the must-run block.
     #
-    # r5-era must-run (46):
-    "master_denorm", "order_balance", "order_last_ship", "open_order_lines",
-    "flag_full_outer", "customer_first_order", "aging_buckets", "aging_pivot",
-    "customer_metrics", "running_balance", "zscore_outliers", "dual_sort",
-    "top_customers", "doc_lang_confusion", "emb_near_dup",
-    "emb_label_centroids", "events_dau_wau", "multimodal_features",
-    "multimodal_resize", "multimodal_frames", "sql_text", "distinct_values",
-    "quantiles", "window_suite", "rollup_summary", "set_ops",
-    "asof_latest_order", "distribution_windows", "cube_summary",
-    "priority_late_lines", "customer_order_distribution",
-    "large_quantity_orders", "volume_shipping", "market_share",
-    "waiting_suppliers", "important_stock", "top_supplier",
-    "doc_decontaminate", "doc_pii_scrub", "doc_pack_sequences",
-    "tfidf_top_terms", "doc_repetition", "doc_stratified_sample",
-    "shard_manifest", "doc_lm_quality", "bpe_merge_pairs",
-    # r6-era fill to 50 (verdict-age order; displaced by any new r9 op):
-    "pareto_abc", "cxc_master_summary", "cxc_saldo_factura",
-    "cxc_antiguedad",
-    # --- 50-row budget boundary ---
-    # Remainder in verdict-age order (stages the r10 rotation: the next
-    # 46 rows are the rest of the r6-era cohort = r10's must-run block):
+    # r6-era must-run (46):
     "cxc_antiguedad_cliente", "cxc_concentracion",
     "doc_dup_ngrams", "source_cross_dup", "doc_token_budget",
     "doc_substring_dedup", "doc_winnowing", "doc_minhash_est_error",
@@ -79,9 +58,12 @@ _PRIORITY: tuple[str, ...] = (
     "doc_hash_classifier", "corpus_compaction_audit", "doc_bm25_topk",
     "training_mix_epochs", "doc_langmix_detect", "vocab_growth_curve",
     "sketch_profile",
-    # r7-era cohort (r11's must-run block, verdict-age order):
-    "pricing_summary", "band_groups", "scalar_suite",
-    "cancelled_filter", "union_views", "column_profile", "distinct_counts",
+    # r7-era fill to 50 (verdict-age order):
+    "pricing_summary", "band_groups", "scalar_suite", "cancelled_filter",
+    # --- 50-row budget boundary ---
+    # Remainder in verdict-age order (stages the r11 rotation: the next
+    # 46 rows are the rest of the r7-era cohort = r11's must-run block):
+    "union_views", "column_profile", "distinct_counts",
     "cxc_cartera", "cxc_resumen_concepto", "cxc_cancelados", "cxc_ajustes",
     "cxc_auditoria_nulos", "cxc_kpis", "cxc_limite_credito",
     "cxc_morosidad_cliente", "cxc_saldo_cliente", "cxc_movimientos_abiertos",
@@ -114,6 +96,24 @@ _PRIORITY: tuple[str, ...] = (
     "lsh_bucket_skew", "events_interarrival", "multimodal_frame_dedup",
     "knn_mutual_pairs", "corpus_dedup_funnel", "doc_clf_calibration",
     "doc_eval_contamination",
+    # r9-era cohort (r13's must-run block; the former r9 head, verdict-age
+    # order: 46 r5-era + 4 r6-era fill, all driver-verified in r9):
+    "master_denorm", "order_balance", "order_last_ship", "open_order_lines",
+    "flag_full_outer", "customer_first_order", "aging_buckets", "aging_pivot",
+    "customer_metrics", "running_balance", "zscore_outliers", "dual_sort",
+    "top_customers", "doc_lang_confusion", "emb_near_dup",
+    "emb_label_centroids", "events_dau_wau", "multimodal_features",
+    "multimodal_resize", "multimodal_frames", "sql_text", "distinct_values",
+    "quantiles", "window_suite", "rollup_summary", "set_ops",
+    "asof_latest_order", "distribution_windows", "cube_summary",
+    "priority_late_lines", "customer_order_distribution",
+    "large_quantity_orders", "volume_shipping", "market_share",
+    "waiting_suppliers", "important_stock", "top_supplier",
+    "doc_decontaminate", "doc_pii_scrub", "doc_pack_sequences",
+    "tfidf_top_terms", "doc_repetition", "doc_stratified_sample",
+    "shard_manifest", "doc_lm_quality", "bpe_merge_pairs",
+    "pareto_abc", "cxc_master_summary", "cxc_saldo_factura",
+    "cxc_antiguedad",
 )
 
 
