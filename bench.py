@@ -207,8 +207,44 @@ HEADLINE = [
 ]
 
 
-def run_queries(spark, queries, names, sf_dir: str, reps: int
-                ) -> tuple[dict[str, float], dict[str, str]]:
+# Host-speed calibration anchor (VERDICT-r9 item #3).  A fixed,
+# data-independent JVM-side workload timed once per bench pass; its
+# min-of-N seconds land in the artifacts so a round-over-round wall swing
+# on byte-identical code is attributable by ONE division (r9 burned four
+# quiet windows proving a 20% regression was CPU steal).  The workload is
+# pinned: spark.range over 32 partitions -> xxhash64 mix -> modular
+# bucket -> groupBy agg, i.e. codegen + partial agg + one tiny exchange,
+# the same machinery the headline queries spend their time in.  DO NOT
+# change N / partition count / expressions without re-pinning
+# CALIBRATION_REF_SEC — comparability across rounds is the entire point.
+CALIBRATION_N = 1_200_000_000
+# Reference host speed, pinned at the commit that introduced the anchor
+# (r10 open, 2026-08-16: min 2.195 over 6 warm runs; spread 2.20-2.49).
+# NOTE the r10-open host ran ~1.33x slower than the r8 quiet window
+# (judge-measured, VERDICT-r9), so "1.0x normalized" means r10-open
+# speed, not r8 speed.  normalized = raw * (ref/cal).
+CALIBRATION_REF_SEC = 2.20
+
+
+def run_calibration(spark) -> float:
+    t0 = time.time()
+    (
+        spark.range(0, CALIBRATION_N, 1, 32)
+        .selectExpr(
+            "pmod(xxhash64(id, id * 2654435761), 1024) AS b",
+            # modular-reduce before summing: ANSI mode (session default)
+            # raises on long overflow, and 1.2e8 full-range hashes overflow
+            "pmod(xxhash64(id, 1099511628211), 1000003) AS h",
+        )
+        .groupBy("b")
+        .agg({"h": "sum"})
+        .write.format("noop").mode("overwrite").save()
+    )
+    return time.time() - t0
+
+
+def run_queries(spark, queries, names, sf_dir: str, reps: int,
+                pass_hook=None) -> tuple[dict[str, float], dict[str, str]]:
     """Time each query min-of-``reps`` with per-query fault isolation: one
     broken query is ONE ``errors`` entry, never an aborted run (round 3
     lost its whole bench to a single analysis error).
@@ -220,10 +256,16 @@ def run_queries(spark, queries, names, sf_dir: str, reps: int
     the inflated number. With passes minutes apart, a stall can poison
     at most one rep of any query (r9: two quiet windows showed an
     across-the-board ~1.17x on untouched sub-second queries — exactly
-    this failure mode)."""
+    this failure mode).
+
+    ``pass_hook`` (if given) runs at the start of every pass — the
+    calibration anchor uses it so the host-speed sample shares the
+    passes' stall-isolation."""
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for _ in range(reps):
+        if pass_hook is not None:
+            pass_hook()
         for name in names:
             if name in errors:
                 continue
@@ -254,15 +296,28 @@ def main() -> None:
     # The host shows sporadic multi-second stalls unrelated to the workload;
     # min-of-N isolates actual engine cost from environment noise.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    timings, errors = run_queries(spark, queries, names, sf_dir, reps)
+    calibrations: list[float] = []
+    timings, errors = run_queries(
+        spark, queries, names, sf_dir, reps,
+        pass_hook=lambda: calibrations.append(run_calibration(spark)))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cal = round(min(calibrations), 3) if calibrations else None
+    total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": dict(timings, **{n: {"err": e} for n, e in errors.items()}),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Host-speed anchor: seconds for the pinned data-independent
+        # workload (min over passes), its quiet-host reference, and the
+        # host-normalized total.  Compare value_normalized across rounds;
+        # raw `value` swings with CPU steal (see VERDICT-r9).
+        "calibration_sec": cal,
+        "calibration_ref_sec": CALIBRATION_REF_SEC,
+        "value_normalized": (
+            round(total * CALIBRATION_REF_SEC / cal, 3) if cal else None),
     }
     if errors:
         out["errors"] = len(errors)
@@ -307,6 +362,8 @@ def main() -> None:
             "unit": "sec",
             "sf": out["sf"],
             "n_queries": len(timings),
+            "calibration_sec": out["calibration_sec"],
+            "value_normalized": out["value_normalized"],
             "detail": detail_path,
         }
         if errors:

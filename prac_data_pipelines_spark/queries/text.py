@@ -716,7 +716,7 @@ WITH ds AS (
   SELECT doc_id, source, unnest(gs) AS g FROM ds
 ), gc AS MATERIALIZED (
   SELECT g, count(*) AS n FROM p GROUP BY g
-), d AS MATERIALIZED (
+), d AS (
   SELECT p.doc_id, p.source, count(*) AS total,
          sum(CASE WHEN gc.n >= 2 THEN 1 ELSE 0 END) AS dup
   FROM p JOIN gc USING (g) GROUP BY p.doc_id, p.source
@@ -1075,7 +1075,7 @@ WITH sh AS MATERIALIZED (
 ), {SQL_BANDS_CTE}, cand AS (
   SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
   FROM bands l JOIN bands r ON l.banda = r.banda AND l.doc_id < r.doc_id
-), met AS MATERIALIZED (
+), met AS (
   SELECT d1, d2,
          floor(len(list_intersect(l.sh, r.sh))::DOUBLE / len(l.sh)
                * 10000 + 0.5) / 10000 AS contencion_1_en_2,
@@ -1810,11 +1810,16 @@ WITH ws AS MATERIALIZED (
 ), wins AS MATERIALIZED (
   SELECT doc_id, s.pos AS pos, s.g AS g FROM wins0
 ), firsts AS (
-  SELECT g, min({{'d': doc_id, 'p': pos}}) AS f
+  -- lexicographic min(doc_id, pos) as a PACKED BIGINT min: pos < 2^32
+  -- always (per-doc window index), so the packing is order-preserving.
+  -- DuckDB's min(STRUCT) aggregate is pathologically slow here (483 s
+  -- CPU / ~80 s wall at sf0.1 vs 0.4 s packed — profiled r10); the
+  -- Spark side keeps min(struct) which is cheap in Tungsten.
+  SELECT g, min(doc_id * 4294967296 + pos) AS f
   FROM wins GROUP BY g HAVING count(*) >= 2
 ), fl AS (
   SELECT doc_id, pos FROM wins JOIN firsts USING (g)
-  WHERE NOT (doc_id = f.d AND pos = f.p)
+  WHERE doc_id * 4294967296 + pos <> f
 ), st AS (
   SELECT doc_id, pos,
          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS _prev
@@ -1961,29 +1966,29 @@ WITH hs AS (
   SELECT doc_id, source,
          list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}) AS g
   FROM documents
-), fp0 AS MATERIALIZED (
+), fp0 AS (
   SELECT doc_id, source, len(g) AS m, greatest(len(g) - {FP_W - 1}, 1) AS nw,
          list_transform(range(0, len(g)),
                         j -> g[j + 1] * {_FP_PACK} + ({_FP_PACK - 1} - j))
            AS pk
   FROM hs
-), pd AS MATERIALIZED (
+), pd AS (
   SELECT doc_id, source, nw,
          list_distinct(list_transform(range(0, nw),
            w -> list_min(list_slice(pk, w + 1, least(w + {FP_W}, m))))) AS fps
   FROM fp0
 ), pdn AS MATERIALIZED (
   SELECT doc_id, source, nw, len(fps)::BIGINT AS nfp, fps FROM pd
-), ex0 AS MATERIALIZED (
+), ex0 AS (
   SELECT doc_id, unnest(fps) AS p FROM pdn
 ), ex AS MATERIALIZED (
   SELECT doc_id, p // {_FP_PACK} AS fh FROM ex0
-), shared AS MATERIALIZED (
+), shared AS (
   SELECT fh FROM ex GROUP BY fh HAVING count(DISTINCT doc_id) >= 2
 ), ds AS MATERIALIZED (
   SELECT doc_id, count(*)::BIGINT AS comp
   FROM ex JOIN shared USING (fh) GROUP BY doc_id
-), doc AS MATERIALIZED (
+), doc AS (
   SELECT pdn.doc_id, pdn.source, nfp, nw,
          coalesce(comp, 0)::BIGINT AS comp
   FROM pdn LEFT JOIN ds ON pdn.doc_id = ds.doc_id
@@ -2071,7 +2076,7 @@ WITH hs0 AS (
 ), {SQL_BANDS_CTE}, cand AS (
   SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
   FROM bands l JOIN bands r ON l.banda = r.banda AND l.doc_id < r.doc_id
-), scored0 AS MATERIALIZED (
+), scored0 AS (
   SELECT len(list_intersect(b1.ghs, b2.ghs))::DOUBLE AS inter,
          (len(b1.ghs) + len(b2.ghs))::DOUBLE
            - len(list_intersect(b1.ghs, b2.ghs))::DOUBLE AS un,
@@ -2083,7 +2088,7 @@ WITH hs0 AS (
   JOIN base b2 ON b2.doc_id = cand.d2
   JOIN sigs s1 ON s1.doc_id = cand.d1
   JOIN sigs s2 ON s2.doc_id = cand.d2
-), scored AS MATERIALIZED (
+), scored AS (
   SELECT least(floor((inter / un) * 10), 9)::BIGINT AS decil,
          inter / un AS jac, est, abs(est - inter / un) AS err
   FROM scored0
@@ -2518,11 +2523,11 @@ WITH sh AS MATERIALIZED (
                   CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
                 THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
   FROM whs
-), hams AS MATERIALIZED (
+), hams AS (
   SELECT bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
   FROM ground JOIN sim a ON a.doc_id = ground.d1
               JOIN sim b ON b.doc_id = ground.d2
-), hist AS MATERIALIZED (
+), hist AS (
   SELECT hamming, count(*)::BIGINT AS pares FROM hams GROUP BY hamming
 )
 SELECT hamming, pares,

@@ -53,9 +53,12 @@ def transform_state_available() -> bool:
     """
     try:
         # find_spec raises ModuleNotFoundError when the parent ``google``
-        # namespace package itself is absent (not just returning None)
+        # namespace package itself is absent (not just returning None),
+        # and ValueError when a partially-initialized ``google`` package
+        # has __spec__ set to None (ADVICE-r9) — both mean "unusable",
+        # so both route to the fallback rather than crash the probe
         return importlib.util.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:
+    except (ModuleNotFoundError, ValueError):
         return False
 
 TOP_K = 3

@@ -21,8 +21,10 @@ import pytest
 REPO = Path(__file__).resolve().parents[1]
 REFERENCE = Path("/root/reference")
 
-_CITE = re.compile(r"\b((?:src|dashboard|config)/[A-Za-z0-9_/]+\.(?:py|sql))")
-_SELF = re.compile(r"\b(tests/[A-Za-z0-9_/]+\.py)\b")
+# Segment chars include ./- so dotted or hyphenated fabricated paths
+# (src/data-transformer.py, src/v2.utils.py) are validated too (ADVICE-r9).
+_CITE = re.compile(r"\b((?:src|dashboard|config)/[A-Za-z0-9_./-]*[A-Za-z0-9_]\.(?:py|sql))")
+_SELF = re.compile(r"\b(tests/[A-Za-z0-9_./-]*[A-Za-z0-9_]\.py)\b")
 
 
 def _source_files() -> list[Path]:

@@ -46,6 +46,37 @@ def test_head_covers_every_stale_or_new_query():
     )
 
 
+def test_next_rotation_is_staged_in_priority_order():
+    """VERDICT-r9 item #8: the NEXT round's must-run block must already sit
+    directly below the 50-row boundary, so each rotation stays one
+    mechanical head-swap.  Simulate the upcoming driver verdicts landing
+    on the current head, then recompute the following round's must-run
+    set and assert it fits inside positions [HEAD_BUDGET, 2*HEAD_BUDGET).
+    """
+    names, latest, _ = freshness.audit(REPO)
+    next_run = freshness.max_round(REPO) + 1
+    simulated = dict(latest)
+    for n in names[: freshness.HEAD_BUDGET]:
+        simulated[n] = next_run
+    round_after = next_run + 1
+    must_next = [
+        n for n in names
+        if simulated.get(n) is None
+        or round_after - simulated[n] > freshness.MAX_AGE_ROUNDS
+    ]
+    staged = set(names[freshness.HEAD_BUDGET: 2 * freshness.HEAD_BUDGET])
+    unstaged = [n for n in must_next if n not in staged]
+    assert len(must_next) <= freshness.HEAD_BUDGET, (
+        f"next-round must-run set is {len(must_next)} > budget — registry "
+        "over capacity or a rotation was skipped"
+    )
+    assert unstaged == [], (
+        f"next-round must-run queries not staged directly below the head "
+        f"boundary: {unstaged} — reorder _PRIORITY now so the r{round_after} "
+        "rotation stays a mechanical head-swap"
+    )
+
+
 def test_every_query_has_value_oracle_or_documented_exception():
     """The registry has carried full value oracles for every query since
     r4; keep it that way so the driver never downgrades to rows-only."""

@@ -24,16 +24,16 @@ sweep is: check_oracle.py /root/testdata/sf0.1 --skip-recursive).
 
 sf0.1 policy for the SLOW (non-recursive) oracles (VERDICT-r8 item #5):
 SLOW_ORACLE_QUERIES below have DuckDB oracles that are polynomial-heavy
-but terminating at sf0.1 — currently only doc_strip_dup_spans, whose
-window-hash oracle takes ~90-150 s there (the Spark side takes ~4 s;
-the asymmetry is the point of the engine). It was ~380 s until r9
-added AS MATERIALIZED to the twice-referenced ws/wins CTEs of the
-span-oracle family — DuckDB inlined them, recomputing the ~23M-window
-hash explosion per reference. POLICY: these STAY in the canonical
-sf0.1 sweep — the cost is accepted once per round for a full value
-check; they are never excluded from any sweep that gates a round.
---skip-slow exists ONLY for interactive iteration (it prints what it
-skipped so a skipped sweep can't be mistaken for canonical).
+but terminating at sf0.1. The set is EMPTY as of r10:
+doc_strip_dup_spans was the last member (~380 s, cut to ~90-150 s in
+r9 by AS MATERIALIZED on the twice-referenced ws/wins CTEs, then to
+~0.3 s in r10 by replacing DuckDB's pathological min(STRUCT) aggregate
+with an order-preserving packed-BIGINT min — profiled at 483 s CPU for
+224k groups). POLICY stands for any future member: slow oracles STAY
+in the canonical sf0.1 sweep — the cost is accepted once per round for
+a full value check; they are never excluded from any sweep that gates
+a round. --skip-slow exists ONLY for interactive iteration (it prints
+what it skipped so a skipped sweep can't be mistaken for canonical).
 """
 
 from __future__ import annotations
@@ -62,9 +62,7 @@ RECURSIVE_ORACLE_QUERIES = frozenset({
 # Non-recursive oracles that are slow (minutes, not hours) at sf0.1.
 # These remain IN the canonical sf0.1 sweep — see module docstring for
 # the accepted-cost policy; --skip-slow is for iteration only.
-SLOW_ORACLE_QUERIES = frozenset({
-    "doc_strip_dup_spans",  # ~90-150 s DuckDB / ~4 s Spark at sf0.1
-})
+SLOW_ORACLE_QUERIES = frozenset()  # empty since r10 (see policy above)
 
 
 def main() -> int:
