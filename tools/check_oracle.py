@@ -106,6 +106,7 @@ def main() -> int:
               f"ONLY — not a canonical sweep): {', '.join(skipped)}")
     failures = 0
     checked = 0
+    sweep_t0 = time.time()
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -135,7 +136,8 @@ def main() -> int:
                 print(f"      {p}")
         else:
             print(f"OK    {name}: {len(spark_pd)} rows [{time.time()-t0:.1f}s]")
-    print(f"\n{checked - failures}/{checked} passing")
+    print(f"\n{checked - failures}/{checked} passing "
+          f"[sweep wall {time.time() - sweep_t0:.0f}s]")
     return 1 if failures else 0
 
 
