@@ -297,9 +297,17 @@ def main() -> None:
     # min-of-N isolates actual engine cost from environment noise.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     calibrations: list[float] = []
-    timings, errors = run_queries(
-        spark, queries, names, sf_dir, reps,
-        pass_hook=lambda: calibrations.append(run_calibration(spark)))
+
+    def _calibrate() -> None:
+        # a broken anchor must cost the calibration fields, never the
+        # bench (same fault-isolation rule as per-query errors)
+        try:
+            calibrations.append(run_calibration(spark))
+        except Exception:  # noqa: BLE001
+            pass
+
+    timings, errors = run_queries(spark, queries, names, sf_dir, reps,
+                                  pass_hook=_calibrate)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     cal = round(min(calibrations), 3) if calibrations else None
