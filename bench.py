@@ -233,7 +233,7 @@ def run_calibration(spark) -> float:
         .selectExpr(
             "pmod(xxhash64(id, id * 2654435761), 1024) AS b",
             # modular-reduce before summing: ANSI mode (session default)
-            # raises on long overflow, and 1.2e8 full-range hashes overflow
+            # raises on long overflow, and 1.2e9 full-range hashes overflow
             "pmod(xxhash64(id, 1099511628211), 1000003) AS h",
         )
         .groupBy("b")

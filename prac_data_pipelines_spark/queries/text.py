@@ -1811,7 +1811,9 @@ WITH ws AS MATERIALIZED (
   SELECT doc_id, s.pos AS pos, s.g AS g FROM wins0
 ), firsts AS (
   -- lexicographic min(doc_id, pos) as a PACKED BIGINT min: pos < 2^32
-  -- always (per-doc window index), so the packing is order-preserving.
+  -- always (per-doc window index) AND doc_id < 2^31 (else the multiply
+  -- overflows INT64 — DuckDB raises loudly, it cannot return wrong
+  -- answers; re-pack with a wider shift if doc ids ever go 64-bit).
   -- DuckDB's min(STRUCT) aggregate is pathologically slow here (483 s
   -- CPU / ~80 s wall at sf0.1 vs 0.4 s packed — profiled r10); the
   -- Spark side keeps min(struct) which is cheap in Tungsten.

@@ -102,8 +102,12 @@ def main() -> int:
         skipped = sorted(SLOW_ORACLE_QUERIES & queries.keys())
         queries = {n: f for n, f in queries.items()
                    if n not in SLOW_ORACLE_QUERIES}
-        print(f"skipping {len(skipped)} slow-oracle queries (ITERATION "
-              f"ONLY — not a canonical sweep): {', '.join(skipped)}")
+        if skipped:
+            print(f"skipping {len(skipped)} slow-oracle queries (ITERATION "
+                  f"ONLY — not a canonical sweep): {', '.join(skipped)}")
+        else:
+            print("--skip-slow: SLOW_ORACLE_QUERIES is empty — nothing "
+                  "skipped; this sweep is canonical-equivalent")
     failures = 0
     checked = 0
     sweep_t0 = time.time()

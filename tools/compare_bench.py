@@ -26,6 +26,10 @@ def _load(path: str) -> dict:
     d["_path"] = path
     d["_timings"] = {k: v for k, v in d.get("queries", {}).items()
                      if isinstance(v, (int, float))}
+    # bench.py records a failed query as {"err": "..."} — surface these
+    # as breakages, never as silently absent timings
+    d["_errors"] = {k: v["err"] for k, v in d.get("queries", {}).items()
+                    if isinstance(v, dict) and "err" in v}
     return d
 
 
@@ -63,21 +67,35 @@ def main() -> int:
         host = n_cal / o_cal
         print(f"median host-adjusted ratio: {med / host:.3f} "
               "(≈1.0 means the code is the same speed)")
-    print("\nbiggest regressions (raw):")
-    for r, k in ratios[-5:][::-1]:
+    regressions = [(r, k) for r, k in ratios if r > 1.0][-5:][::-1]
+    improvements = [(r, k) for r, k in ratios if r < 1.0][:5]
+    print("\nbiggest regressions (raw):" if regressions
+          else "\nno raw regressions (every shared query >= old speed)")
+    for r, k in regressions:
         print(f"  {r:5.2f}x  {k}  ({old['_timings'][k]:.2f}s -> "
               f"{new['_timings'][k]:.2f}s)")
-    print("biggest improvements (raw):")
-    for r, k in ratios[:5]:
+    if improvements:
+        print("biggest improvements (raw):")
+    for r, k in improvements:
         print(f"  {r:5.2f}x  {k}  ({old['_timings'][k]:.2f}s -> "
               f"{new['_timings'][k]:.2f}s)")
-    only_new = sorted(set(new["_timings"]) - set(old["_timings"]))
-    only_old = sorted(set(old["_timings"]) - set(new["_timings"]))
+    # a query erroring on one side is a BREAKAGE (or a fix), not a
+    # headline-set change — report it before the only-in lists
+    broke = sorted(set(new["_errors"]) & set(old["_timings"]))
+    fixed = sorted(set(old["_errors"]) & set(new["_timings"]))
+    for k in broke:
+        print(f"BROKE this round: {k} — {new['_errors'][k][:200]}")
+    for k in fixed:
+        print(f"fixed this round: {k} (errored in old run)")
+    only_new = sorted(set(new["_timings"]) - set(old["_timings"])
+                      - set(old["_errors"]))
+    only_old = sorted(set(old["_timings"]) - set(new["_timings"])
+                      - set(new["_errors"]))
     if only_new:
         print(f"\nonly in new ({len(only_new)}): {', '.join(only_new)}")
     if only_old:
         print(f"only in old ({len(only_old)}): {', '.join(only_old)}")
-    return 0
+    return 1 if broke else 0
 
 
 if __name__ == "__main__":
