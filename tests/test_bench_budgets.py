@@ -71,6 +71,17 @@ def test_bench_isolates_a_broken_query(spark, sf_dir):
     assert "RuntimeError" in errors["broken"]
 
 
+def test_calibration_anchor_runs(spark):
+    """The host-speed anchor must complete under the session defaults —
+    it broke once in development on ANSI-mode long overflow (sum of
+    full-range hashes), which only surfaces at execution time."""
+    import bench
+
+    sec = bench.run_calibration(spark)
+    assert sec > 0
+    assert bench.CALIBRATION_REF_SEC > 0
+
+
 def test_total_budget(headline_timings):
     total = sum(headline_timings.values())
     assert total <= TOTAL_BUDGET_SEC, (
