@@ -629,10 +629,17 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MATERIALIZED policy (measured at sf0.1, 2026-08-16): the hint stays only
+# where it is load-bearing — multi-referenced CTEs (sh here: both sides of
+# the verify join) and the single-ref cases where DuckDB's inliner measurably
+# loses (hs in SQL_DOC_MINHASH_CONTAINMENT +4%, ds in SQL_DOC_WINNOWING +12%
+# without it). Single-ref hints that A/B'd neutral-or-slower WITH the hint
+# (hs here -28%, gc in SQL_DOC_DUP_NGRAMS, hs/ground/whs in
+# SQL_SIMHASH_RECALL_AUDIT -23%) were dropped; results byte-identical.
 SQL_DOC_NGRAM_JACCARD = f"""
 WITH sh AS MATERIALIZED (
   SELECT doc_id, list_distinct({SQL_SHINGLES}) AS sh FROM documents
-), hs AS MATERIALIZED (
+), hs AS (
   SELECT doc_id, list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}) AS hs
   FROM documents
 ), sigs AS (
@@ -714,7 +721,7 @@ WITH ds AS (
   FROM documents
 ), p AS MATERIALIZED (
   SELECT doc_id, source, unnest(gs) AS g FROM ds
-), gc AS MATERIALIZED (
+), gc AS (
   SELECT g, count(*) AS n FROM p GROUP BY g
 ), d AS (
   SELECT p.doc_id, p.source, count(*) AS total,
@@ -2499,7 +2506,7 @@ def q_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SIMHASH_RECALL_AUDIT = f"""
 WITH sh AS MATERIALIZED (
   SELECT doc_id, list_distinct({SQL_SHINGLES}) AS sh FROM documents
-), hs AS MATERIALIZED (
+), hs AS (
   SELECT doc_id, list_transform({SQL_SHINGLES}, s -> {_sql_h('s')}) AS hs
   FROM documents
 ), sigs AS (
@@ -2507,7 +2514,7 @@ WITH sh AS MATERIALIZED (
 ), {SQL_BANDS_CTE}, cand AS (
   SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
   FROM bands l JOIN bands r ON l.banda = r.banda AND l.doc_id < r.doc_id
-), ground AS MATERIALIZED (
+), ground AS (
   SELECT d1, d2
   FROM cand JOIN sh l ON l.doc_id = cand.d1
             JOIN sh r ON r.doc_id = cand.d2
@@ -2515,7 +2522,7 @@ WITH sh AS MATERIALIZED (
               / (len(l.sh) + len(r.sh)
                  - len(list_intersect(l.sh, r.sh)))::DOUBLE
               * 10000 + 0.5) / 10000 >= {CURATION_JACCARD}
-), whs AS MATERIALIZED (
+), whs AS (
   SELECT doc_id, list_transform({SQL_WORDS}, w -> {_sql_h('w')}) AS whs
   FROM documents
 ), sim AS MATERIALIZED (
