@@ -41,8 +41,18 @@ def min_label_components(spark: SparkSession, pairs: DataFrame,
     edges = edges0.repartition(n_part, "d1").cache()
     edges.count()  # materialize before dropping the pre-repartition cache
     edges0.unpersist()
-    labels = (edges.select(F.col("d1").alias("doc_id")).distinct()
-              .withColumn("etiqueta", F.col("doc_id")).cache())
+    # seed = round-1 min-propagation, fused into node extraction: the node
+    # set needs one d1 shuffle either way (distinct vs groupBy are the same
+    # hash-aggregate), so folding min(d2) into it pre-applies the first
+    # propagation step for free — star/pair components (the bulk of a
+    # near-dup graph) then converge one full loop round (3 joins + a
+    # checkpoint + a count) earlier. Measured at sf0.1 (alternating A/B,
+    # min-of-4): rounds drop exactly 1 on every family member
+    # (doc_dup_clusters 3->2, multimodal_phash_clusters 5->4) and the
+    # six CC-family queries run 0.80-0.91x, 18.0 -> 15.5 s total.
+    labels = (edges.groupBy(F.col("d1").alias("doc_id"))
+              .agg(F.least(F.col("d1"), F.min("d2")).alias("etiqueta"))
+              .cache())
     converged = False
     for _ in range(1, max_rounds + 1):
         neighbor_min = (

@@ -232,3 +232,34 @@ def test_dedup_weights_conserve_content_mass(spark, sf_dir):
     want = (n_docs - n_clustered_docs) + n_clusters
     assert abs(total_eff - want) < 0.01 + n_clusters * 64 / 1e6
     assert total_eff < n_docs  # weighting must actually down-weight
+
+
+def test_min_label_components_labels_and_raise(spark):
+    """Direct unit test of the shared CC core: labels on a mix of path /
+    star / pair / self-loop components equal the smallest reachable id
+    (with the seeded first propagation step this exercises both the
+    pre-seeded fast path — pairs/stars converge in the verification
+    round — and the loop for the diameter-4 path); exhausting the round
+    budget must raise, never return partial labels."""
+    import pytest as _pytest
+
+    from prac_data_pipelines_spark.operators.graph import (
+        min_label_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3), (5, 4),       # path 1-2-3-4-5
+         (10, 9), (11, 9), (12, 9),            # star centered at 9
+         (20, 21),                             # pair
+         (30, 30)],                            # self-loop singleton
+        "d1 long, d2 long")
+    got = {(r.doc_id, r.etiqueta)
+           for r in min_label_components(spark, pairs).collect()}
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+            (9, 9), (10, 9), (11, 9), (12, 9),
+            (20, 20), (21, 20), (30, 30)}
+    assert got == want
+    # budget exhaustion raises (diameter-4 path cannot converge in 1
+    # round even with the seed + pointer jump)
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(spark, pairs, max_rounds=1)
