@@ -2701,3 +2701,44 @@ def test_doc_eval_contamination_matches_python_reference(spark, docs):
     want = sorted((b, len(fs), sum(fs) // len(fs), max(fs))
                   for b, fs in per_bucket.items())
     assert got == want
+
+
+_cc_pairs = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    min_size=1, max_size=80)
+
+
+@given(pairs=_cc_pairs)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_min_label_components_equal_union_find(spark, pairs):
+    """The distributed CC core must label every node of a random pair
+    graph (self-loops, duplicate and reversed edges included) with the
+    smallest node id in its component — checked against a driver-side
+    union-find. Exercises the seeded first propagation step across
+    arbitrary topologies, not just the near-dup star/pair shapes."""
+    from prac_data_pipelines_spark.operators.graph import (
+        min_label_components,
+    )
+
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(pairs, "d1 long, d2 long")
+    got = {r.doc_id: r.etiqueta
+           for r in min_label_components(spark, df).collect()}
+    assert got == want
