@@ -1112,8 +1112,9 @@ register("doc_minhash_containment", q_doc_minhash_containment,
 # candidate pairs. Spark side: iterative min-label propagation PLUS
 # pointer jumping (each round also replaces a doc's label with its
 # label's label), so rounds needed is O(log diameter), not O(diameter).
-# Convergence is checked every other round (halving the extra count jobs
-# the check costs); exhausting the round budget without converging raises
+# Labels are seeded with the first min-propagation step (fused into node
+# extraction), and convergence is a cheap filter-count over checkpointed
+# rows every round; exhausting the round budget without converging raises
 # rather than silently returning partial labels. Oracle: transitive
 # closure via a recursive CTE — an independent formulation of the same
 # semantics.
