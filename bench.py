@@ -260,7 +260,17 @@ def run_queries(spark, queries, names, sf_dir: str, reps: int,
 
     ``pass_hook`` (if given) runs at the start of every pass — the
     calibration anchor uses it so the host-speed sample shares the
-    passes' stall-isolation."""
+    passes' stall-isolation.
+
+    The DataFrame cache is CLEARED before every timed run (r10): the
+    engine's ``.cache()`` sites key on canonicalized plans, so without
+    the clear, rep 2+ of a cache-building query (and any LATER query
+    sharing a cached frame, e.g. the minhash-signature family) reuses
+    rep 1's blocks and min-of-N reports the incremental re-run cost,
+    not the query's cost (measured: doc_minhash_pairs 1.25 s cache-warm
+    vs 2.02 s cache-cold). Intra-query cache reuse — a frame built and
+    consumed within ONE timed run — is untouched; that is the plan
+    being measured."""
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for _ in range(reps):
@@ -269,6 +279,7 @@ def run_queries(spark, queries, names, sf_dir: str, reps: int,
         for name in names:
             if name in errors:
                 continue
+            spark.catalog.clearCache()
             t0 = time.time()
             try:
                 queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
