@@ -1658,7 +1658,11 @@ def dup_spans(docs: DataFrame) -> DataFrame:
            .agg(F.count(F.lit(1)).alias("_n"))
            .filter("_n >= 2")
            .select("g"))
-    return _chain_spans(wins.join(dup, "g"))
+    # the duplicated-gram key set is CORPUS-derived (grows with data, not
+    # a dim): pin the join to sort-merge so a small-side size estimate
+    # can never pick broadcast — at 128x stress the estimate undershot
+    # and the broadcast build blew the executor heap (r10)
+    return _chain_spans(wins.join(dup.hint("merge"), "g"))
 
 
 def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1667,7 +1671,7 @@ def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy("desde_palabra")
     return (spans
             .withColumn("span_idx", F.row_number().over(w).cast("long"))
-            .join(docs.select("doc_id", "source"), "doc_id")
+            .join(docs.select("doc_id", "source").hint("merge"), "doc_id")
             .selectExpr("cast(doc_id as bigint) AS doc_id", "source",
                         "span_idx", "desde_palabra", "n_palabras")
             .orderBy("doc_id", "span_idx"))
@@ -1758,7 +1762,10 @@ def strip_spans(docs: DataFrame) -> DataFrame:
                    F.count(F.lit(1)).alias("_n"))
               .filter("_n >= 2")
               .select("g", "_f"))
-    flagged = (wins.join(firsts, "g")
+    # firsts is corpus-derived (one row per duplicated gram): same
+    # merge-pin rationale as dup_spans — never broadcast a frame that
+    # scales with the corpus
+    flagged = (wins.join(firsts.hint("merge"), "g")
                .filter("NOT (doc_id = _f.doc_id AND pos = _f.pos)")
                .select("doc_id", "pos"))
     return (_chain_spans(flagged)
@@ -1773,7 +1780,9 @@ def strip_dup_spans(docs: DataFrame) -> DataFrame:
     per_doc = (strip_spans(docs).groupBy("doc_id")
                .agg(F.collect_list(F.struct("desde_palabra", "n_palabras"))
                     .alias("_spans")))
-    out = (docs.join(per_doc, "doc_id", "left")
+    # per_doc holds a row per rewritten doc — corpus-derived; merge-pin
+    # (the 128x stress run OOM'd building exactly this broadcast)
+    out = (docs.join(per_doc.hint("merge"), "doc_id", "left")
            .withColumn("_ws", F.expr(WORDS))
            .withColumn(
                "text",
@@ -1794,7 +1803,8 @@ def q_doc_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.collect_list(F.struct("desde_palabra", "n_palabras"))
                     .alias("_spans"),
                     F.count(F.lit(1)).cast("long").alias("spans_eliminados")))
-    return (docs.join(per_doc, "doc_id")
+    # merge-pin: per_doc is corpus-derived (see strip_dup_spans)
+    return (docs.join(per_doc.hint("merge"), "doc_id")
             .withColumn("_ws", F.expr(WORDS))
             .withColumn("_kept", F.expr(_STRIP_KEEP))
             .selectExpr("cast(doc_id as bigint) AS doc_id", "source",
