@@ -143,6 +143,21 @@ def sharded_range_window(df: DataFrame, partition_cols: list[str], ts_col: str,
     buckets over a 24 h window); parallelism = ``|key| x |buckets|``.
     ``window_cols`` maps output column name -> ``lambda w: <expr>.over(w)``.
     """
+    exploded = _shard_explode(df, ts_col, range_seconds, bucket_seconds)
+    w = (Window.partitionBy(*partition_cols, "_bucket")
+         .orderBy("_sec").rangeBetween(-range_seconds, 0))
+    out = exploded
+    for name, fn in window_cols.items():
+        out = out.withColumn(name, fn(w))
+    return out.filter(F.col("_home")).drop("_home", "_bucket", "_sec")
+
+
+def _shard_explode(df: DataFrame, ts_col: str, range_seconds: int,
+                   bucket_seconds: int | None) -> DataFrame:
+    """Shared shard fan-out for the time-sharded window operators: adds
+    ``_sec`` (epoch seconds), ``_bucket`` (home or carried shard) and
+    ``_home``; rows in the trailing ``range_seconds`` of a bucket are
+    duplicated into the next shard as context-only rows."""
     bucket_seconds = int(bucket_seconds or 7 * range_seconds)
     if bucket_seconds < range_seconds:
         raise ValueError("bucket_seconds must be >= range_seconds "
@@ -157,16 +172,65 @@ def sharded_range_window(df: DataFrame, partition_cols: list[str], ts_col: str,
     carry = F.struct((F.col("_bucket") + 1).alias("b"),
                      F.lit(False).alias("h"))
     shards = F.when(near_edge, F.array(home, carry)).otherwise(F.array(home))
-    exploded = (base.withColumn("_shard", F.explode(shards))
-                .withColumn("_bucket", F.col("_shard.b"))
-                .withColumn("_home", F.col("_shard.h"))
-                .drop("_shard"))
-    w = (Window.partitionBy(*partition_cols, "_bucket")
-         .orderBy("_sec").rangeBetween(-range_seconds, 0))
-    out = exploded
-    for name, fn in window_cols.items():
-        out = out.withColumn(name, fn(w))
-    return out.filter(F.col("_home")).drop("_home", "_bucket", "_sec")
+    return (base.withColumn("_shard", F.explode(shards))
+            .withColumn("_bucket", F.col("_shard.b"))
+            .withColumn("_home", F.col("_shard.h"))
+            .drop("_shard"))
+
+
+def sharded_trailing_count_avg(df: DataFrame, partition_cols: list[str],
+                               ts_col: str, range_seconds: int,
+                               count_col: str, avg_col: str, value_col: str,
+                               bucket_seconds: int | None = None) -> DataFrame:
+    """Trailing time-RANGE ``count(*)`` + ``avg(value)`` via two
+    INCREMENTAL prefix frames instead of one sliding frame.
+
+    Spark's ``SlidingWindowFunctionFrame`` re-aggregates the ENTIRE frame
+    buffer for every output row (aggregate functions have no retraction),
+    so ``count/avg OVER (RANGE BETWEEN R PRECEDING AND CURRENT ROW)``
+    costs O(rows x frame-size) per shard — at sf0.1 the 24 h frame
+    averages ~655 events, and frame size grows linearly with event
+    density, making the sliding frame quadratic in scale overall. Frames
+    anchored at ``UNBOUNDED PRECEDING`` are evaluated incrementally
+    (``UnboundedPrecedingWindowFunctionFrame`` only ever ADDS rows), and
+    count/sum are subtractable, so the same result is a difference of two
+    running frames computed in ONE WindowExec over ONE sort:
+
+        frame [t-R, t]  =  [unbounded, t]  minus  [unbounded, t-R-1]
+
+    (``_sec`` is integer epoch seconds, so ``-(R+1)`` is exact; RANGE
+    frames include all order-value peers on both sides of the
+    subtraction, so tie groups cancel exactly.) Exact for the count; the
+    avg differs only in float-accumulation grouping (prefix-sum
+    difference vs per-frame sum), which the oracle gate verifies
+    hash-identical at every SF and under the determinism sweeps.
+
+    Same sharding contract as ``sharded_range_window``: parallelism
+    scales with |keys| x |time buckets|, boundary healed by overlap rows.
+    """
+    exploded = _shard_explode(df, ts_col, range_seconds, bucket_seconds)
+    base = Window.partitionBy(*partition_cols, "_bucket").orderBy("_sec")
+    w_now = base.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    w_past = base.rangeBetween(Window.unboundedPreceding,
+                               -(int(range_seconds) + 1))
+    v = F.col(value_col)
+    n = (F.count(F.lit(1)).over(w_now)
+         - F.count(F.lit(1)).over(w_past)).cast("long")
+    # materialize the value-count/sum differences as columns BEFORE the
+    # avg expression references them twice: window expressions are
+    # extracted per OCCURRENCE, so inlining n_vals in both the guard and
+    # the divisor would evaluate count(value) over each frame twice
+    out = (exploded
+           .withColumn(count_col, n)
+           .withColumn("_nv", F.count(v).over(w_now) - F.count(v).over(w_past))
+           .withColumn("_sv", F.coalesce(F.sum(v).over(w_now), F.lit(0.0))
+                       - F.coalesce(F.sum(v).over(w_past), F.lit(0.0))))
+    # empty-value frame -> NULL, matching avg() over a frame with no
+    # non-null values (the home row itself may carry a NULL value)
+    avg_vals = F.when(F.col("_nv") > 0, F.col("_sv") / F.col("_nv"))
+    return (out.withColumn(avg_col, avg_vals)
+            .filter(F.col("_home"))
+            .drop("_home", "_bucket", "_sec", "_nv", "_sv"))
 
 
 def band_groups(df: DataFrame, group_key: Column, order_by: list[Column],

@@ -277,14 +277,19 @@ def _events_rows(spark: SparkSession, sf_dir: str, ev: DataFrame) -> int:
 
 
 def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.windows import sharded_range_window
+    from ..operators.windows import sharded_trailing_count_avg
 
     ev = load_table(spark, sf_dir, "events")
     if _events_rows(spark, sf_dir, ev) > ROLLING_SHARD_ROWS:
-        rolled = sharded_range_window(
+        # count/avg are subtractable, so the sharded path computes the
+        # trailing frame as a difference of two incremental prefix
+        # frames (O(rows)) instead of Spark's sliding frame, which
+        # re-aggregates the whole ~density x 24 h buffer per row
+        # (O(rows x frame) — quadratic in scale; r10 A/B + plan
+        # evidence in plans/r10/events_rolling_*.txt)
+        rolled = sharded_trailing_count_avg(
             ev, ["event_type"], "ts", ROLLING_SECONDS,
-            {"n_24h": lambda w: F.count(F.lit(1)).over(w).cast("long"),
-             "media_24h": lambda w: F.avg("value").over(w)})
+            "n_24h", "media_24h", "value")
         return _rolling_summary(rolled)
     w = (Window.partitionBy("event_type")
          .orderBy(epoch_sec("ts"))
@@ -325,13 +330,12 @@ register("events_rolling", q_events_rolling, SQL_EVENTS_ROLLING)
 # --------------------------------------------------------------------------
 
 def q_events_rolling_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.windows import sharded_range_window
+    from ..operators.windows import sharded_trailing_count_avg
 
     ev = load_table(spark, sf_dir, "events")
-    rolled = sharded_range_window(
+    rolled = sharded_trailing_count_avg(
         ev, ["event_type"], "ts", ROLLING_SECONDS,
-        {"n_24h": lambda w: F.count(F.lit(1)).over(w).cast("long"),
-         "media_24h": lambda w: F.avg("value").over(w)})
+        "n_24h", "media_24h", "value")
     return _rolling_summary(rolled)
 
 

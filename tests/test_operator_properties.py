@@ -64,6 +64,40 @@ def test_sharded_range_window_equals_plain(spark, rows, bucket_mult):
     assert got == want
 
 
+@given(rows=_events, bucket_mult=st.integers(1, 5),
+       with_nulls=st.booleans())
+@settings(**SETTINGS)
+def test_sharded_trailing_count_avg_equals_plain(spark, rows, bucket_mult,
+                                                 with_nulls):
+    """The prefix-frame count/avg rewrite (r10: two incremental
+    [unbounded, X] frames subtracted instead of one sliding frame) must
+    equal the plain sliding RANGE window row-for-row — shard boundaries,
+    order-value ties, NULL values, and empty-past frames included.
+    Integer-valued doubles keep float sums exact, so equality is exact."""
+    from prac_data_pipelines_spark.operators.windows import (
+        sharded_trailing_count_avg)
+
+    data = [(i, k, s, None if (with_nulls and v % 3 == 0) else float(v))
+            for i, (k, s, v) in enumerate(rows)]
+    df = (spark.createDataFrame(
+        data, "event_id long, k long, sec long, value double")
+        .withColumn("ts", F.timestamp_seconds("sec")))
+
+    plain_w = (Window.partitionBy("k").orderBy(F.col("sec"))
+               .rangeBetween(-RANGE_SEC, 0))
+    plain = (df.withColumn("n", F.count(F.lit(1)).over(plain_w).cast("long"))
+             .withColumn("a", F.avg("value").over(plain_w))
+             .select("event_id", "n", "a"))
+    rewritten = sharded_trailing_count_avg(
+        df, ["k"], "ts", RANGE_SEC, "n", "a", "value",
+        bucket_seconds=RANGE_SEC * bucket_mult,
+    ).select("event_id", "n", "a")
+
+    got = sorted(map(tuple, rewritten.collect()))
+    want = sorted(map(tuple, plain.collect()))
+    assert got == want
+
+
 _large = st.lists(
     st.tuples(st.integers(0, 3), st.integers(-100, 100)),
     min_size=0, max_size=50)
