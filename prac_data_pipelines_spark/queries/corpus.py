@@ -33,8 +33,9 @@ from . import register
 from .text import SQL_WORDS, WORDS
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+def _docs(spark: SparkSession, sf_dir: str,
+          parallelize: bool = False) -> DataFrame:
+    return load_table(spark, sf_dir, "documents", parallelize=parallelize)
 
 
 # --------------------------------------------------------------------------
@@ -1231,7 +1232,7 @@ def doc_dsir_doc_weights(docs: DataFrame) -> DataFrame:
 
 
 def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    per_doc = doc_dsir_doc_weights(_docs(spark, sf_dir))
+    per_doc = doc_dsir_doc_weights(_docs(spark, sf_dir, parallelize=True))
     return (per_doc.groupBy("source")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.sum((F.col("peso") >= 1.0).cast("long")).cast("long")

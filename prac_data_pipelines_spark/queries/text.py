@@ -87,8 +87,9 @@ SQL_SIGS = (
 )
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+def _docs(spark: SparkSession, sf_dir: str,
+          parallelize: bool = False) -> DataFrame:
+    return load_table(spark, sf_dir, "documents", parallelize=parallelize)
 
 
 # Hot-band guard: a band key shared by a huge doc population (corpus-wide
@@ -1038,7 +1039,7 @@ CONTAINMENT_T = 0.7
 
 def q_doc_minhash_containment(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, parallelize=True)
     sh = (docs.selectExpr("doc_id", "text", f"{WORDS} AS _ws")
           .selectExpr("doc_id", f"array_distinct({_SHINGLES_WS}) AS sh"))
     bands = _band_guard(
@@ -1356,7 +1357,7 @@ _SIM56 = (
 
 
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, parallelize=True)
     h56 = "cast(conv(substring(md5(w), 1, 14), 16, 10) as bigint)"
     sim = (docs.selectExpr("doc_id",
                            f"transform({WORDS}, w -> {h56}) AS _hs")
@@ -1540,7 +1541,7 @@ def doc_substring_coverage(docs: DataFrame) -> DataFrame:
 
 
 def q_doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    per_doc = doc_substring_coverage(_docs(spark, sf_dir))
+    per_doc = doc_substring_coverage(_docs(spark, sf_dir, parallelize=True))
     frac = F.col("_cov").cast("double") / F.col("_n")
     return (per_doc.groupBy("source")
             .agg(F.count(F.lit(1)).cast("long").alias("docs_total"),

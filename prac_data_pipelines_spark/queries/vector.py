@@ -27,8 +27,9 @@ LSH_BITS = 6
 LSH_TOP_K = 3
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+def _emb(spark: SparkSession, sf_dir: str,
+         parallelize: bool = False) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings", parallelize=parallelize)
 
 
 # --------------------------------------------------------------------------
@@ -115,7 +116,7 @@ _KEYS_EXPR = (
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, parallelize=True)
     # Narrow bucket frame: (vec_id, cubo) only. Carrying the 64-float
     # embedding through the x12 explode and the bucket join would blow the
     # shuffle up 12x; instead candidates form on ids alone and embeddings
@@ -535,7 +536,7 @@ _ND_KEYS_EXPR = (
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, parallelize=True)
     copies = (emb.filter(F.col("vec_id") < 30)
               .withColumn("vec_id", F.col("vec_id") + 1000000))
     union = emb.unionByName(copies)
@@ -839,7 +840,7 @@ register("emb_label_centroids", q_emb_label_centroids,
 # --------------------------------------------------------------------------
 
 def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, parallelize=True)
     qe = (emb.filter(F.col("vec_id") < 50)
           .selectExpr("vec_id AS qid", "embedding AS qe"))
     ce = (emb.filter(F.col("vec_id") >= 50)
@@ -1180,7 +1181,7 @@ def emb_anisotropy_frame(emb_raw: DataFrame) -> DataFrame:
 
 
 def q_emb_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return emb_anisotropy_frame(_emb(spark, sf_dir))
+    return emb_anisotropy_frame(_emb(spark, sf_dir, parallelize=True))
 
 
 _SQL_POWER_CTES = []
@@ -1688,7 +1689,7 @@ _DECON_ALPHA = ("CASE WHEN bid % 3 = 0 THEN cast(0.0 as double) "
 
 
 def q_emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, parallelize=True)
     # norms are staged ONCE per side before the broadcast cross — the
     # inline cosine re-folded both norms per PAIR (|corpus| x |bench|
     # interpreted lambda folds; measured 6.3 s -> the dot alone at

@@ -47,10 +47,24 @@ def ensure_session_confs(spark: SparkSession) -> None:
             pass
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               parallelize: bool = False) -> DataFrame:
     """Scan one table. Filters/projections applied by callers are pushed into
     the parquet scan by Catalyst (verify with ``.explain``: ``PushedFilters``,
-    ``ReadSchema``)."""
+    ``ReadSchema`` — both still reach the scan through the gated repartition
+    below, plan-asserted in tests/test_physical_plans.py).
+
+    ``parallelize=True`` (fan-out-heavy consumers: per-row explode/hash
+    pipelines over documents/embeddings) heals unsplittable inputs: a table
+    written as one parquet row group yields ONE scan task no matter how
+    many byte-range splits the reader makes, so everything up to the first
+    exchange — tokenize, explode, hash, partial aggregation — runs on one
+    core. The standard fix is to repartition immediately after the read
+    (one cheap exchange of the pruned columns buys |cores|-way parallelism
+    for the expensive map work). GATED on the scan actually having fewer
+    partitions than the cluster's parallelism, so at production scale
+    (partitions >> cores) it is a no-op and the scan-side pipeline stays
+    exchange-free."""
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
@@ -59,7 +73,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # engine's UTC TIMESTAMP contract at this seam (operators/timeops.py).
         from ..operators.timeops import normalize_ts
         df = normalize_ts(df, "ts")
+    if parallelize:
+        cores = spark.sparkContext.defaultParallelism
+        key = (f"{sf_dir}/{name}.parquet", cores)
+        hit = _SCAN_UNDERPARALLEL.get(key)
+        if hit is None:
+            # df.rdd materializes the plan->RDD conversion on the driver
+            # (~0.1 s); queries that build many frames would pay it per
+            # construction, so the file-layout decision is memoized.
+            hit = _SCAN_UNDERPARALLEL[key] = (
+                df.rdd.getNumPartitions() < cores)
+        if hit:
+            df = df.repartition(cores)
     return df
+
+
+# (path, cores) -> bool: scan yields fewer partitions than cores (file
+# layout is immutable for a given path in one process lifetime)
+_SCAN_UNDERPARALLEL: dict[tuple[str, int], bool] = {}
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

@@ -128,3 +128,33 @@ def test_orc_avro_format_breadth(spark, sf_dir, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception, match="[Aa]vro"):
         orders.write.format("avro").save(str(tmp_path / "orders_avro"))
+
+
+def test_load_table_parallelize_gate(spark, sf_dir):
+    """The unsplittable-input heal: ``parallelize=True`` repartitions a
+    scan whose partition count is below the cluster parallelism (a
+    single-row-group file yields ONE task however it is split), is a
+    no-op by default, keeps results identical, and must not break filter
+    pushdown / column pruning at the scan."""
+    from pyspark.sql import functions as F
+
+    from prac_data_pipelines_spark.sources import load_table
+    from prac_data_pipelines_spark.sources.registry import _SCAN_UNDERPARALLEL
+
+    cores = spark.sparkContext.defaultParallelism
+    plain = load_table(spark, sf_dir, "documents")
+    par = load_table(spark, sf_dir, "documents", parallelize=True)
+    if plain.rdd.getNumPartitions() < cores:
+        assert par.rdd.getNumPartitions() == cores
+    # the layout decision is memoized per (path, cores)
+    assert (f"{sf_dir}/documents.parquet", cores) in _SCAN_UNDERPARALLEL
+    # identical content either way
+    assert (par.orderBy("doc_id").collect()
+            == plain.orderBy("doc_id").collect())
+    # pushdown + pruning still reach the scan through the repartition
+    q = par.filter(F.col("doc_id") > 10).select("doc_id", "source")
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted")
+    scan = plan[plan.index("Scan parquet"):]
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,10)]" in scan
+    assert "text" not in scan.split("ReadSchema")[1].splitlines()[0]
