@@ -24,7 +24,8 @@ def dual_sort_keys(amount: Column, name: Column) -> list[Column]:
 
 
 def global_positions(df: DataFrame, keys: list[Column],
-                     pos_col: str = "pos") -> DataFrame:
+                     pos_col: str = "pos",
+                     materialize: bool = False) -> DataFrame:
     """Global 1-based position under a total order — without the
     single-task collapse of ``row_number() OVER (ORDER BY ...)``.
 
@@ -40,9 +41,17 @@ def global_positions(df: DataFrame, keys: list[Column],
     The range exchange is reused across the count/offset branches
     (ReusedExchange), so the input is shuffled once. ``keys`` must be a
     total order (include a unique tiebreaker) for deterministic output.
+
+    ``materialize=True`` additionally ``localCheckpoint``s the ranged
+    frame so the input subtree upstream of the exchange is computed
+    exactly once even when per-branch column pruning makes the
+    exchanges non-identical (which defeats ReusedExchange). Opt-in per
+    call site — see ``pareto_abc``'s note.
     """
     ranged = df.repartitionByRange(*keys).withColumn(
         "_pid", F.spark_partition_id())
+    if materialize:
+        ranged = ranged.localCheckpoint()
     local = ranged.withColumn(
         "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*keys)))
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
@@ -61,7 +70,8 @@ def grouped_positions(df: DataFrame, group_cols: list[str],
                       order_keys: list[Column], pos_col: str = "pos",
                       n_col: str | None = None,
                       cum_of: Column | None = None, cum_col: str = "cum",
-                      total_col: str | None = None) -> DataFrame:
+                      total_col: str | None = None,
+                      materialize: bool = False) -> DataFrame:
     """Per-GROUP 1-based rank under a total order — without a
     ``Window.partitionBy(group)`` whose parallelism is capped at
     \\|groups\\| (one dominant group = one task at any data size).
@@ -86,12 +96,19 @@ def grouped_positions(df: DataFrame, group_cols: list[str],
     ``total_col``) — the grouped form of ``pareto_abc``'s two-level
     cumsum. Exact for integral values (offsets re-associate the sum,
     which only matters for floats — see pareto_abc's regrouping note).
+
+    ``materialize=True`` ``localCheckpoint``s the ranged frame: the
+    counts/offsets/totals branches otherwise re-execute the input
+    subtree up to four times (per-branch column pruning defeats
+    exchange reuse). Opt-in per call site — see ``pareto_abc``'s note.
     """
     keys = [F.col(c).asc() for c in group_cols] + order_keys
     ranged = df.repartitionByRange(*keys).withColumn(
         "_pid", F.spark_partition_id())
     if cum_of is not None:
         ranged = ranged.withColumn("_val", cum_of)
+    if materialize:
+        ranged = ranged.localCheckpoint()
     wloc = Window.partitionBy("_pid", *group_cols).orderBy(*order_keys)
     local = ranged.withColumn("_lrn", F.row_number().over(wloc))
     aggs = [F.count(F.lit(1)).alias("_cnt")]
@@ -135,7 +152,8 @@ def grouped_positions(df: DataFrame, group_cols: list[str],
 
 
 def global_running_max(df: DataFrame, keys: list[Column], value_col: str,
-                       out_col: str = "runmax") -> DataFrame:
+                       out_col: str = "runmax",
+                       materialize: bool = False) -> DataFrame:
     """Global running MAX of ``value_col`` under a total order — the
     prefix-max sibling of ``global_positions``, with the same plan shape
     (no ``Exchange SinglePartition``):
@@ -148,9 +166,15 @@ def global_running_max(df: DataFrame, keys: list[Column], value_col: str,
     Unlike a sum, max needs no re-association caveat — it is exact for
     any type with a total order. ``keys`` must totally order the rows
     for a deterministic result.
+
+    ``materialize=True`` ``localCheckpoint``s the ranged frame (the
+    local/pmax/earlier branches otherwise re-execute the input subtree;
+    see ``pareto_abc``'s note). Opt-in per call site.
     """
     ranged = df.repartitionByRange(*keys).withColumn(
         "_pid", F.spark_partition_id())
+    if materialize:
+        ranged = ranged.localCheckpoint()
     wloc = (Window.partitionBy("_pid").orderBy(*keys)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = ranged.withColumn("_lmax", F.max(value_col).over(wloc))

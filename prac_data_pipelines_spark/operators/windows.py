@@ -43,7 +43,8 @@ def running_balance(df: DataFrame, partition_by: list[str], order_by: list[Colum
 
 def pareto_abc(df: DataFrame, amount_col: str, key_order: list[Column] | None = None,
                pct_col: str = "PCT", cum_col: str = "PCT_ACUMULADO",
-               abc_col: str = "CLASIFICACION_ABC") -> DataFrame:
+               abc_col: str = "CLASIFICACION_ABC",
+               materialize: bool = False) -> DataFrame:
     """Cumulative-share Pareto with ABC classes over rows sorted by amount desc.
 
     Reference: ``src/kpis.py:124-151`` — pct of total, running cumulative pct
@@ -71,10 +72,23 @@ def pareto_abc(df: DataFrame, amount_col: str, key_order: list[Column] | None = 
     reference forces it by construction, ``src/kpis.py:135``), so it is
     pinned rather than summed: no association order can push it across a
     rounding quantum (ADVICE r5).
+
+    ``materialize=True`` cuts the fan-out recompute: the ranged frame
+    feeds THREE plan branches (local window, per-partition stats, and
+    the stats' triangular self-join), and Spark re-executes the input
+    subtree for each branch it cannot reuse at runtime. A
+    ``localCheckpoint`` of the (already per-key-aggregated, narrow)
+    ranked frame computes the upstream exactly once and truncates the
+    plan (guide: materializing an intermediate truncates the plan;
+    localCheckpoint when fault tolerance of the intermediate is not
+    critical). Opt-in per call site: worth it when the input subtree is
+    expensive (joins/aggregation), a wash for a bare scan.
     """
     order = [F.col(amount_col).desc()] + (key_order or [])
     ranged = (df.repartitionByRange(*order)
               .withColumn("_pid", F.spark_partition_id()))
+    if materialize:
+        ranged = ranged.localCheckpoint()
     wloc = Window.partitionBy("_pid").orderBy(*order)
     wcum = wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = (ranged

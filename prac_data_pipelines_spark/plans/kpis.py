@@ -117,7 +117,8 @@ def concentracion_abc(master: DataFrame, moneda: str = "MXN",
     )
     return pareto_abc(per_client, "SALDO_PENDIENTE",
                       key_order=[F.col("CLIENTE_ID").asc()],
-                      pct_col="PCT", cum_col="PCT_ACUMULADO", abc_col="CLASE_ABC")
+                      pct_col="PCT", cum_col="PCT_ACUMULADO", abc_col="CLASE_ABC",
+                      materialize=True)
 
 
 def limite_credito(master: DataFrame, moneda: str = "MXN",

@@ -519,7 +519,8 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(r2(F.sum("o_totalprice")).alias("saldo"))
     )
     out = pareto_abc(per_cust, "saldo", key_order=[F.col("o_custkey").asc()],
-                     pct_col="pct", cum_col="pct_acumulado", abc_col="clase_abc")
+                     pct_col="pct", cum_col="pct_acumulado", abc_col="clase_abc",
+                     materialize=True)
     return out.select("o_custkey", "saldo", "pct", "pct_acumulado", "clase_abc")
 
 

@@ -1108,7 +1108,7 @@ def q_events_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
          - F.lit(WM_JITTER_STEP * (WM_JITTER_MOD - 1) // 2)).alias("_ak"))
     run = global_running_max(
         keyed, [F.col("_ak").asc(), F.col("event_id").asc()], "_es",
-        out_col="_rm")
+        out_col="_rm", materialize=True)
     late = run.select((F.col("_rm") - F.col("_es")).alias("_late"))
     bucketed = late.select(
         F.when(F.col("_late") == 0, "1_a_tiempo")

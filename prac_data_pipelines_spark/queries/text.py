@@ -846,7 +846,7 @@ def q_doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = grouped_positions(
         base, ["source"], [F.desc("calidad"), F.asc("doc_id")],
         pos_col="_rn", cum_of=F.col("toks"), cum_col="_cum",
-        total_col="_tot")
+        total_col="_tot", materialize=True)
     kept = F.col("_cum") * BUDGET_DEN <= F.col("_tot") * BUDGET_NUM
     return (ranked.groupBy("source")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),

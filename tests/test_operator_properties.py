@@ -2776,3 +2776,46 @@ def test_min_label_components_equal_union_find(spark, pairs):
     got = {r.doc_id: r.etiqueta
            for r in min_label_components(spark, df).collect()}
     assert got == want
+
+
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50),
+                            st.integers(1, 30)),
+                  min_size=1, max_size=60),
+    parts=st.integers(1, 7),
+)
+@settings(**SETTINGS)
+def test_ranking_operators_materialize_invariant(spark, rows, parts):
+    """materialize=True (localCheckpoint of the ranged frame, r10) must be
+    a pure plan optimization: row-identical output to materialize=False
+    for all four two-level ranking operators, under any input
+    partitioning — including ties, single-row groups and one dominant
+    group."""
+    from prac_data_pipelines_spark.operators.sorting import (
+        global_positions, global_running_max, grouped_positions)
+    from prac_data_pipelines_spark.operators.windows import pareto_abc
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate((g, v) for g, v, _ in rows)],
+        "id long, g int, v int").repartition(parts)
+
+    def rows_of(frame):
+        return sorted(tuple(r) for r in frame.collect())
+
+    gp = lambda m: grouped_positions(  # noqa: E731
+        df, ["g"], [F.desc("v"), F.asc("id")], pos_col="pos", n_col="n",
+        cum_of=F.col("v"), cum_col="cum", total_col="tot", materialize=m)
+    assert rows_of(gp(True)) == rows_of(gp(False))
+
+    pos = lambda m: global_positions(  # noqa: E731
+        df, [F.desc("v"), F.asc("id")], pos_col="pos", materialize=m)
+    assert rows_of(pos(True)) == rows_of(pos(False))
+
+    rmax = lambda m: global_running_max(  # noqa: E731
+        df, [F.asc("id")], "v", out_col="rm", materialize=m)
+    assert rows_of(rmax(True)) == rows_of(rmax(False))
+
+    agg = df.groupBy("g").agg(F.sum("v").cast("double").alias("amt"))
+    pab = lambda m: pareto_abc(  # noqa: E731
+        agg, "amt", key_order=[F.col("g").asc()], materialize=m)
+    assert rows_of(pab(True)) == rows_of(pab(False))
