@@ -356,6 +356,11 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(KMEANS_ITERS):
         assigned = _assign_to(emb, centroids)
         centroids = _recenter(assigned)
+    # the trained centroids feed TWO consumers (the final assignment's
+    # packed broadcast and the cohesion join's broadcast) whose exchanges
+    # are not reusable — without materialization the whole lazy
+    # three-iteration Lloyd chain executes once per consumer. K rows.
+    centroids = centroids.localCheckpoint()
     final = _assign_to(emb, centroids)
     scored = (
         final.join(broadcast(centroids), "centroid_id")
@@ -428,22 +433,40 @@ def _ivf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, embedding, centroid_id, _rn) — every vector ranked
     against the trained IVF coarse quantizer (rank 1 = home list,
     ranks <= IVF_NPROBE = probe lists). Shared by knn_ivf and
-    ivf_recall_audit so both run the identical index."""
+    ivf_recall_audit so both run the identical index.
+
+    Shuffle-free ranking (r10): the old form scored the n x K crossJoin
+    and ranked it through ``Window.partitionBy(vec_id)`` — a full
+    exchange + sort of corpus x K rows each carrying TWO 64-double
+    arrays, exactly the "shuffling heavy payloads to decide placement"
+    anti-pattern. Both consumers only ever read ranks <= IVF_NPROBE, so
+    the rank is now an in-row fold: sort the K (−sim, centroid_id)
+    structs (lexicographic = sim desc, ties -> lowest id — the
+    row_number order), slice the top IVF_NPROBE, posexplode. Zero
+    exchanges, and the frame shrinks from n x K to n x NPROBE rows.
+
+    The trained centroids are ``localCheckpoint``ed (K rows): the lazy
+    Lloyd chain otherwise nests one plan per iteration and re-executes
+    per consumer subtree."""
     emb = _emb(spark, sf_dir).selectExpr(
         "vec_id", "transform(embedding, v -> cast(v as double)) AS embedding")
     centroids = (emb.filter(F.col("vec_id") < KMEANS_K)
                  .selectExpr("vec_id AS centroid_id", "embedding AS ce"))
     for _ in range(KMEANS_ITERS):
         centroids = _recenter(_assign_to(emb, centroids))
-    centroids = centroids.cache()
+    centroids = centroids.localCheckpoint()
 
-    scored = (
-        emb.crossJoin(broadcast(centroids))
-        .selectExpr("vec_id", "embedding", "centroid_id",
-                    f"{cosine_expr('embedding', 'ce')} AS _sim"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("_sim").desc(), F.col("centroid_id").asc())
-    return scored.withColumn("_rn", F.row_number().over(w_assign)).cache()
+    packed = centroids.agg(F.expr(
+        "sort_array(collect_list(struct(centroid_id, ce))) AS _cents"))
+    probe = (f"slice(sort_array(transform(_cents, c -> "
+             f"struct(-({cosine_expr('embedding', 'c.ce')}) AS ns, "
+             f"c.centroid_id AS cid))), 1, {IVF_NPROBE})")
+    return (emb.crossJoin(broadcast(packed))
+            .select("vec_id", "embedding",
+                    F.posexplode(F.expr(probe)).alias("_i", "_c"))
+            .selectExpr("vec_id", "embedding", "_c.cid AS centroid_id",
+                        "cast(_i + 1 as int) AS _rn")
+            .cache())
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
