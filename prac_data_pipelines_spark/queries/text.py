@@ -2594,12 +2594,24 @@ def q_corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = (base.unionByName(clones_exact).unionByName(clones_norm)
           .selectExpr("doc_id", "text",
                       f"cast(size({WORDS}) as bigint) AS _toks"))
+    # Stage survivorship as FLAGS on one cached frame instead of a chain
+    # of filtered frames: the five rollup union arms share no mid-plan
+    # results, so the s1 and s2 arms re-ran the tokenize pass and the
+    # exact-dedup window (r10 alternating A/B min-of-4: 4.55 s -> 3.66 s,
+    # 0.80x). _in2 == "kept by exact dedup"; _in3 additionally gates the
+    # norm window's min on _in2 rows (min(when(_in2, doc_id)) over the
+    # norm partition equals the sequential two-stage filter because
+    # doc_id is unique). The cache is the same cost class as the s3
+    # cache it replaces (same columns, plus the ~7% synthetic clones).
     w_exact = Window.partitionBy(F.md5("text"))
-    s2 = (s1.withColumn("_m", F.min("doc_id").over(w_exact))
-          .filter("doc_id = _m").drop("_m"))
     w_norm = Window.partitionBy(F.md5(F.expr(_NORM)))
-    s3 = (s2.withColumn("_m", F.min("doc_id").over(w_norm))
-          .filter("doc_id = _m").drop("_m").cache())
+    flagged = (
+        s1.withColumn("_in2", F.col("doc_id") == F.min("doc_id").over(w_exact))
+        .withColumn("_in3", F.col("doc_id") == F.min(
+            F.when(F.col("_in2"), F.col("doc_id"))).over(w_norm))
+        .cache())
+    s2 = flagged.filter("_in2").drop("_in2", "_in3")
+    s3 = flagged.filter("_in3").drop("_in2", "_in3")
     sigs = _with_sigs(s3).cache()
     bands = _band_guard(sigs.selectExpr(
         "doc_id", "sigs",
@@ -2629,7 +2641,7 @@ def q_corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("_toks"), F.lit(0)).cast("long")
             .alias("tokens"))
 
-    return (rollup(s1, "1_base")
+    return (rollup(flagged, "1_base")
             .unionByName(rollup(s2, "2_exacto"))
             .unionByName(rollup(s3, "3_normalizado"))
             .unionByName(rollup(s4, "4_near_dup"))
