@@ -2124,8 +2124,13 @@ def q_knn_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", r6(F.col("_cos")).alias("cos"))
         .dropDuplicates(["src", "dst"]))
     w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    # the fwd/rev arms of the mutuality join otherwise each re-execute
+    # the whole candidate join + dedup + top-k window (union-arm rule:
+    # Spark shares no mid-plan results); the edge list is k x |corpus|
+    # narrow rows — cache it, not the join (r10 A/B min-of-4: 0.81x)
     edges = (scored.withColumn("rango", F.row_number().over(w).cast("long"))
-             .filter(F.col("rango") <= MUTUAL_K))
+             .filter(F.col("rango") <= MUTUAL_K)
+             .cache())
     fwd = edges.filter("src < dst").selectExpr(
         "src AS a", "dst AS b", "cos", "rango AS rango_ab")
     rev = edges.filter("src > dst").selectExpr(
