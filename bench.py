@@ -322,6 +322,13 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     cal = round(min(calibrations), 3) if calibrations else None
+    # The calibration workload has a FIXED 32-partition layout, so the
+    # anchor separates host speed from workload cost only at the default
+    # 32 cores; at other core counts the "normalized" number would
+    # conflate host speed with core count (VERDICT-r10: the c8 probe's
+    # 54.9 s "normalized" value was meaningless).  Emit it only at 32.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    normalizable = cpus in ("32", "*")
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
@@ -336,7 +343,8 @@ def main() -> None:
         "calibration_sec": cal,
         "calibration_ref_sec": CALIBRATION_REF_SEC,
         "value_normalized": (
-            round(total * CALIBRATION_REF_SEC / cal, 3) if cal else None),
+            round(total * CALIBRATION_REF_SEC / cal, 3)
+            if cal and normalizable else None),
     }
     if errors:
         out["errors"] = len(errors)
@@ -367,7 +375,13 @@ def main() -> None:
             ]
             rnd = str(max(prior) + 1 if prior else 1)
         stem, ext = os.path.splitext(detail_path)
-        versioned = f"{stem}_r{int(rnd):02d}{ext}"
+        # Non-default core counts get their own suffix so a low-core
+        # probe can never collide with (or be mistaken for) the round's
+        # main 32-core artifact — the r10 c8 probe inferred round
+        # max+1=11 because BENCH_r10.json already existed and landed as
+        # a mis-stamped "BENCH_DETAIL_r11.json" (VERDICT-r10 item #7).
+        core_tag = "" if normalizable else f"_c{cpus}"
+        versioned = f"{stem}_r{int(rnd):02d}{core_tag}{ext}"
         with open(versioned, "w") as fh:
             json.dump(out, fh, indent=1)
             fh.write("\n")

@@ -25,6 +25,16 @@ def norm_expr(a: str) -> str:
 
 
 def cosine_expr(a: str, b: str) -> str:
+    """PRECONDITION (ADVICE-r10): both vectors must have non-zero norm.
+    A zero vector yields 0/0 = NaN, and NaN-vs-number ORDERING DIVERGES
+    between the engines' ranking idioms: Spark's sort/struct comparators
+    treat NaN as GREATEST, so an in-row fold over (-sim, id) structs
+    ranks a NaN sim LAST, while the row_number(ORDER BY sim DESC) form
+    (and the DuckDB SQL twins) rank NaN FIRST.  The harness generator
+    never emits zero embeddings and k-means/PQ means of unit-norm-ish
+    data never collapse to zero, so no registered query can hit this;
+    any future caller feeding unnormalized external vectors must filter
+    or nanvl-guard zero norms BEFORE ranking on this expression."""
     return f"({dot_expr(a, b)} / ({norm_expr(a)} * {norm_expr(b)}))"
 
 

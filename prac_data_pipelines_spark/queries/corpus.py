@@ -1976,9 +1976,15 @@ register("bpe_fertility", q_bpe_fertility, SQL_BPE_FERTILITY)
 BATCH_DOCS = 16
 
 
-def doc_length_buckets_frame(docs: DataFrame) -> DataFrame:
+def doc_length_buckets_frame(docs: DataFrame,
+                             materialize: bool = True) -> DataFrame:
     """Both batching policies over a documents frame; shared by the
-    registered query and the Python-reference property test."""
+    registered query and the Python-reference property test.
+
+    ``materialize=False`` keeps the frame fully lazy (for callers that
+    only want the plan, e.g. the property test's shape assertions) —
+    the default eagerly cuts the fan-out, see below.
+    """
     from ..operators.sorting import grouped_positions
 
     t = docs.selectExpr("doc_id", "source",
@@ -1988,8 +1994,12 @@ def doc_length_buckets_frame(docs: DataFrame) -> DataFrame:
     # the tokenize+size pass re-executes up to ~5x (measured 3.10 s;
     # with this one localCheckpoint of the narrow per-doc frame: 1.98 s,
     # 0.64x — r10 A/B min-of-3). The checkpointed frame is (doc_id,
-    # source, toks): per-doc grain, never the text.
-    t = t.localCheckpoint()
+    # source, toks): per-doc grain, never the text. Opt-in (ADVICE-r10):
+    # an unconditional eager checkpoint ran a Spark job at DataFrame-
+    # CONSTRUCTION time, so every caller paid the materialization even
+    # before any action and the helper could not compose lazily.
+    if materialize:
+        t = t.localCheckpoint()
 
     def waste(ranked, tag: str) -> DataFrame:
         batch = F.floor((F.col("_rn") - 1) / BATCH_DOCS)

@@ -2629,10 +2629,13 @@ def q_corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("d2", r4(est).alias("_est"))
               .filter(F.col("_est") >= CURATION_JACCARD)
               .select(F.col("d2").alias("doc_id")).distinct())
-    s4 = s3.join(losers, "doc_id", "left_anti").cache()
+    # narrow the s4 cache to per-doc scalars (ADVICE-r10): the quality
+    # projection is computed INTO the cache so neither s4 consumer (the
+    # stage-4 rollup, the stage-5 gate) pins the text column in memory
+    s4 = (s3.join(losers, "doc_id", "left_anti")
+          .selectExpr("doc_id", "_toks", *_QUALITY_COLS).cache())
     score = _quality_score()
-    s5 = (s4.selectExpr("doc_id", "_toks", *_QUALITY_COLS)
-          .filter(r4(score) >= CURATION_MIN_QUALITY))
+    s5 = s4.filter(r4(score) >= CURATION_MIN_QUALITY)
 
     def rollup(df: DataFrame, etapa: str) -> DataFrame:
         return df.agg(

@@ -325,7 +325,11 @@ def _assign_to(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     row_number tie rule. The earlier form shuffled the whole scored
     (n x k) frame through a per-vec_id row_number window on EVERY Lloyd
     iteration; assignment now costs zero exchanges, so an iteration pays
-    only the recenter aggregation."""
+    only the recenter aggregation.
+
+    NaN-ordering caveat as in _ivf_ranked's fold: relies on
+    cosine_expr's non-zero-norm precondition (operators/similarity.py).
+    """
     packed = centroids.agg(F.expr(
         "sort_array(collect_list(struct(centroid_id, ce))) AS _cents"))
     best = (f"array_max(transform(_cents, c -> "
@@ -458,6 +462,10 @@ def _ivf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     packed = centroids.agg(F.expr(
         "sort_array(collect_list(struct(centroid_id, ce))) AS _cents"))
+    # NaN caveat (ADVICE-r10): this fold and the SQL twin's row_number
+    # rank NaN sims at OPPOSITE ends — safe only under cosine_expr's
+    # documented non-zero-norm precondition (operators/similarity.py),
+    # which the corpus and the Lloyd means satisfy by construction.
     probe = (f"slice(sort_array(transform(_cents, c -> "
              f"struct(-({cosine_expr('embedding', 'c.ce')}) AS ns, "
              f"c.centroid_id AS cid))), 1, {IVF_NPROBE})")

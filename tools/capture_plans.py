@@ -1,12 +1,13 @@
-"""Capture ``explain("formatted")`` for named queries into plans/r10/.
+"""Capture ``explain("formatted")`` for named queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> NAME [NAME ...]
        python tools/capture_plans.py <suffix> --top  (the optimization
        round's working set)
 
-Writes plans/r10/<name>_<suffix>.txt (suffix = before|after). These are
-the optimization-round evidence files: the judge checks plan claims
-(exchange counts, join strategies, pushed filters) against them.
+Writes plans/$SPARK_GRAFT_PLAN_ROUND/<name>_<suffix>.txt (suffix =
+before|after; round defaults to r11). These are the optimization-round
+evidence files: the judge checks plan claims (exchange counts, join
+strategies, pushed filters) against them.
 """
 
 from __future__ import annotations
@@ -20,7 +21,8 @@ from prac_data_pipelines_spark.queries import all_queries  # noqa: E402
 from prac_data_pipelines_spark.session import get_spark  # noqa: E402
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "plans", "r10")
+    os.path.abspath(__file__))), "plans",
+    os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r11"))
 
 
 def main() -> None:
